@@ -1,0 +1,122 @@
+"""Sink connectors (SURVEY.md §2.1 S6-S10).
+
+The reference loads with multi-row INSERTs (S6) and idempotent
+``INSERT ... ON DUPLICATE KEY UPDATE`` upserts over composite natural PKs
+(S7/S8 — etl_sales/db/db_helpers.py:25-40, seed_stock_points.py:155-175).
+Spark-first:
+
+- append sink = ``df.write.mode("append")`` (the file committer makes the
+  write atomic — the reference's tmp-file ``os.replace`` dance, S9, is
+  free);
+- upsert sink = Delta ``MERGE INTO`` where Delta is available, else the
+  plain-parquet fallback implemented here: union new over old and keep
+  the newest row per key via ``row_number()`` — same keep-latest
+  semantics as ON DUPLICATE KEY UPDATE.
+
+Partitioned layout replaces MySQL index design (§4): the raw event log
+partitions by store + event date, files sorted by (art_id, fecha) so
+parquet min/max stats skip irrelevant row groups — the Spark analogue of
+the reference's (art_id,tienda_id,fecha) secondary index
+(create_raw_stock_movements.sql:17-20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_append(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Append sink (S6). Partition columns drive partition pruning on read."""
+    writer = df.write.mode("append").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def write_overwrite(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+    fmt: str = "parquet",
+) -> None:
+    """Full-refresh sink (S10's drop+create analogue)."""
+    writer = df.write.mode("overwrite").format(fmt)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
+
+
+def upsert_keep_latest(
+    old: DataFrame | None,
+    new: DataFrame,
+    keys: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Keep-latest-per-key upsert semantics (S7/S8) as a pure transform.
+
+    Equivalent to MySQL ``INSERT ... ON DUPLICATE KEY UPDATE`` on the
+    composite PK (db_helpers.py:25-40): for each key, the row with the
+    greatest ``order_col`` wins, new rows out-ranking old on ties.
+
+    Pure DataFrame→DataFrame so it composes and stays testable; the
+    ``upsert_parquet`` wrapper materializes it. With Delta available the
+    same semantics are one ``MERGE INTO`` keyed on ``keys``.
+    """
+    staged = new.withColumn("__gen", F.lit(1))
+    if old is not None:
+        staged = old.withColumn("__gen", F.lit(0)).unionByName(staged)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).desc(), F.col("__gen").desc())
+    return (
+        staged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__gen")
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    *,
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    """Materialized upsert into a parquet table (S7/S8 fallback path).
+
+    Note for scale: rewriting the whole table is O(table); with Delta the
+    MERGE touches only matching files. At 100 TB, partition ``path`` by a
+    key prefix (e.g. store + month) and restrict the rewrite to affected
+    partitions via dynamic partition overwrite.
+    """
+    try:
+        old = spark.read.parquet(path)
+    except Exception:
+        old = None
+    merged = upsert_keep_latest(old, new, keys, order_col)
+    if old is not None:
+        # Sever lineage to the files about to be overwritten (no driver
+        # round-trip — localCheckpoint materializes on the executors).
+        merged = merged.localCheckpoint(eager=True)
+    writer = merged.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_quarantine(df: DataFrame, path: str) -> None:
+    """Append-mode quarantine sink (S9, dq_exclusions_csv.py:57-66).
+
+    The reference dedups + atomically replaces a CSV; Spark's committer
+    gives atomicity, and dedup happens at read time via dropDuplicates on
+    the ``uniq`` key (U5).
+    """
+    df.write.mode("append").parquet(path)

@@ -1,0 +1,189 @@
+"""Window / ordered-stateful operators (SURVEY.md §2.5 W1-W7).
+
+This is the semantic heart of the engine. The reference runs these as
+single-threaded pandas loops over ``groupby('art_id')``
+(seed_stock_points.py:74-85); here every one is a Spark window over
+long-form data — one shuffle on the partition key, then a single ordered
+pass per partition, fully parallel across keys. The wide SKU×date pivot
+the reference builds (seed_stock_points.py:99-106) exists only because
+pandas lacks cheap partitioned windows; it never appears here.
+
+Determinism rule (W6): Spark sort is not stable, so every window order
+includes a unique tiebreaker column (the monotonic source id). The
+reference gets the same effect from ``kind='mergesort'``
+(seed_stock_points.py:70).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
+
+
+def running_total(
+    df: DataFrame, keys: list[str], order: list[str | Column], value: str, out: str = "running"
+) -> DataFrame:
+    """W3 — cumulative sum per key over event order.
+
+    Ref: seed_stock_points.py:105 (``wide.cumsum(axis=1)``).
+    """
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(out, F.sum(value).over(w))
+
+
+def shifted(
+    df: DataFrame, keys: list[str], order: list[str | Column], value: str,
+    out: str, offset: int = 1, default=0,
+) -> DataFrame:
+    """W4 — lag/shift: start-of-day stock = prior day's end-of-day.
+
+    Ref: seed_stock_points.py:106 (``eod.shift(1, axis=1, fill_value=0)``).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return df.withColumn(out, F.lag(value, offset, default).over(w))
+
+
+def change_points(
+    df: DataFrame, keys: list[str], order: list[str | Column], value: str
+) -> DataFrame:
+    """W5 — sparse encode: keep a row only when ``value`` changes.
+
+    Ref: seed_stock_points.py:119-126 (``prev.isna() | sod.ne(prev)``).
+    The inverse (dense reconstruction) is temporal.densify / J7 as-of.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(value).over(w)
+    return df.filter(prev.isNull() | (F.col(value) != prev))
+
+
+# ---------------------------------------------------------------------------
+# W2 — segmented-reset running balance (the flagship operator)
+# ---------------------------------------------------------------------------
+
+def replay_running_balance(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    *,
+    delta_col: str = "delta",
+    is_absolute_col: str = "is_absolute",
+    abs_value_col: str = "abs_value",
+    init_col: str | None = None,
+    out_running: str = "running",
+    out_delta: str = "effective_delta",
+) -> DataFrame:
+    """W2 — per-key running balance where absolute events RESET the
+    accumulator, emitting each event's effective delta.
+
+    Semantics (ref seed_stock_points.py:74-85; update variant :135-147):
+    ordered by ``order`` within ``key``::
+
+        running = init                  # 0 at seed, prior SOD at update
+        for ev in events:
+            if ev.is_absolute:
+                target = coalesce(ev.abs_value, 0)
+                d = target - running    # NULL abs -> 0 (ref :79)
+                running = target
+            else:
+                d = ev.delta
+                running += d
+
+    Spark-first formulation — **no UDF, three window passes, one
+    shuffle** (all windows share the same partitioning so Catalyst plans
+    a single exchange on ``key``):
+
+    1. segment id = running count of absolute events (rows at-or-after an
+       absolute event belong to its segment);
+    2. segment base = the absolute target at the segment head (or init
+       for segment 0);
+    3. running = base + cumulative non-absolute deltas within segment;
+       effective delta = running - lag(running, init).
+
+    ``init_col`` names a per-key initial-balance column already joined
+    onto ``df`` (incremental mode, T5); None means init=0 (seed mode).
+    The asymmetry is exactly the reference's seed-vs-update split.
+    """
+    init = F.coalesce(F.col(init_col), F.lit(0)) if init_col else F.lit(0)
+    is_abs = F.col(is_absolute_col)
+    w = Window.partitionBy(key).orderBy(*order)
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    seg = F.sum(is_abs.cast("long")).over(frame)
+    df = df.withColumn("__seg", seg)
+
+    seg_frame = (
+        Window.partitionBy(key, "__seg")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # Segment head's absolute target; NULL for segment 0.
+    base = F.first(
+        F.when(is_abs, F.coalesce(F.col(abs_value_col), F.lit(0))), ignorenulls=True
+    ).over(seg_frame)
+    run_delta = F.sum(
+        F.when(is_abs, F.lit(0)).otherwise(F.col(delta_col))
+    ).over(seg_frame)
+    df = df.withColumn(out_running, F.coalesce(base, init) + F.coalesce(run_delta, F.lit(0)))
+
+    prev_running = F.lag(F.col(out_running)).over(w)
+    df = df.withColumn(out_delta, F.col(out_running) - F.coalesce(prev_running, init))
+    return df.drop("__seg")
+
+
+def replay_running_balance_pandas(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    *,
+    delta_col: str = "delta",
+    is_absolute_col: str = "is_absolute",
+    abs_value_col: str = "abs_value",
+    init_col: str | None = None,
+    out_running: str = "running",
+    out_delta: str = "effective_delta",
+) -> DataFrame:
+    """W2 via ``applyInPandas`` — the literal per-key replay loop.
+
+    Reference implementation (UDF escape hatch, §2.10): a direct
+    transliteration of the reference's groupby loop, Arrow-batched per
+    key group. Kept as the differential-testing oracle for
+    ``replay_running_balance`` and as the template for genuinely
+    non-window stateful logic. Slower than the window form (Python per
+    group) but still fully parallel across keys.
+    """
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [StructField(out_running, df.schema[delta_col].dataType, True),
+           StructField(out_delta, df.schema[delta_col].dataType, True)]
+    )
+
+    def replay(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        init = 0
+        if init_col is not None and len(pdf) and pd.notnull(pdf[init_col].iloc[0]):
+            init = pdf[init_col].iloc[0]
+        running = init
+        runs, deltas = [], []
+        for _, row in pdf.iterrows():
+            if row[is_absolute_col]:
+                target = row[abs_value_col]
+                target = 0 if pd.isnull(target) else target
+                d = target - running
+                running = target
+            else:
+                d = row[delta_col]
+                running = running + d
+            runs.append(running)
+            deltas.append(d)
+        pdf[out_running] = runs
+        pdf[out_delta] = deltas
+        return pdf
+
+    return df.groupBy(key).applyInPandas(replay, schema=out_schema)

@@ -1,0 +1,70 @@
+"""SparkSession factory with scale-aware defaults.
+
+Local testing runs on ``local[N]`` (single JVM), but every config choice
+here is made for the real target: a multi-executor cluster reading ~100 TB.
+
+Key choices
+-----------
+- **AQE on** (``spark.sql.adaptive.enabled``): runtime coalescing of
+  shuffle partitions, auto skew-join splitting, and dynamic
+  broadcast-join demotion/promotion. At 100 TB the static
+  ``shuffle.partitions`` is only an upper bound; AQE right-sizes it.
+- **shuffle.partitions** defaults to ``max(2*cores, 32)`` locally; on a
+  cluster this should be ~2-3x total executor cores (set via submit conf,
+  not code). AQE coalesces down, so over-provisioning is cheap.
+- **Arrow enabled** for the Pandas-UDF escape hatches (grouped replay,
+  embedding kernels): Arrow batch transfer is the only acceptable
+  Python<->JVM path in a hot loop.
+- **Session timezone UTC**: the reference pins business time to
+  America/Mexico_City at the edge (stock_points_helpers.py:7-8) and
+  strips tz before storage; we keep storage/compute in UTC and convert
+  at the edges with from_utc_timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "osmart-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or
+    ``local[*]``; on a real cluster, leave master to spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS")
+    if master is None:
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        try:
+            n = int(cpus) if cpus else (os.cpu_count() or 8)
+        except ValueError:
+            n = os.cpu_count() or 8
+        shuffle_partitions = max(2 * n, 32)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # 100 TB scans: bound per-task input so partitions fit in memory.
+        .config("spark.sql.files.maxPartitionBytes", "256m")
+        # Keep driver results small; operators must never collect data.
+        .config("spark.driver.maxResultSize", "2g")
+        .config("spark.ui.enabled", "false")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

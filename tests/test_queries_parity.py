@@ -1,0 +1,44 @@
+"""Differential tests: every registered query vs its DuckDB oracle at
+sf0.001 (the driver runs the same comparison at sf0.01 — SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import pytest
+
+from osmart_etl_spark import queries as q
+from tests.conftest import SF_SMALL
+
+sys_path_names = sorted(q.REGISTRY)
+
+
+@pytest.mark.parametrize("name", sys_path_names)
+def test_query_matches_oracle(spark, duck, name):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.check_parity import compare
+
+    qd = q.REGISTRY[name]
+    spark_pdf = qd.fn(spark, SF_SMALL).toPandas()
+    if qd.oracle is None:
+        assert len(spark_pdf) >= 0  # rows-only check
+        return
+    duck_pdf = duck.execute(qd.oracle).fetchdf()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+    assert df.columns
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())

@@ -1,0 +1,133 @@
+"""Local oracle-parity gate, mimicking the driver's t2 check.
+
+For every query in ``__spark_entry__.queries()`` with an oracle: run the
+Spark query and the DuckDB oracle at a given sf dir, then compare
+row count, column-name set, and order-insensitive values (exact — the
+driver hashes values, so bit-identical is the bar; we report max float
+deviation on mismatch to make drift debuggable).
+
+Usage: python tools/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            # dates / decimals / strings → canonical string
+            df[c] = df[c].map(lambda v: None if v is None else str(v))
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    sc, dc = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if sc != dc:
+        problems.append(f"columns spark={sc} duck={dc}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(dv):
+            both_nan = sv.isna() & dv.isna()
+            eq = (sv == dv) | both_nan
+            if not eq.all():
+                bad = (~eq).idxmax()
+                diff = (sv - dv).abs().max()
+                problems.append(
+                    f"col {c}: {int((~eq).sum())} mismatches, max|diff|={diff:.3e}, "
+                    f"first at row {bad}: spark={sv[bad]!r} duck={dv[bad]!r}"
+                )
+        else:
+            sv2 = sv.map(lambda v: None if (isinstance(v, float) and math.isnan(v)) else v)
+            dv2 = dv.map(lambda v: None if (isinstance(v, float) and math.isnan(v)) else v)
+            eq = (sv2.isna() & dv2.isna()) | (sv2 == dv2)
+            if not eq.all():
+                bad = (~eq).idxmax()
+                problems.append(
+                    f"col {c} ({sv.dtype} vs {dv.dtype}): {int((~eq).sum())} mismatches, "
+                    f"first at row {bad}: spark={sv2[bad]!r} duck={dv2[bad]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as entrymod
+    from osmart_etl_spark.session import get_spark
+
+    spark = get_spark("parity-check")
+    con = duck_con(sf_dir)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    n_pass = n_fail = n_noracle = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            rows = len(spark_pdf)
+            print(f"OK*   {name}: rows-only ({rows} rows, no oracle) [{time.time()-t0:.1f}s]")
+            n_noracle += 1
+            continue
+        try:
+            duck_pdf = con.execute(sql).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      {p}")
+        else:
+            n_pass += 1
+            print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
