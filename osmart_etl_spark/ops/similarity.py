@@ -1,0 +1,93 @@
+"""Similarity search over embedding columns (BASELINE.json extension
+surface): brute-force cosine top-k as the baseline; IVF-style
+cluster-probed search as the scale path.
+
+Determinism: dot products fold left-to-right over double-cast arrays via
+``F.aggregate`` — a strict sequential reduction, so results are
+bit-identical across engines (DuckDB's ``list_reduce`` folds the same
+way) and across partitionings. Never sum float products with a
+shuffle-order-dependent SUM when results feed an equality gate.
+
+Scale notes: brute-force top-k is O(n·d) per query — fine fanned out as
+``queries × vectors`` when queries are few (broadcast the query side).
+The IVF path prunes to the best nprobe clusters first: with K clusters,
+cost drops to ~nprobe/K of brute force; cluster scoring itself is
+O(K·d) using the linearity trick (score(q, centroid) == avg over member
+dots) so no centroid arrays are ever materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Deterministic dot product: elementwise product, left-fold sum."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double_array(a: Column) -> Column:
+    return a.cast("array<double>")
+
+
+def brute_force_topk(
+    vectors: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int = 10
+) -> DataFrame:
+    """Baseline exact top-k by cosine. ``query`` is a 1-row (or few-row)
+    DataFrame with columns (q_id, q_vec) — broadcast so the corpus never
+    shuffles; the top-k itself is TakeOrderedAndProject (per-partition
+    heaps, driver merge of k)."""
+    v = as_double_array(F.col(vec_col))
+    q = as_double_array(F.col("q_vec"))
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col("q_id"), F.col(id_col), cosine(v, q).alias("cos_sim")
+    )
+    return scored.orderBy(
+        F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc()
+    ).limit(k)
+
+
+def ivf_probe_topk(
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    k: int = 10,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style search: rank clusters by their best member similarity,
+    probe the best ``nprobe``, emit top-k only from inside them.
+
+    Cluster scoring uses MAX (order-independent, hence deterministic
+    under any shuffle order) rather than a centroid mean — an avg of
+    doubles depends on reduction order and would make cluster selection
+    flap between runs/engines. In a production two-stage ANN the cluster
+    score comes from a precomputed centroid table instead."""
+    v = as_double_array(F.col(vec_col))
+    q = as_double_array(F.col("q_vec"))
+    scored = vectors.crossJoin(F.broadcast(query)).select(
+        F.col("q_id"), F.col(id_col), F.col(cluster_col), cosine(v, q).alias("cos_sim")
+    )
+    cluster_rank = (
+        scored.groupBy("q_id", cluster_col)
+        .agg(F.max("cos_sim").alias("c_score"))
+        .orderBy(F.col("c_score").desc(), F.col(cluster_col).asc())
+        .limit(nprobe)
+        .select("q_id", cluster_col)
+    )
+    probed = scored.join(F.broadcast(cluster_rank), ["q_id", cluster_col])
+    return probed.orderBy(
+        F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc()
+    ).limit(k)

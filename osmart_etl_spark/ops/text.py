@@ -1,0 +1,77 @@
+"""Text-analysis operators for training-data pipelines (BASELINE.json
+extension surface): tokenization, quality scoring, language-ID heuristic,
+document fingerprinting.
+
+All built on JVM-side array/string expressions — no Python UDFs — so they
+whole-stage-codegen and scale linearly with the scan. At 100 TB the text
+column dominates I/O; every operator here is a single projection over one
+scan (no shuffle at all until an aggregation is requested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword language-ID
+#: heuristic. Deliberately minimal — the operator contract is the shape
+#: (argmax over per-language evidence counts), not lexicon quality.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "et", "des"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization, empty tokens dropped (array<string>)."""
+    return F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def normalized_text(text: Column) -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, trimmed,
+    whitespace collapsed."""
+    return F.regexp_replace(F.lower(F.trim(text)), " +", " ")
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint = md5 of the normalized text. md5 (not
+    Spark's murmur ``hash``) so fingerprints are engine-portable."""
+    return F.md5(normalized_text(text))
+
+
+def lang_scores(toks: Column) -> dict[str, Column]:
+    """Per-language marker-hit counts — the evidence vector for lang-ID."""
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def lang_id(toks: Column) -> Column:
+    """Argmax over language scores; deterministic tie-break by the fixed
+    language order (earlier wins); 'und' when no marker hits at all."""
+    scores = lang_scores(toks)
+    langs = list(scores)
+    expr = F.lit("und")
+    for lang in reversed(langs):
+        is_max = F.lit(True)
+        for o in langs:
+            if o == lang:
+                continue
+            if langs.index(o) < langs.index(lang):
+                is_max = is_max & (scores[lang] > scores[o])
+            else:
+                is_max = is_max & (scores[lang] >= scores[o])
+        expr = F.when((scores[lang] > 0) & is_max, F.lit(lang)).otherwise(expr)
+    return expr

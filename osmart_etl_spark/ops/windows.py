@@ -45,9 +45,12 @@ def shifted(
     """W4 — lag/shift: start-of-day stock = prior day's end-of-day.
 
     Ref: seed_stock_points.py:106 (``eod.shift(1, axis=1, fill_value=0)``).
+    ``default`` may be a literal or a Column (lag's own default accepts
+    only literals, so the fill goes through coalesce).
     """
     w = Window.partitionBy(*keys).orderBy(*order)
-    return df.withColumn(out, F.lag(value, offset, default).over(w))
+    fill = default if isinstance(default, Column) else F.lit(default)
+    return df.withColumn(out, F.coalesce(F.lag(value, offset).over(w), fill))
 
 
 def change_points(
@@ -59,8 +62,13 @@ def change_points(
     The inverse (dense reconstruction) is temporal.densify / J7 as-of.
     """
     w = Window.partitionBy(*keys).orderBy(*order)
-    prev = F.lag(value).over(w)
-    return df.filter(prev.isNull() | (F.col(value) != prev))
+    # Window expressions can't live in a WHERE clause — materialize the
+    # lag as a column, filter, drop.
+    return (
+        df.withColumn("__prev", F.lag(value).over(w))
+        .filter(F.col("__prev").isNull() | (F.col(value) != F.col("__prev")))
+        .drop("__prev")
+    )
 
 
 # ---------------------------------------------------------------------------

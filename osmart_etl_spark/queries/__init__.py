@@ -1,0 +1,25 @@
+"""Driver-facing query registry (package).
+
+Submodules register queries by importing ``query``/``REGISTRY`` from
+``osmart_etl_spark.queries.base``; importing this package pulls them all
+in. ``__spark_entry__`` re-exports ``queries()``/``oracle_sql()``.
+"""
+
+from osmart_etl_spark.queries.base import (  # noqa: F401
+    REGISTRY,
+    QueryDef,
+    dbl,
+    dec,
+    oracle_sql,
+    queries,
+    query,
+)
+
+# Import for registration side effects — order defines registry order.
+from osmart_etl_spark.queries import relational  # noqa: F401, E402
+from osmart_etl_spark.queries.relational import sales_payment_split  # noqa: F401
+from osmart_etl_spark.queries import aggregates  # noqa: F401, E402
+from osmart_etl_spark.queries import temporal  # noqa: F401, E402
+from osmart_etl_spark.queries import dq  # noqa: F401, E402
+from osmart_etl_spark.queries import text  # noqa: F401, E402
+from osmart_etl_spark.queries import similarity  # noqa: F401, E402

@@ -1,0 +1,304 @@
+"""Aggregation, reshaping, set-op and top-k queries (SURVEY.md §2.4,
+§2.6, §2.7) plus the free-from-Spark extras (distinct aggs, rollup/cube,
+intersect/except — SURVEY §2.4 note)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, dec, query
+
+
+@query(
+    "daily_net_agg",
+    oracle="""
+    SELECT user_id, CAST(ts AS DATE) AS event_date,
+      CAST(SUM(CASE WHEN event_type = 'error'
+               THEN CAST(value AS DECIMAL(18,2)) * -1
+               ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id, CAST(ts AS DATE)
+    """,
+    tags=("A3", "T4"),
+)
+def daily_net_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily net per key (A3) — the reference collapses intraday events
+    to one net delta per SKU-day (seed_stock_points.py:88-91). Classic
+    partial+final hash aggregate; equivalently a 1-day tumbling window
+    (T4). Shuffle carries only (key, day) partials.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    signed = F.when(
+        F.col("event_type") == "error", dec(F.col("value")) * -1
+    ).otherwise(dec(F.col("value")))
+    return ev.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        dbl(F.sum(signed)).alias("net_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "watermark_discovery",
+    oracle="""
+    SELECT MAX(ts) AS last_raw_ts, MAX(event_id) AS last_event_id, COUNT(*) AS n_rows
+    FROM events
+    """,
+    tags=("A4", "S11"),
+)
+def watermark_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar MAX watermark discovery (A4) — ``SELECT MAX(fecha) FROM
+    raw_stock_movements`` (sql/get_max_raw_ts.sql:1). Parquet column
+    stats make this near-free: max() over footer min/max, no full scan
+    at scale when stats are exact.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max("ts").alias("last_raw_ts"),
+        F.max("event_id").alias("last_event_id"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "multi_stat_profile",
+    oracle="""
+    SELECT user_id,
+      CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+      CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(value) AS DOUBLE) AS avg_value,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("A6", "A7"),
+)
+def multi_stat_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stat per-group profile (A6) — the reference's offender
+    report ``agg(['min','max','count'])`` (seed_stock_points.py:146-148).
+    avg computed as exact-decimal sum / count so both engines emit the
+    same double (plain AVG over doubles is order-dependent).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = dec(F.col("value"))
+    return ev.groupBy("user_id").agg(
+        dbl(F.min(v)).alias("min_value"),
+        dbl(F.max(v)).alias("max_value"),
+        dbl(F.sum(v)).alias("sum_value"),
+        (dbl(F.sum(v)) / F.count(F.col("value"))).alias("avg_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "distinct_aggregates",
+    oracle="""
+    SELECT event_type,
+      COUNT(DISTINCT user_id) AS n_users,
+      COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("extras-distinct",),
+)
+def distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) — absent from the reference, free from Spark
+    (SURVEY §2.4 note). Spark plans distinct aggs with an expand +
+    two-phase agg; still one logical shuffle per distinct key set.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, o.o_orderstatus AS order_status,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, o.o_orderstatus)
+    """,
+    tags=("extras-rollup",),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals — free-from-Spark extra. NULL-filled
+    grouping columns match ANSI ROLLUP semantics in both engines.
+    """
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(F.col("r_name").alias("region_name"), F.col("o_orderstatus").alias("order_status"), "o_totalprice")
+    )
+    return joined.rollup("region_name", "order_status").agg(
+        dbl(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("O1", "O3"),
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT top-k (O1/O3) — Spark plans TakeOrderedAndProject
+    (per-partition heap + driver merge of k rows, no global sort).
+    o_orderkey tiebreaker makes the k-th row deterministic (W6 rule).
+    """
+    o = read_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+        .limit(25)
+    )
+
+
+@query(
+    "dedup_by_key",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("U5",),
+)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-key dedup (U5, dq_exclusions_csv.py:46-49). Projected to
+    exactly the key so dropDuplicates is deterministic (on wider rows the
+    survivor must be pinned with earliest_per_group instead).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").dropDuplicates(["user_id", "event_type"])
+
+
+@query(
+    "keyset_union_difference",
+    oracle="""
+    SELECT user_id, 'both' AS presence FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT user_id, 'purchase_only' AS presence FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    tags=("U4", "extras-setops"),
+)
+def keyset_union_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-set algebra (U4 — movement SKUs ∪ prior SKUs, index.difference
+    in update_stock_points.py:166-168) via intersect/except.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    err = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = purch.intersect(err).select("user_id", F.lit("both").alias("presence"))
+    only = purch.exceptAll(err).select("user_id", F.lit("purchase_only").alias("presence"))
+    return both.unionByName(only)
+
+
+@query(
+    "pivot_event_values",
+    oracle="""
+    SELECT user_id,
+      CAST(SUM(CASE WHEN event_type = 'click'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+      CAST(SUM(CASE WHEN event_type = 'error'    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+      CAST(SUM(CASE WHEN event_type = 'signup'   THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+      CAST(SUM(CASE WHEN event_type = 'view'     THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("U6",),
+)
+def pivot_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot long→wide (U6, seed_stock_points.py:99-102). Explicit value
+    list skips the distinct-discovery job and keeps the schema static —
+    mandatory at scale and for streaming.
+    """
+    from osmart_etl_spark.ops.reshape import pivot_wide
+
+    ev = read_table(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    wide = pivot_wide(
+        ev.select("user_id", "event_type", dec(F.col("value")).alias("v")),
+        index=["user_id"], pivot_col="event_type", value_col="v", values=kinds,
+    )
+    return wide.select("user_id", *[dbl(F.col(k)).alias(k) for k in kinds])
+
+
+@query(
+    "unpivot_stats",
+    oracle="""
+    WITH wide AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase_total,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS click_total
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, 'purchase_total' AS metric, purchase_total AS metric_value FROM wide
+    UNION ALL
+    SELECT user_id, 'click_total' AS metric, click_total AS metric_value FROM wide
+    """,
+    tags=("U7",),
+)
+def unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot wide→long (U7, seed_stock_points.py:124-127 stack())."""
+    from osmart_etl_spark.ops.reshape import unpivot_long
+
+    ev = read_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,2)")
+    wide = ev.groupBy("user_id").agg(
+        dbl(F.sum(F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(zero))).alias("purchase_total"),
+        dbl(F.sum(F.when(F.col("event_type") == "click", dec(F.col("value"))).otherwise(zero))).alias("click_total"),
+    )
+    return unpivot_long(
+        wide, ids=["user_id"], value_cols=["purchase_total", "click_total"],
+        var_name="metric", value_name="metric_value",
+    )
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+      CAST(json_extract_string(props, '$.missing') AS BIGINT) AS prop_missing
+    FROM events
+    """,
+    tags=("extras-json",),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the string ``props`` column
+    (TESTDATA extension surface, SURVEY §1.2): get_json_object pushes the
+    parse JVM-side; missing path → NULL in both engines.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("prop_missing"),
+    )

@@ -1,0 +1,149 @@
+"""Data-quality operator queries (SURVEY.md §2.2 P7/P13/P15, §2.9 T8,
+§5). The reference enforces correctness operationally — threshold
+quarantine with an audit reason, range assertions, reconciliation against
+a source of truth — and those checks are first-class operators here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, dec, query
+
+
+@query(
+    "dq_quarantine",
+    oracle="""
+    SELECT event_id, user_id, value,
+      CASE WHEN value > 190 THEN 'exceeds_abs_max'
+           ELSE 'negative_or_zero_value' END AS reason,
+      CONCAT(CAST(user_id AS VARCHAR), '|', CAST(event_id AS VARCHAR), '|',
+             CASE WHEN value > 190 THEN 'exceeds_abs_max'
+                  ELSE 'negative_or_zero_value' END) AS uniq
+    FROM events
+    WHERE value > 190 OR value <= 0
+    """,
+    tags=("P7", "P13", "S9"),
+)
+def dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold quarantine with audit reason + dedup key (P13 + S9) —
+    the reference excludes |abs snapshot| > ABS_MAX and logs each
+    exclusion with a composite ``uniq`` key
+    (dq_exclusions_csv.py:78,46-49). The complement of this filter is
+    the clean stream (P7 boolean-mask split); both sides come from one
+    scan.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    reason = F.when(F.col("value") > 190, F.lit("exceeds_abs_max")).otherwise(
+        F.lit("negative_or_zero_value")
+    )
+    return (
+        ev.filter((F.col("value") > 190) | (F.col("value") <= 0))
+        .select(
+            "event_id", "user_id", "value",
+            reason.alias("reason"),
+            F.concat_ws(
+                "|", F.col("user_id").cast("string"), F.col("event_id").cast("string"), reason
+            ).alias("uniq"),
+        )
+    )
+
+
+@query(
+    "dq_bounds_offenders",
+    oracle="""
+    SELECT l_partkey,
+      CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+      CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+      COUNT(*) AS n_offending
+    FROM lineitem
+    WHERE l_extendedprice > 90000
+    GROUP BY l_partkey
+    """,
+    tags=("P15", "A6"),
+)
+def dq_bounds_offenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-assertion offender report (P15) — the reference verifies
+    sod_stock stays within INT32 and reports offenders grouped by SKU
+    with min/max/count (seed_stock_points.py:134-149).
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    p = dec(F.col("l_extendedprice"))
+    return (
+        li.filter(F.col("l_extendedprice") > 90000)
+        .groupBy("l_partkey")
+        .agg(
+            dbl(F.min(p)).alias("min_price"),
+            dbl(F.max(p)).alias("max_price"),
+            F.count(F.lit(1)).alias("n_offending"),
+        )
+    )
+
+
+@query(
+    "reconcile_summary",
+    oracle="""
+    WITH replayed AS (
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) * -1
+                 WHEN event_type = 'signup' THEN CAST(0 AS DECIMAL(18,2))
+                 ELSE CAST(value AS DECIMAL(18,2)) END) AS sim_balance
+      FROM events GROUP BY user_id
+    ),
+    booked AS (
+      SELECT user_id,
+        SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) * -1
+                 ELSE CAST(value AS DECIMAL(18,2)) END) AS prod_balance
+      FROM events GROUP BY user_id
+    ),
+    comp AS (
+      SELECT COALESCE(r.user_id, b.user_id) AS user_id,
+        COALESCE(r.sim_balance, CAST(0 AS DECIMAL(18,2))) AS sim_balance,
+        COALESCE(b.prod_balance, CAST(0 AS DECIMAL(18,2))) AS prod_balance
+      FROM replayed r FULL OUTER JOIN booked b ON r.user_id = b.user_id
+    )
+    SELECT COUNT(*) AS total_keys,
+      CAST(SUM(CASE WHEN sim_balance != prod_balance THEN 1 ELSE 0 END) AS BIGINT) AS mismatch_keys,
+      CAST(MAX(ABS(sim_balance - prod_balance)) AS DOUBLE) AS max_abs_diff
+    FROM comp
+    """,
+    tags=("T8", "J4", "A7"),
+)
+def reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Online reconciliation (T8) — simulate a balance two ways, full-
+    outer join (J4), and emit the mismatch summary dict (A7:
+    total_skus / mismatch_skus / max_abs_diff,
+    stock_points_helpers.py:68-79). The two methods differ exactly on
+    keys with absolute (signup) events, so mismatches are real signal.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    v = dec(F.col("value"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    sim = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", v * -1)
+            .when(F.col("event_type") == "signup", zero)
+            .otherwise(v)
+        ).alias("sim_balance")
+    )
+    prod = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("event_type") == "error", v * -1).otherwise(v)
+        ).alias("prod_balance")
+    )
+    comp = (
+        sim.join(prod, "user_id", "full_outer")
+        .select(
+            F.coalesce(F.col("sim_balance"), zero).alias("sim_balance"),
+            F.coalesce(F.col("prod_balance"), zero).alias("prod_balance"),
+        )
+    )
+    return comp.agg(
+        F.count(F.lit(1)).alias("total_keys"),
+        F.sum(
+            F.when(F.col("sim_balance") != F.col("prod_balance"), 1).otherwise(0)
+        ).alias("mismatch_keys"),
+        dbl(F.max(F.abs(F.col("sim_balance") - F.col("prod_balance")))).alias("max_abs_diff"),
+    )

@@ -1,61 +1,13 @@
-"""Driver-facing query registry.
-
-Every implemented operator from SURVEY.md §2 registers here as a named
-query over the driver testdata plus a matching DuckDB oracle SQL string.
-``__spark_entry__.py`` re-exports this registry.
-
-Float-safety convention (the oracle compares order-insensitive value
-hashes, so results must be *bit-identical* across engines):
-
-- Sums over double columns are order-dependent in IEEE arithmetic, so
-  every aggregated money/measure column is cast to DECIMAL(18,2) *before*
-  SUM (exact, associative) and the result cast back to DOUBLE (identical
-  bits both sides). The testdata doubles carry <=2 decimal digits, so the
-  decimal cast is lossless.
-- Averages are computed explicitly as decimal-sum / count.
-- Row-wise double arithmetic (least/greatest, negation, fixed-order a+b+c)
-  is deterministic and identical across engines — left as double.
-- Window/rank orders always include a unique tiebreaker (W6).
-"""
+"""Relational operator queries (SURVEY.md §2.2 filters/projections,
+§2.3 joins, §2.7 set ops, §2.8 scalar functions)."""
 
 from __future__ import annotations
-
-from collections.abc import Callable
-from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass
-class QueryDef:
-    fn: QueryFn
-    oracle: str | None
-    tags: tuple[str, ...] = field(default_factory=tuple)
-
-
-REGISTRY: dict[str, QueryDef] = {}
-
-
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
-    def deco(fn: QueryFn) -> QueryFn:
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, tags=tags)
-        return fn
-
-    return deco
-
-
-def dec(col):
-    """Exact-money cast: double → DECIMAL(18,2) (lossless for testdata)."""
-    return col.cast("decimal(18,2)")
-
-
-def dbl(col):
-    return col.cast("double")
+from osmart_etl_spark.queries.base import dbl, dec, query
 
 
 # ---------------------------------------------------------------------------
@@ -528,13 +480,5 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "normalized_type"
         ),
         F.upper("event_type").alias("type_upper"),
-        F.length("props").alias("props_len"),
+        F.length("props").cast("bigint").alias("props_len"),
     )
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: qd.fn for name, qd in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: qd.oracle for name, qd in REGISTRY.items() if qd.oracle is not None}

@@ -1,0 +1,134 @@
+"""Similarity-search queries over ``embeddings`` (BASELINE.json
+extension surface): brute-force cosine top-k baseline, IVF-probed ANN,
+and embedding-cosine near-duplicate pairs.
+
+Bit-determinism: all dot products are strict left-folds over
+double-cast arrays (Spark ``F.aggregate`` ↔ DuckDB ``list_reduce``) —
+see ops/similarity.py. The float→double element cast is exact, products
+and the fold order are identical, so cosines match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.ops.similarity import as_double_array, cosine
+from osmart_etl_spark.queries.base import query
+
+# DuckDB fragments: strict left-fold dot/norm over double-cast lists.
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+_QVEC = "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)"
+
+
+@query(
+    "knn_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, {_cos_sql("CAST(embedding AS DOUBLE[])", "q_vec")} AS cos_sim
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ext-sim", "knn"),
+)
+def knn_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for a fixed query vector
+    (vec_id=0): the ANN baseline. Query side broadcast; corpus never
+    shuffles; top-k = TakeOrderedAndProject (per-partition heaps)."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q_vec")
+    )
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            cosine(as_double_array(F.col("embedding")), F.col("q_vec")).alias("cos_sim"),
+        )
+    )
+    return scored.orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc()).limit(10)
+
+
+@query(
+    "ann_ivf_probe",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id, label, {_cos_sql("CAST(embedding AS DOUBLE[])", "q_vec")} AS cos_sim
+      FROM embeddings, q
+      WHERE vec_id != 0
+    ),
+    best_clusters AS (
+      SELECT label FROM scored
+      GROUP BY label
+      ORDER BY MAX(cos_sim) DESC, label ASC
+      LIMIT 2
+    )
+    SELECT s.vec_id, s.label, s.cos_sim
+    FROM scored s JOIN best_clusters b ON s.label = b.label
+    ORDER BY s.cos_sim DESC, s.vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ext-sim", "ivf"),
+)
+def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: ``label`` plays the coarse-quantizer cluster id;
+    rank clusters, probe the best 2, top-10 within them
+    (ops/similarity.ivf_probe_topk). At scale this prunes the scan to
+    nprobe/K of the corpus before any ranking work."""
+    from osmart_etl_spark.ops.similarity import ivf_probe_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("q_id"), as_double_array(F.col("embedding")).alias("q_vec")
+    )
+    out = ivf_probe_topk(
+        emb.filter(F.col("vec_id") != 0), qv, id_col="vec_id", vec_col="embedding",
+        cluster_col="label", k=10, nprobe=2,
+    )
+    return out.select("vec_id", "label", "cos_sim")
+
+
+@query(
+    "embedding_neardup_pairs",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {_cos_sql("a.v", "b.v")} AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE {_cos_sql("a.v", "b.v")} >= 0.35
+    """,
+    tags=("ext-dedup", "embedding-cosine"),
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the coarse cluster id
+    (label) so the pair space is per-bucket, not global all-pairs — the
+    same blocking idea as LSH bands. Threshold 0.35 (calibrated to the
+    synthetic embedding space — real pipelines use ~0.95) on
+    bit-identical cosines."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("v").alias("vb"))
+    pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )

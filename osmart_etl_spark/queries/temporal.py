@@ -1,0 +1,421 @@
+"""Window & temporal operator queries (SURVEY.md §2.5 W1-W7, §2.7 U8/U9)
+— the semantic heart of the reference, re-expressed as Spark windows over
+long-form data.
+
+Event→movement mapping used throughout (the driver's ``events`` table
+plays the reference's raw_stock_movements role — SURVEY §1.1):
+
+- key   = user_id   (the reference's art_id)
+- order = ts, event_id   (event_id = W6 total-order tiebreaker)
+- ``signup``  → absolute reset event (is_absolute, abs_value = value)
+- ``error``   → negative delta (cancellation sign-flip, P8)
+- other types → positive delta
+
+Measures run in DECIMAL(18,2) so running sums are exact and
+order-independent (see queries.base), cast to DOUBLE at the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, query
+
+_ZERO = "CAST(0 AS DECIMAL(18,2))"
+
+
+def movement_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalize ``events`` into replay input (key/order/delta/abs)."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("event_type") == "signup").alias("is_abs"),
+        F.when(F.col("event_type") == "signup", v).alias("abs_value"),
+        F.when(F.col("event_type") == "signup", zero)
+        .when(F.col("event_type") == "error", v * -1)
+        .otherwise(v)
+        .alias("delta"),
+    )
+
+
+_MOVEMENT_CTE = f"""
+    SELECT event_id, user_id, ts,
+           event_type = 'signup' AS is_abs,
+           CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END AS abs_value,
+           CASE WHEN event_type = 'signup' THEN {_ZERO}
+                WHEN event_type = 'error'  THEN CAST(value AS DECIMAL(18,2)) * -1
+                ELSE CAST(value AS DECIMAL(18,2)) END AS delta
+    FROM events
+"""
+
+
+@query(
+    "running_balance",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE})
+    SELECT event_id, user_id, ts,
+      CAST(SUM(delta) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS running_value
+    FROM mv
+    """,
+    tags=("W3", "W6"),
+)
+def running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per key over event order (W3) — the reference's
+    ``cumsum(axis=1)`` over the SKU×date pivot (seed_stock_points.py:105)
+    without the pivot: one shuffle on the key, one ordered pass.
+    """
+    from osmart_etl_spark.ops.windows import running_total
+
+    mv = movement_events(spark, sf_dir)
+    out = running_total(mv, ["user_id"], ["ts", "event_id"], "delta", out="running_value")
+    return out.select("event_id", "user_id", "ts", dbl(F.col("running_value")).alias("running_value"))
+
+
+@query(
+    "segmented_replay",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    seg AS (
+      SELECT *, SUM(CASE WHEN is_abs THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS seg_id
+      FROM mv
+    ),
+    run AS (
+      SELECT *,
+        COALESCE(FIRST_VALUE(CASE WHEN is_abs THEN COALESCE(abs_value, {_ZERO}) END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), {_ZERO})
+        + SUM(CASE WHEN is_abs THEN {_ZERO} ELSE delta END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running
+      FROM seg
+    )
+    SELECT event_id, user_id, ts,
+      CAST(running AS DOUBLE) AS running,
+      CAST(running - COALESCE(LAG(running) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id), {_ZERO}) AS DOUBLE) AS effective_delta
+    FROM run
+    """,
+    tags=("W2", "W6"),
+)
+def segmented_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 — the flagship operator: per-key running balance where absolute
+    events (signup) RESET the accumulator; emits per-event effective
+    deltas. Ref: seed_stock_points.py:74-85 (pandas loop per SKU) →
+    three shared-partition window passes, a single exchange on user_id,
+    no Python in the path (ops/windows.replay_running_balance).
+    """
+    from osmart_etl_spark.ops.windows import replay_running_balance
+
+    mv = movement_events(spark, sf_dir)
+    out = replay_running_balance(
+        mv, key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        dbl(F.col("running")).alias("running"),
+        dbl(F.col("effective_delta")).alias("effective_delta"),
+    )
+
+
+@query(
+    "sod_lag",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, SUM(delta) AS net
+      FROM mv WHERE NOT is_abs GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    eod AS (
+      SELECT user_id, d, SUM(net) OVER (
+        PARTITION BY user_id ORDER BY d
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS eod_value
+      FROM daily
+    )
+    SELECT user_id, d AS event_date,
+      CAST(eod_value AS DOUBLE) AS eod_value,
+      CAST(COALESCE(LAG(eod_value) OVER (PARTITION BY user_id ORDER BY d), {_ZERO}) AS DOUBLE) AS sod_value
+    FROM eod
+    """,
+    tags=("W4", "A3"),
+)
+def sod_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Start-of-day from end-of-day via lag (W4) — the reference's
+    ``eod.shift(1, fill_value=0)`` (seed_stock_points.py:106).
+    """
+    from osmart_etl_spark.ops.windows import running_total, shifted
+
+    mv = movement_events(spark, sf_dir).filter(~F.col("is_abs"))
+    daily = mv.groupBy("user_id", F.to_date("ts").alias("event_date")).agg(
+        F.sum("delta").alias("net")
+    )
+    eod = running_total(daily, ["user_id"], ["event_date"], "net", out="eod_value")
+    out = shifted(eod, ["user_id"], ["event_date"], "eod_value", out="sod_value",
+                  default=F.lit(0).cast("decimal(18,2)"))
+    return out.select(
+        "user_id", "event_date",
+        dbl(F.col("eod_value")).alias("eod_value"),
+        dbl(F.col("sod_value")).alias("sod_value"),
+    )
+
+
+@query(
+    "change_point_encode",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, SUM(delta) AS net
+      FROM mv WHERE NOT is_abs GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    sign_series AS (
+      SELECT user_id, d,
+        CASE WHEN SUM(net) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0
+        THEN 1 ELSE -1 END AS polarity
+      FROM daily
+    )
+    SELECT user_id, d AS point_date, polarity
+    FROM (
+      SELECT *, LAG(polarity) OVER (PARTITION BY user_id ORDER BY d) AS prev
+      FROM sign_series
+    )
+    WHERE prev IS NULL OR polarity != prev
+    """,
+    tags=("W5",),
+)
+def change_point_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse change-point encoding (W5) — keep a row only when the value
+    differs from the previous day (seed_stock_points.py:119-126; the
+    stock_points table's core design, create_stock_points.sql:3). Encoded
+    over a derived balance polarity so changes are non-trivial.
+    """
+    from osmart_etl_spark.ops.windows import change_points, running_total
+
+    mv = movement_events(spark, sf_dir).filter(~F.col("is_abs"))
+    daily = mv.groupBy("user_id", F.to_date("ts").alias("point_date")).agg(
+        F.sum("delta").alias("net")
+    )
+    eod = running_total(daily, ["user_id"], ["point_date"], "net", out="eod_value")
+    series = eod.select(
+        "user_id", "point_date",
+        F.when(F.col("eod_value") > 0, F.lit(1)).otherwise(F.lit(-1)).alias("polarity"),
+    )
+    return change_points(series, ["user_id"], ["point_date"], "polarity")
+
+
+@query(
+    "asof_lookup",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           value AS last_value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+      ) AS rn
+      FROM events
+      WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+    ) t WHERE rn = 1
+    """,
+    tags=("J7", "W1"),
+)
+def asof_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of state lookup (J7/W1) — latest row at-or-before a target
+    instant per key (update_stock_points.py:47-69). The ≤ filter prunes
+    before the window shuffle; row_number desc = 1 picks the survivor.
+    """
+    from osmart_etl_spark.ops.joins import asof_lookup as _asof
+
+    ev = read_table(spark, sf_dir, "events")
+    out = _asof(
+        ev, key_cols=["user_id"], ts_col="ts",
+        as_of=F.lit("2024-01-15 00:00:00").cast("timestamp"),
+        tiebreakers=[F.col("event_id")],
+    )
+    return out.select(
+        "user_id", F.col("ts").alias("last_ts"), F.col("event_id").alias("last_event_id"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@query(
+    "calendar_scaffold",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, SUM(delta) AS net
+      FROM mv WHERE NOT is_abs GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(d) AS dmin, MAX(d) AS dmax FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(UNNEST(generate_series(CAST(dmin AS TIMESTAMP),
+                                                  CAST(dmax AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS DATE) AS cal_date
+      FROM bounds
+    )
+    SELECT s.user_id, s.cal_date,
+      CAST(COALESCE(dl.net, {_ZERO}) AS DOUBLE) AS net
+    FROM spine s
+    LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.cal_date = dl.d
+    """,
+    tags=("U8", "U9"),
+)
+def calendar_scaffold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense per-key calendar scaffold with zero-fill (U8/U9) — the
+    reference's ``date_range().reindex().fillna(0)``
+    (seed_stock_points.py:92-102). Spark-first: each key's spine is
+    generated with sequence()+explode bounded by that key's own active
+    range — O(keys × active_days), not a global crossJoin, and no
+    shuffle at all: the spine explodes in place from the per-key bounds
+    aggregate.
+    """
+    mv = movement_events(spark, sf_dir).filter(~F.col("is_abs"))
+    daily = mv.groupBy("user_id", F.to_date("ts").alias("d")).agg(F.sum("delta").alias("net"))
+    bounds = daily.groupBy("user_id").agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("cal_date"),
+    )
+    return spine.join(
+        daily.withColumnRenamed("d", "cal_date"), ["user_id", "cal_date"], "left"
+    ).select(
+        "user_id", "cal_date",
+        dbl(F.coalesce(F.col("net"), F.lit(0).cast("decimal(18,2)"))).alias("net"),
+    )
+
+
+@query(
+    "stock_points_pipeline",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    seg AS (
+      SELECT *, SUM(CASE WHEN is_abs THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM mv
+    ),
+    run AS (
+      SELECT *,
+        COALESCE(FIRST_VALUE(CASE WHEN is_abs THEN COALESCE(abs_value, {_ZERO}) END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), {_ZERO})
+        + SUM(CASE WHEN is_abs THEN {_ZERO} ELSE delta END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM seg
+    ),
+    eff AS (
+      SELECT *, running - COALESCE(LAG(running) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id), {_ZERO}) AS effective_delta
+      FROM run
+    ),
+    daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, SUM(effective_delta) AS net
+      FROM eff GROUP BY user_id, CAST(ts AS DATE)
+    ),
+    bounds AS (
+      SELECT user_id, MIN(d) AS dmin, CAST(MAX(d) + INTERVAL 1 DAY AS DATE) AS dmax
+      FROM daily GROUP BY user_id
+    ),
+    spine AS (
+      SELECT user_id, CAST(UNNEST(generate_series(CAST(dmin AS TIMESTAMP),
+                                                  CAST(dmax AS TIMESTAMP),
+                                                  INTERVAL 1 DAY)) AS DATE) AS cal_date
+      FROM bounds
+    ),
+    dense AS (
+      SELECT s.user_id, s.cal_date, COALESCE(dl.net, {_ZERO}) AS net
+      FROM spine s LEFT JOIN daily dl
+        ON s.user_id = dl.user_id AND s.cal_date = dl.d
+    ),
+    eod AS (
+      SELECT user_id, cal_date,
+        SUM(net) OVER (
+          PARTITION BY user_id ORDER BY cal_date
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS eod_stock
+      FROM dense
+    ),
+    sod AS (
+      SELECT user_id, cal_date,
+        COALESCE(LAG(eod_stock) OVER (
+          PARTITION BY user_id ORDER BY cal_date), {_ZERO}) AS sod_stock
+      FROM eod
+    )
+    SELECT user_id, cal_date AS point_date, CAST(sod_stock AS DOUBLE) AS sod_stock
+    FROM (
+      SELECT *, LAG(sod_stock) OVER (PARTITION BY user_id ORDER BY cal_date) AS prev
+      FROM sod
+    )
+    WHERE prev IS NULL OR sod_stock != prev
+    """,
+    tags=("EP3", "W2", "W3", "W4", "W5", "U8", "A3"),
+)
+def stock_points_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 end-to-end — the reference's flagship stock-points pipeline
+    (update_stock_points.py, SURVEY §3 EP3) as ONE lazy Catalyst DAG:
+    event normalization → segmented-reset replay (W2) → daily net (A3) →
+    per-key calendar scaffold (U8) → cumulative EOD → SOD lag (W4) →
+    sparse change-point encode (W5). The reference crosses a
+    process/engine boundary at every stage; here the only boundaries are
+    the source scan and the sink, and every window shares the user_id
+    partitioning so the whole chain runs off two exchanges (key, then
+    key+day).
+    """
+    from osmart_etl_spark.ops.windows import change_points, replay_running_balance
+
+    mv = movement_events(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+
+    eff = replay_running_balance(
+        mv, key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+    )
+    daily = eff.groupBy("user_id", F.to_date("ts").alias("d")).agg(
+        F.sum("effective_delta").alias("net")
+    )
+    bounds = daily.groupBy("user_id").agg(
+        F.min("d").alias("dmin"), F.date_add(F.max("d"), 1).alias("dmax")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("cal_date"),
+    )
+    dense = spine.join(
+        daily.withColumnRenamed("d", "cal_date"), ["user_id", "cal_date"], "left"
+    ).select("user_id", "cal_date", F.coalesce(F.col("net"), zero).alias("net"))
+
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("cal_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = Window.partitionBy("user_id").orderBy("cal_date")
+    # Two steps: Spark forbids a window function as another window
+    # function's argument (lag(sum over) must materialize first).
+    eod = dense.withColumn("eod_stock", F.sum("net").over(w_cum))
+    sod = eod.select(
+        "user_id", "cal_date",
+        F.coalesce(F.lag("eod_stock").over(w), zero).alias("sod_stock"),
+    )
+    points = change_points(sod, ["user_id"], ["cal_date"], "sod_stock")
+    return points.select(
+        "user_id", F.col("cal_date").alias("point_date"),
+        dbl(F.col("sod_stock")).alias("sod_stock"),
+    )

@@ -1,0 +1,347 @@
+"""Text-analysis + deduplication queries over ``documents``
+(BASELINE.json extension surface — first-class components).
+
+DuckDB-vs-Spark portability notes: tokenization = split-on-space with
+empty tokens filtered (identical semantics both engines); all hashing =
+md5 (identical hex both engines); ratios = bigint/bigint double division
+(bit-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.ops.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_id,
+    normalized_text,
+    stopword_count,
+    tokens,
+)
+from osmart_etl_spark.queries.base import query
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+_STOP_SQL = "['the','a','of','and','is','to','in']"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+      len({_TOKS}) AS n_tokens,
+      len(list_distinct({_TOKS})) AS n_uniq_tokens,
+      list_reduce(list_prepend(0, list_transform({_TOKS}, x -> len(x))),
+                  (a, b) -> a + b) AS total_token_chars,
+      length(text) AS n_chars
+    FROM documents
+    """,
+    tags=("ext-text", "tokenize"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — pure array expressions
+    over one scan, no shuffle, no UDF."""
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(t).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(t)).cast("bigint").alias("n_uniq_tokens"),
+        F.aggregate(F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b)
+        .cast("bigint")
+        .alias("total_token_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKS}) AS n_tokens,
+        len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+        length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS chars_per_token,
+      (n_tokens >= 20 AND n_tokens <= 1000) AS length_ok,
+      CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+           ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END * 0.5
+        + CASE WHEN n_tokens >= 20 AND n_tokens <= 1000 THEN 0.5 ELSE 0.0 END AS quality_score
+    FROM t
+    """,
+    tags=("ext-text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring from length/stopword evidence — the
+    standard cheap pre-filter in LLM data pipelines."""
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        stopword_count(t).alias("n_stop"),
+        F.length("text").alias("n_chars"),
+    )
+    ratio = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_stop").cast("double") / F.col("n_tokens").cast("double")
+    )
+    cpt = F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+        F.col("n_chars").cast("double") / F.col("n_tokens").cast("double")
+    )
+    length_ok = (F.col("n_tokens") >= 20) & (F.col("n_tokens") <= 1000)
+    return base.select(
+        "doc_id",
+        ratio.alias("stopword_ratio"),
+        cpt.alias("chars_per_token"),
+        length_ok.alias("length_ok"),
+        (ratio * 0.5 + F.when(length_ok, F.lit(0.5)).otherwise(F.lit(0.0))).alias(
+            "quality_score"
+        ),
+    )
+
+
+@query(
+    "text_lang_id",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS declared_lang,
+        len(list_filter({_TOKS}, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+        len(list_filter({_TOKS}, x -> list_contains(['el','la','de','que','los'], x))) AS s_es,
+        len(list_filter({_TOKS}, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr
+      FROM documents
+    )
+    SELECT doc_id, declared_lang,
+      CASE
+        WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+        WHEN s_es > 0 AND s_es > s_en AND s_es >= s_fr THEN 'es'
+        WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+        ELSE 'und'
+      END AS predicted_lang
+    FROM s
+    """,
+    tags=("ext-text", "lang-id"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-lexicon language-ID heuristic: argmax over per-language
+    evidence counts, deterministic tie order en > es > fr."""
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id", F.col("lang").alias("declared_lang"), lang_id(t).alias("predicted_lang")
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp,
+      md5(CONCAT(CAST(length(text) AS VARCHAR), ':',
+                 array_to_string(list_filter(string_split(text, ' '), x -> x != '')[1:8], ' ')))
+        AS prefix_fp
+    FROM documents
+    """,
+    tags=("ext-text", "fingerprint"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content + prefix fingerprints (md5 — engine-portable, unlike
+    murmur ``hash``): full normalized-text digest and a cheap
+    length+first-8-tokens digest for fast prefiltering."""
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("content_fp"),
+        F.md5(
+            F.concat_ws(
+                ":",
+                F.length("text").cast("string"),
+                F.array_join(F.slice(t, 1, 8), " "),
+            )
+        ).alias("prefix_fp"),
+    )
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS content_fp
+      FROM documents
+    )
+    SELECT f.doc_id, g.keeper_doc_id, g.n_copies,
+           f.doc_id = g.keeper_doc_id AS is_keeper
+    FROM fp f JOIN (
+      SELECT content_fp, MIN(doc_id) AS keeper_doc_id, COUNT(*) AS n_copies
+      FROM fp GROUP BY content_fp
+    ) g ON f.content_fp = g.content_fp
+    """,
+    tags=("ext-dedup", "exact"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup decision per document: hash-groupBy on the
+    normalized-content digest, keeper = min doc_id (deterministic), every
+    doc labeled keep/drop. One shuffle keyed by a uniform 128-bit digest
+    → no skew. (This corpus has no byte-identical dupes, so every doc is
+    its own keeper — the dup signal lives in the minhash/jaccard
+    queries; this one proves the decision plumbing.)
+    """
+    d = read_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("content_fp"))
+    groups = fp.groupBy("content_fp").agg(
+        F.min("doc_id").alias("keeper_doc_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return fp.join(groups, "content_fp").select(
+        "doc_id", "keeper_doc_id", "n_copies",
+        (F.col("doc_id") == F.col("keeper_doc_id")).alias("is_keeper"),
+    )
+
+
+_SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+      substr(norm, i, 5) AS shingle
+    FROM (
+      SELECT doc_id, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm
+      FROM documents
+    ) d
+    CROSS JOIN LATERAL (
+      SELECT UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+    ) g
+"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id, k, MIN(md5(CONCAT(CAST(k AS VARCHAR), ':', shingle))) AS minhash
+      FROM shingles
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY k) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """,
+    tags=("ext-dedup", "minhash-lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: 5-char shingles → 16 md5-seeded
+    minhashes → 4 bands × 4 rows → bucket join (ops/dedup.py). The
+    all-pairs space is never built; the join shuffles on band keys only.
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        char_shingles,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", k=5)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    return candidate_pairs(bands, "doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH shingles AS ({_SHINGLES_SQL}),
+    sigs AS (
+      SELECT doc_id, k, MIN(md5(CONCAT(CAST(k AS VARCHAR), ':', shingle))) AS minhash
+      FROM shingles
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 4 AS INT) AS band,
+             string_agg(minhash, ',' ORDER BY k) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN shingles sa ON sa.doc_id = c.id_a
+      JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT i.id_a, i.id_b,
+      CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes na ON na.doc_id = i.id_a
+    JOIN sizes nb ON nb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.5
+    """,
+    tags=("ext-dedup", "ngram-jaccard"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-Jaccard verification over LSH candidates only —
+    the verify stage of the near-dedup pipeline. Counts are bigint, so
+    the jaccard double division is bit-deterministic.
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        char_shingles,
+        jaccard_verify,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sh = char_shingles(d, "doc_id", "text", k=5)
+    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
+    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    return jaccard_verify(sh, cand, "doc_id", threshold=0.5)
+
+
+@query(
+    "text_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+        CASE WHEN (h & CAST(POWER(2, b) AS BIGINT)) != 0 THEN 1 ELSE -1 END AS c
+      FROM hashes CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) bs
+    ),
+    votes AS (SELECT doc_id, b, SUM(c) AS v FROM bits GROUP BY doc_id, b)
+    SELECT doc_id,
+      CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    tags=("ext-dedup", "simhash"),
+)
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document (ops/dedup.simhash60) —
+    near-dup docs land within small hamming distance; md5-derived token
+    hashes keep it engine-portable."""
+    from osmart_etl_spark.ops.dedup import simhash60
+
+    d = read_table(spark, sf_dir, "documents")
+    return simhash60(d, "doc_id", "text")
