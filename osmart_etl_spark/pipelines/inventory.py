@@ -1,0 +1,200 @@
+"""EP2 + EP3 — inventory pipelines (SURVEY.md §3 EP2/EP3).
+
+EP2 (raw movements incremental): normalize source events into the
+unified movement log past the time watermark with the +1s late-data
+buffer and client-side re-filter (T2), append to the raw log
+(update_raw_stock_movements.py).
+
+EP3 (stock points incremental): filter/normalize the raw log, load prior
+SOD state (as-of, J7), replay with state continuity (W2/T5), daily net →
+calendar scaffold → SOD → sparse change-points, upsert into the points
+table, advance the date watermark (update_stock_points.py).
+
+Both run as single Catalyst DAGs; the per-store loop of the reference is
+a partition column. Sink layout: the raw log partitions by event date so
+incremental reads prune to the slice (the Spark analogue of the
+reference's (art_id,tienda_id,fecha) index, §4).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sinks import upsert_parquet, write_append
+from osmart_etl_spark.ops.windows import change_points, replay_running_balance
+from osmart_etl_spark.streaming.incremental import WatermarkStore, run_incremental
+
+LATE_BUFFER_SECONDS = 1  # T2 — update_raw_stock_movements.py:69
+
+
+def normalize_movements(events: DataFrame) -> DataFrame:
+    """EP2 branch normalization (events → unified movement schema).
+
+    Mirrors queries/temporal.movement_events: signup = absolute reset,
+    error = negative delta, rest positive.
+    """
+    v = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return events.select(
+        F.col("event_id").alias("id"),
+        F.col("ts").alias("fecha"),
+        F.col("user_id").alias("art_id"),
+        (F.col("event_type") == "signup").alias("is_absolute"),
+        F.when(F.col("event_type") == "signup", v).alias("abs_stock_after"),
+        F.when(F.col("event_type") == "signup", zero)
+        .when(F.col("event_type") == "error", v * -1)
+        .otherwise(v)
+        .alias("delta_cantidad"),
+    )
+
+
+def run_raw_movements_incremental(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    raw_log_path: str,
+    watermark_path: str,
+    store_name: str = "tienda_01",
+) -> str | None:
+    """EP2: append movements past the ts watermark to the raw log.
+
+    Restart point = last_ts + 1s buffer, then a belt-and-braces re-filter
+    ``fecha > last_ts`` (T2) — re-extraction overlap is absorbed by the
+    downstream UNION-distinct / upsert (T6).
+    """
+    store = WatermarkStore(spark, watermark_path)
+
+    def extract(spark_, last):
+        events = spark_.read.parquet(events_path)
+        mv = normalize_movements(events)
+        if last is not None:
+            last_ts = dt.datetime.fromisoformat(last)
+            start = last_ts + dt.timedelta(seconds=LATE_BUFFER_SECONDS)
+            # window start uses the buffered bound; the strict re-filter
+            # keeps correctness even if the buffer overlaps
+            mv = mv.filter(F.col("fecha") >= F.lit(start)).filter(
+                F.col("fecha") > F.lit(last_ts)
+            )
+        return mv.withColumn("extracted_at", F.current_timestamp())
+
+    def load(batch: DataFrame) -> None:
+        write_append(
+            batch.withColumn("fecha_dia", F.to_date("fecha")),
+            raw_log_path,
+            partition_by=("fecha_dia",),
+        )
+
+    def wm(batch: DataFrame):
+        row = batch.agg(F.max("fecha").alias("m")).first()
+        return row["m"].isoformat() if row["m"] is not None else None
+
+    return run_incremental(
+        spark, store=store, pipeline="raw_movements", source_name=store_name,
+        extract=extract, load=load, wm_expr=wm,
+    )
+
+
+def compute_stock_points(
+    movements: DataFrame,
+    prior_points: DataFrame | None,
+    spark: SparkSession,
+) -> DataFrame:
+    """EP3 core: replay → daily net → scaffold → SOD → change points.
+
+    ``prior_points`` (the sink's current state) seeds per-key initial
+    balances — the T5 seed-vs-update asymmetry: None ⇒ init 0.
+    Output: (art_id, point_date, sod_stock).
+    """
+    zero = F.lit(0).cast("decimal(18,2)")
+    mv = movements
+    if prior_points is not None:
+        w = Window.partitionBy("art_id").orderBy(F.col("point_date").desc())
+        latest = (
+            prior_points.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("art_id", F.col("sod_stock").alias("init_balance"))
+        )
+        mv = mv.join(latest, "art_id", "left").withColumn(
+            "init_balance", F.coalesce(F.col("init_balance"), zero)
+        )
+        init_col = "init_balance"
+    else:
+        init_col = None
+
+    eff = replay_running_balance(
+        mv, key="art_id", order=["fecha", "id"],
+        delta_col="delta_cantidad", is_absolute_col="is_absolute",
+        abs_value_col="abs_stock_after", init_col=init_col,
+    )
+    daily = eff.groupBy("art_id", F.to_date("fecha").alias("d")).agg(
+        F.sum("effective_delta").alias("net")
+    )
+    bounds = daily.groupBy("art_id").agg(
+        F.min("d").alias("dmin"), F.date_add(F.max("d"), 1).alias("dmax")
+    )
+    spine = bounds.select(
+        "art_id", F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("cal_date")
+    )
+    dense = spine.join(
+        daily.withColumnRenamed("d", "cal_date"), ["art_id", "cal_date"], "left"
+    ).select("art_id", "cal_date", F.coalesce(F.col("net"), zero).alias("net"))
+
+    w_cum = (
+        Window.partitionBy("art_id").orderBy("cal_date")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("art_id").orderBy("cal_date")
+    base = F.coalesce(F.col("init_balance"), zero) if init_col else zero
+    eod = dense
+    if init_col:
+        init_per_key = mv.select("art_id", "init_balance").dropDuplicates(["art_id"])
+        eod = dense.join(init_per_key, "art_id", "left")
+    eod = eod.withColumn("eod_stock", base + F.sum("net").over(w_cum))
+    sod = eod.select(
+        "art_id", "cal_date",
+        F.coalesce(F.lag("eod_stock").over(w_lag), base).alias("sod_stock"),
+    )
+    points = change_points(sod, ["art_id"], ["cal_date"], "sod_stock")
+    return points.select("art_id", F.col("cal_date").alias("point_date"), "sod_stock")
+
+
+def run_stock_points_incremental(
+    spark: SparkSession,
+    *,
+    raw_log_path: str,
+    points_path: str,
+    watermark_path: str,
+    store_name: str = "tienda_01",
+) -> str | None:
+    """EP3: compute/refresh stock points from movements past the date
+    watermark, upsert on (art_id, point_date)."""
+    store = WatermarkStore(spark, watermark_path)
+
+    def extract(spark_, last):
+        mv = spark_.read.parquet(raw_log_path)
+        if last is not None:
+            mv = mv.filter(F.to_date("fecha") > F.lit(last).cast("date"))
+        try:
+            prior = spark_.read.parquet(points_path)
+        except Exception:
+            prior = None
+        pts = compute_stock_points(mv, prior, spark_)
+        return pts.withColumn("updated_at", F.current_timestamp())
+
+    def load(batch: DataFrame) -> None:
+        upsert_parquet(
+            spark, batch, points_path,
+            keys=["art_id", "point_date"], order_col="updated_at",
+        )
+
+    def wm(batch: DataFrame):
+        row = batch.agg(F.max("point_date").alias("m")).first()
+        return row["m"].isoformat() if row["m"] is not None else None
+
+    return run_incremental(
+        spark, store=store, pipeline="stock_points", source_name=store_name,
+        extract=extract, load=load, wm_expr=wm,
+    )

@@ -1,0 +1,107 @@
+"""EP1 — sales incremental pipeline (SURVEY.md §3 EP1).
+
+The reference: per store, read ``last_processed_ven_id`` from
+etl_progress, extract the per-sale conditional payment aggregation past
+it, normalize payments (waterfall + overrides + QA tagging), upsert into
+``ventas_limpias`` on (ven_id, tienda, source_system), advance the
+watermark (update_clean_data.py:25-107, transform.py).
+
+Spark-first: one declarative DAG per run — watermark-filtered scan (the
+predicate pushes to the source) → groupBy conditional agg → payment
+normalization (all when/otherwise, no UDF) → keyed upsert → watermark
+advance. Stores are a column, not a loop: a single run covers every
+store in one job, partitioned by tienda.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sinks import upsert_parquet
+from osmart_etl_spark.ops.relational import (
+    conditional_override,
+    enrich_extract,
+    tag_payment_issue,
+    waterfall_split,
+)
+from osmart_etl_spark.streaming.incremental import WatermarkStore, run_incremental
+
+
+def extract_sales(events: DataFrame, last_id: int | None) -> DataFrame:
+    """Per-sale payment split past the id watermark (A1/A2 + P6).
+
+    Ref: extract_latest_sicar_sales.sql — GROUP BY ven_id with
+    SUM(CASE tpa_id...) payment columns and MAX() representatives.
+    """
+    if last_id is not None:
+        events = events.filter(F.col("event_id") > int(last_id))
+    zero = F.lit(0).cast("decimal(18,2)")
+    v = F.col("value").cast("decimal(18,2)")
+    return events.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "purchase", v).otherwise(zero)).alias("efectivo_in"),
+        F.sum(F.when(F.col("event_type") == "click", v).otherwise(zero)).alias("tarjeta_in"),
+        F.sum(v).alias("total_venta"),
+        F.max("ts").alias("fecha_hora"),
+        F.max("event_id").alias("last_event_id"),
+    )
+
+
+def normalize_payments(df: DataFrame) -> DataFrame:
+    """Payment normalization (transform.py semantics): waterfall split
+    (P11/P12), no-flow override (P9), QA issue tagging (P10)."""
+    ef, ta, ot = waterfall_split(
+        F.col("total_venta"), F.col("efectivo_in"), F.col("tarjeta_in")
+    )
+    out = df.withColumn("efectivo", ef).withColumn("tarjeta", ta).withColumn("otros", ot)
+    no_flujo = (F.col("efectivo_in") == 0) & (F.col("tarjeta_in") == 0)
+    out = conditional_override(
+        out,
+        no_flujo,
+        {
+            "efectivo": F.col("total_venta"),
+            "tarjeta": F.lit(0).cast("decimal(18,2)"),
+            "otros": F.lit(0).cast("decimal(18,2)"),
+        },
+    )
+    return out.withColumn(
+        "payment_issue",
+        tag_payment_issue(
+            F.col("total_venta"), F.col("efectivo"), F.col("tarjeta"), F.col("otros")
+        ),
+    )
+
+
+def run_sales_incremental(
+    spark: SparkSession,
+    *,
+    events_path: str,
+    sink_path: str,
+    watermark_path: str,
+    tienda: str = "tienda_01",
+) -> int | None:
+    """One EP1 incremental run; returns the new watermark (max event_id)."""
+    store = WatermarkStore(spark, watermark_path)
+
+    def extract(spark_, last):
+        events = spark_.read.parquet(events_path)
+        batch = extract_sales(events, int(last) if last is not None else None)
+        return enrich_extract(
+            normalize_payments(batch), tienda=tienda, source_system="sicar"
+        )
+
+    def load(batch: DataFrame) -> None:
+        upsert_parquet(
+            spark, batch, sink_path,
+            keys=["user_id", "tienda", "source_system"],
+            order_col="extracted_at",
+        )
+
+    def wm(batch: DataFrame):
+        row = batch.agg(F.max("last_event_id").alias("m")).first()
+        return row["m"]
+
+    return run_incremental(
+        spark, store=store, pipeline="sales", source_name=tienda,
+        extract=extract, load=load, wm_expr=wm,
+    )

@@ -482,3 +482,202 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper("event_type").alias("type_upper"),
         F.length("props").cast("bigint").alias("props_len"),
     )
+
+
+@query(
+    "conditional_override",
+    oracle="""
+    SELECT event_id,
+      value AS total,
+      CASE WHEN event_type = 'signup' THEN value ELSE value * 0.5 END AS efectivo,
+      CASE WHEN event_type = 'signup' THEN 0.0 ELSE value * 0.3 END AS tarjeta,
+      CASE WHEN event_type = 'signup' THEN 0.0 ELSE value * 0.2 END AS otros
+    FROM events
+    """,
+    tags=("P9",),
+)
+def conditional_override(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Masked update (P9) — the reference's no-payment-flow override
+    ``df.loc[no_flujo, "efectivo"] = total; tarjeta = 0; otros = 0``
+    (transform.py:28-30) as when/otherwise column rewrites
+    (ops/relational.conditional_override).
+    """
+    from osmart_etl_spark.ops.relational import conditional_override as _co
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("value").alias("total"),
+        (F.col("value") * 0.5).alias("efectivo"),
+        (F.col("value") * 0.3).alias("tarjeta"),
+        (F.col("value") * 0.2).alias("otros"),
+        F.col("event_type"),
+    )
+    no_flujo = F.col("event_type") == "signup"
+    out = _co(
+        base, no_flujo,
+        {"efectivo": F.col("total"), "tarjeta": F.lit(0.0), "otros": F.lit(0.0)},
+    )
+    return out.select("event_id", "total", "efectivo", "tarjeta", "otros")
+
+
+@query(
+    "multi_source_union",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'db_even' AS source_db, event_id, user_id, event_type, value
+      FROM events WHERE user_id % 2 = 0
+      UNION ALL
+      SELECT 'db_odd' AS source_db, event_id, user_id, event_type, value
+      FROM events WHERE user_id % 2 = 1
+    )
+    """,
+    tags=("S3", "P2", "U3"),
+)
+def multi_source_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-database iteration (S3) — the reference loops ``USE {db}``
+    over config["databases"] and concatenates (etl_sales/extract.py:
+    21-26); here each per-source frame is stamped with its provenance
+    (P2) and combined with unionByName (io/sources.union_databases).
+    """
+    from osmart_etl_spark.io.sources import union_databases
+
+    ev = read_table(spark, sf_dir, "events")
+    frames = [
+        ev.filter(F.col("user_id") % 2 == i).select(
+            F.lit(name).alias("source_db"), "event_id", "user_id", "event_type", "value"
+        )
+        for i, name in enumerate(["db_even", "db_odd"])
+    ]
+    return union_databases(frames)
+
+
+@query(
+    "sales_incremental_extract",
+    oracle="""
+    SELECT
+      user_id,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS efectivo,
+      CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2))
+               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS tarjeta,
+      CAST(SUM(CASE WHEN event_type NOT IN ('purchase','click')
+               THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+           AS DOUBLE) AS otros,
+      MAX(ts) AS fecha_hora,
+      MAX(event_id) AS last_event_id,
+      'tienda_01' AS tienda,
+      'sicar' AS source_system
+    FROM events
+    WHERE event_id > 5000
+    GROUP BY user_id
+    """,
+    tags=("EP1", "A1", "A2", "P2", "P6"),
+)
+def sales_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end extract shape — watermark predicate (P6,
+    ``ven_id > :last_id``, extract_latest_sicar_sales.sql:20) feeding the
+    conditional payment split (A1/A2) with provenance enrichment (P2).
+    The watermark filter pushes to the parquet scan; at 100 TB with
+    time-partitioned layout this prunes to the incremental slice before
+    any compute.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    zero = F.lit(0).cast("decimal(18,2)")
+    v = dec(F.col("value"))
+    return (
+        ev.filter(F.col("event_id") > 5000)
+        .groupBy("user_id")
+        .agg(
+            dbl(F.sum(F.when(F.col("event_type") == "purchase", v).otherwise(zero))).alias("efectivo"),
+            dbl(F.sum(F.when(F.col("event_type") == "click", v).otherwise(zero))).alias("tarjeta"),
+            dbl(F.sum(F.when(~F.col("event_type").isin("purchase", "click"), v).otherwise(zero))).alias("otros"),
+            F.max("ts").alias("fecha_hora"),
+            F.max("event_id").alias("last_event_id"),
+        )
+        .withColumn("tienda", F.lit("tienda_01"))
+        .withColumn("source_system", F.lit("sicar"))
+    )
+
+
+_BRANCH_COLS = "source_table, id_origen, user_id, ts, tipo_movimiento, delta_cantidad, is_absolute, abs_stock_after"
+
+
+@query(
+    "event_normalizer_branches",
+    oracle="""
+    SELECT 'ventas' AS source_table, event_id AS id_origen, user_id, ts,
+           'venta' AS tipo_movimiento, value * -1 AS delta_cantidad,
+           FALSE AS is_absolute, CAST(NULL AS DOUBLE) AS abs_stock_after
+    FROM events WHERE event_type = 'purchase'
+    UNION
+    SELECT 'compras', event_id, user_id, ts, 'compra', value,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'view'
+    UNION
+    SELECT 'traspasos', event_id, user_id, ts, 'traspaso_entrada', value,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'click' AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 0
+    UNION
+    SELECT 'traspasos', event_id, user_id, ts, 'traspaso_salida', value * -1,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'click' AND CAST(json_extract_string(props, '$.k') AS BIGINT) % 2 = 1
+    UNION
+    SELECT 'notas_credito', event_id, user_id, ts, 'nota_credito', value,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'error' AND value >= 50
+    UNION
+    SELECT 'devoluciones', event_id, user_id, ts, 'devolucion_proveedor', value * -1,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'error' AND value < 50
+    UNION
+    SELECT 'ajustes', event_id, user_id, ts, 'ajuste_absoluto', CAST(NULL AS DOUBLE),
+           TRUE, value
+    FROM events WHERE event_type = 'signup'
+    UNION
+    SELECT 'ventas', event_id, user_id, ts, 'venta', value * -1,
+           FALSE, CAST(NULL AS DOUBLE)
+    FROM events WHERE event_type = 'purchase' AND value > 100
+    """,
+    tags=("EP2", "U1", "P8"),
+)
+def event_normalizer_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 end-to-end extract shape — the reference's 8-branch UNION over
+    the POS ledger (extract_stock_movements.sql:1-233): each branch maps
+    a sub-ledger to the unified movement schema with CASE labeling and
+    sign flipping (P8); UNION (distinct, U1) absorbs re-extraction
+    overlap — the last branch intentionally duplicates a subset of the
+    first, and the distinct collapses it. One scan feeds all branches;
+    Catalyst collapses the 8 filters into a single pass union.
+    """
+    ev = read_table(spark, sf_dir, "events").withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    null_d = F.lit(None).cast("double")
+
+    def branch(filt, table, tipo, delta, is_abs=False, abs_after=None):
+        return ev.filter(filt).select(
+            F.lit(table).alias("source_table"),
+            F.col("event_id").alias("id_origen"),
+            "user_id",
+            "ts",
+            F.lit(tipo).alias("tipo_movimiento"),
+            delta.alias("delta_cantidad"),
+            F.lit(is_abs).alias("is_absolute"),
+            (abs_after if abs_after is not None else null_d).alias("abs_stock_after"),
+        )
+
+    t, v = F.col("event_type"), F.col("value")
+    branches = [
+        branch(t == "purchase", "ventas", "venta", v * -1),
+        branch(t == "view", "compras", "compra", v),
+        branch((t == "click") & (F.col("k") % 2 == 0), "traspasos", "traspaso_entrada", v),
+        branch((t == "click") & (F.col("k") % 2 == 1), "traspasos", "traspaso_salida", v * -1),
+        branch((t == "error") & (v >= 50), "notas_credito", "nota_credito", v),
+        branch((t == "error") & (v < 50), "devoluciones", "devolucion_proveedor", v * -1),
+        branch(t == "signup", "ajustes", "ajuste_absoluto", null_d, is_abs=True, abs_after=v),
+        branch((t == "purchase") & (v > 100), "ventas", "venta", v * -1),
+    ]
+    from osmart_etl_spark.ops.reshape import union_distinct
+
+    return union_distinct(*branches)

@@ -419,3 +419,77 @@ def stock_points_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("cal_date").alias("point_date"),
         dbl(F.col("sod_stock")).alias("sod_stock"),
     )
+
+
+@query(
+    "replay_incremental",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    prior AS (
+      SELECT user_id, SUM(delta) AS init_balance
+      FROM mv WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+      GROUP BY user_id
+    ),
+    cur AS (
+      SELECT m.*, COALESCE(p.init_balance, {_ZERO}) AS init_balance
+      FROM mv m LEFT JOIN prior p ON m.user_id = p.user_id
+      WHERE m.ts >= TIMESTAMP '2024-01-20 00:00:00'
+    ),
+    seg AS (
+      SELECT *, SUM(CASE WHEN is_abs THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_id
+      FROM cur
+    ),
+    run AS (
+      SELECT *,
+        COALESCE(FIRST_VALUE(CASE WHEN is_abs THEN COALESCE(abs_value, {_ZERO}) END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), init_balance)
+        + SUM(CASE WHEN is_abs THEN {_ZERO} ELSE delta END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+      FROM seg
+    )
+    SELECT event_id, user_id, ts,
+      CAST(running AS DOUBLE) AS running,
+      CAST(running - COALESCE(LAG(running) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id), init_balance) AS DOUBLE) AS effective_delta
+    FROM run
+    """,
+    tags=("W2", "T5", "J8"),
+)
+def replay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 incremental mode — the T5 state-continuity asymmetry: the seed
+    replay starts every key at 0 (seed_stock_points.py:76) but the
+    incremental replay seeds each key from its prior SOD
+    (update_stock_points.py:137), folded in via a left join + default-0
+    (J8). Here 'prior state' is the pre-cutoff balance, and only
+    post-cutoff events are replayed — exactly the reference's
+    watermark-incremental shape.
+    """
+    from osmart_etl_spark.ops.windows import replay_running_balance
+
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    mv = movement_events(spark, sf_dir)
+    zero = F.lit(0).cast("decimal(18,2)")
+    prior = (
+        mv.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.sum("delta").alias("init_balance"))
+    )
+    cur = (
+        mv.filter(F.col("ts") >= cutoff)
+        .join(prior, "user_id", "left")
+        .withColumn("init_balance", F.coalesce(F.col("init_balance"), zero))
+    )
+    out = replay_running_balance(
+        cur, key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+        init_col="init_balance",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        dbl(F.col("running")).alias("running"),
+        dbl(F.col("effective_delta")).alias("effective_delta"),
+    )

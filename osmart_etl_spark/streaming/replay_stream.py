@@ -1,0 +1,126 @@
+"""Structured Streaming layer (SURVEY.md §2.9 T3/T4/T5).
+
+The reference's micro-batch semantics map 1:1:
+
+- T3 completed-window-only emission ("process only through yesterday",
+  update_stock_points.py:85-94) = append-mode tumbling window emitting on
+  watermark passage;
+- T4 SKU-day net delta = 1-day window aggregation;
+- T5 keyed running state across batches (prior SOD seeds the replay) =
+  ``applyInPandasWithState`` with per-key running balance in the state
+  store.
+
+State-store scale note: per-key state here is a single scalar per key —
+O(distinct keys) bytes, far below the state store's comfort zone even at
+hundreds of millions of SKUs; eviction/timeout is configured NoTimeout
+because inventory keys live forever (the reference never expires a SKU).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def daily_net_windowed(events: DataFrame, late: str = "1 day") -> DataFrame:
+    """T3/T4 — tumbling 1-day per-key net with late-data watermark.
+
+    In append mode a (key, day) row emits only once its window is sealed
+    by the watermark — exactly the reference's only-complete-days rule.
+    Works identically on batch DataFrames (window() is just an expr).
+    """
+    signed = F.when(F.col("event_type") == "error", -F.col("value")).otherwise(F.col("value"))
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(F.sum(signed).alias("net_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("day_start"),
+            "user_id",
+            "net_value",
+            "n_events",
+        )
+    )
+
+
+REPLAY_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("running", DoubleType()),
+    ]
+)
+
+REPLAY_STATE_SCHEMA = StructType([StructField("running", DoubleType())])
+
+
+def replay_stateful(events: DataFrame) -> DataFrame:
+    """T5 — per-key running balance maintained across micro-batches via
+    ``applyInPandasWithState``: the streaming form of the W2 replay, with
+    the state store playing the role of the reference's prior-SOD load
+    (update_stock_points.py:127-147).
+
+    Within a batch, events sort by (ts, event_id) — the W6 total order;
+    across batches, continuity comes from the persisted state scalar.
+    Absolute events (signup) reset the accumulator, like W2.
+    """
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        running = state.get[0] if state.exists else 0.0
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                if row.event_type == "signup":
+                    running = float(row.value)
+                elif row.event_type == "error":
+                    running -= float(row.value)
+                else:
+                    running += float(row.value)
+                out.append((user_id, row.event_id, row.ts, running))
+        state.update((running,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "running"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=REPLAY_OUTPUT_SCHEMA,
+        stateStructType=REPLAY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, checkpoint_dir: str, query_name: str
+) -> list:
+    """Drain a stream with the availableNow trigger into a memory sink
+    and return the collected rows — the test/bench harness for streaming
+    operators (processes everything available, then stops, exactly like
+    one cron-style incremental run)."""
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}").collect()

@@ -1,0 +1,202 @@
+"""Integration tests: incremental pipelines (EP1/EP2/EP3), watermark
+store, upsert sinks, DQ module — the reference's operational semantics
+(SURVEY.md §2.9) end to end against tmp parquet dirs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture()
+def events_parquet(spark, tmp_path):
+    """Events re-written as clean µs-timestamp parquet (pipelines read
+    arbitrary paths, not the ns-encoded driver file)."""
+    from osmart_etl_spark.io.sources import read_table
+
+    p = str(tmp_path / "events")
+    read_table(spark, SF_SMALL, "events").write.parquet(p)
+    return p
+
+
+def test_watermark_store_roundtrip(spark, tmp_path):
+    from osmart_etl_spark.streaming.incremental import WatermarkStore
+
+    ws = WatermarkStore(spark, str(tmp_path / "wm"))
+    assert ws.get("sales", "s1") is None
+    ws.set("sales", "s1", "100")
+    ws.set("sales", "s2", "7")
+    ws.set("sales", "s1", "200")  # upsert wins
+    assert ws.get("sales", "s1") == "200"
+    assert ws.get("sales", "s2") == "7"
+    ws.reset("sales", "s1")
+    assert ws.get("sales", "s1") is None
+    assert ws.get("sales", "s2") == "7"
+
+
+def test_upsert_keep_latest(spark):
+    from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+    old = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], ["k", "v", "ver"]
+    )
+    new = spark.createDataFrame(
+        [(2, "B", 1), (3, "c", 1)], ["k", "v", "ver"]
+    )
+    out = {r["k"]: r["v"] for r in upsert_keep_latest(old, new, ["k"], "ver").collect()}
+    # same version → new generation wins (ON DUPLICATE KEY UPDATE)
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
+    """EP1: run 1 processes everything; run 2 (no new data) is a no-op;
+    after appending new events, run 3 picks up only the delta and the
+    upsert keeps one row per key."""
+    from osmart_etl_spark.pipelines.sales import run_sales_incremental
+
+    sink = str(tmp_path / "ventas")
+    wmp = str(tmp_path / "wm")
+
+    wm1 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm1 is not None
+    n1 = spark.read.parquet(sink).count()
+    assert n1 > 0
+
+    wm2 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm2 is None  # nothing past the watermark
+
+    # append two new events for one user beyond the watermark id
+    new = spark.createDataFrame(
+        [
+            (wm1 + 1, dt.datetime(2025, 1, 1, 10), 1, "purchase", 10.0, "{}"),
+            (wm1 + 2, dt.datetime(2025, 1, 1, 11), 1, "click", 5.0, "{}"),
+        ],
+        spark.read.parquet(events_parquet).schema,
+    )
+    new.write.mode("append").parquet(events_parquet)
+
+    wm3 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm3 == wm1 + 2
+    final = spark.read.parquet(sink)
+    # still one row per (user, tienda, source_system)
+    assert final.groupBy("user_id", "tienda", "source_system").count().filter(
+        F.col("count") > 1
+    ).count() == 0
+    # user 1 row reflects ONLY the incremental slice (per-batch agg upsert)
+    u1 = final.filter(F.col("user_id") == 1).collect()[0]
+    assert float(u1["total_venta"]) == 15.0
+
+
+def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
+    """EP2+EP3 two-phase incremental == one-shot full recompute (T5/T6):
+    split the event history at a date watermark, run raw-movements +
+    stock-points twice, and compare the final points table against a
+    single full-history run."""
+    from osmart_etl_spark.pipelines.inventory import (
+        compute_stock_points,
+        normalize_movements,
+        run_raw_movements_incremental,
+        run_stock_points_incremental,
+    )
+
+    raw = str(tmp_path / "raw_log")
+    points = str(tmp_path / "points")
+    wmp = str(tmp_path / "wm")
+
+    events = spark.read.parquet(events_parquet)
+    cutoff = dt.datetime(2024, 1, 12)
+
+    # phase 1: only events before cutoff visible
+    part1 = str(tmp_path / "ev1")
+    events.filter(F.col("ts") < F.lit(cutoff)).write.parquet(part1)
+    assert run_raw_movements_incremental(
+        spark, events_path=part1, raw_log_path=raw, watermark_path=wmp
+    ) is not None
+    assert run_stock_points_incremental(
+        spark, raw_log_path=raw, points_path=points, watermark_path=wmp
+    ) is not None
+
+    # phase 2: full history visible; only post-watermark rows extracted
+    assert run_raw_movements_incremental(
+        spark, events_path=events_parquet, raw_log_path=raw, watermark_path=wmp
+    ) is not None
+    run_stock_points_incremental(
+        spark, raw_log_path=raw, points_path=points, watermark_path=wmp
+    )
+
+    incremental = {
+        (r["art_id"], r["point_date"]): r["sod_stock"]
+        for r in spark.read.parquet(points).collect()
+    }
+
+    full = compute_stock_points(normalize_movements(events), None, spark)
+    expected = {
+        (r["art_id"], r["point_date"]): r["sod_stock"] for r in full.collect()
+    }
+    # every full-history point at-or-after its key's first phase-2 day must
+    # match; phase-1 points may legitimately differ in change-day encoding
+    # (a point is only re-emitted when the value changes), so compare the
+    # reconstructed FINAL balance per key instead of raw point rows.
+    from osmart_etl_spark.ops.joins import asof_lookup
+
+    inc_final = {
+        r["art_id"]: r["sod_stock"]
+        for r in asof_lookup(
+            spark.read.parquet(points), ["art_id"], "point_date",
+            F.lit("2099-01-01").cast("date"),
+        ).collect()
+    }
+    full_final = {
+        r["art_id"]: r["sod_stock"]
+        for r in asof_lookup(
+            full, ["art_id"], "point_date", F.lit("2099-01-01").cast("date")
+        ).collect()
+    }
+    assert inc_final == full_final
+
+
+def test_dq_quarantine_split(spark):
+    from osmart_etl_spark.dq import quarantine
+    from osmart_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events")
+    res = quarantine(
+        ev,
+        rules={
+            "exceeds_abs_max": F.col("value") > 190,
+            "negative_value": F.col("value") < 0,
+        },
+        key_cols=["user_id", "event_id"],
+    )
+    n_total = ev.count()
+    n_clean, n_quar = res.clean.count(), res.quarantined.count()
+    assert n_clean + n_quar == n_total
+    assert n_quar == ev.filter((F.col("value") > 190) | (F.col("value") < 0)).count()
+    reasons = {r["reason"] for r in res.quarantined.select("reason").distinct().collect()}
+    assert reasons <= {"exceeds_abs_max", "negative_value"}
+    # audit key shape: user|event|reason
+    row = res.quarantined.select("uniq").first()
+    assert row["uniq"].count("|") == 2
+
+
+def test_dq_reconcile(spark):
+    from osmart_etl_spark.dq import reconcile
+
+    sim = spark.createDataFrame([(1, 10), (2, 20), (3, 5)], ["k", "sim"])
+    prod = spark.createDataFrame([(1, 10), (2, 25), (4, 7)], ["k", "prod"])
+    comp, summary = reconcile(sim, prod, ["k"], "sim", "prod")
+    s = summary.collect()[0]
+    assert s["total_keys"] == 4
+    assert s["mismatch_keys"] == 3  # k=2 differs, k=3 missing prod, k=4 missing sim
+    assert s["max_abs_diff"] == 7

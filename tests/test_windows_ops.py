@@ -1,0 +1,193 @@
+"""Differential + property tests for the window/temporal core.
+
+The W2 replay gets the reference-style dual check (SURVEY.md §5): the
+declarative window formulation vs the literal applyInPandas loop must
+agree exactly, on real events and on adversarial synthetic data.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DecimalType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from tests.conftest import SF_SMALL
+
+MV_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("is_abs", BooleanType()),
+        StructField("abs_value", DecimalType(18, 2)),
+        StructField("delta", DecimalType(18, 2)),
+    ]
+)
+
+
+def _collect_replay(df, **kw):
+    from osmart_etl_spark.ops.windows import replay_running_balance
+
+    out = replay_running_balance(
+        df, key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value", **kw
+    )
+    return {
+        r["event_id"]: (r["running"], r["effective_delta"])
+        for r in out.collect()
+    }
+
+
+def _collect_replay_pandas(df, **kw):
+    from osmart_etl_spark.ops.windows import replay_running_balance_pandas
+
+    out = replay_running_balance_pandas(
+        df, key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value", **kw
+    )
+    return {
+        r["event_id"]: (r["running"], r["effective_delta"])
+        for r in out.collect()
+    }
+
+
+def test_replay_window_vs_pandas_on_events(spark):
+    """Dual-implementation agreement on real data (seed mode, init=0)."""
+    from osmart_etl_spark.queries.temporal import movement_events
+
+    mv = movement_events(spark, SF_SMALL)
+    a = _collect_replay(mv)
+    b = _collect_replay_pandas(mv)
+    assert a == b
+    assert len(a) == mv.count()
+
+
+def test_replay_adversarial_cases(spark):
+    """Hand-built edge cases: leading absolute, consecutive absolutes,
+    NULL abs target (→0, ref seed_stock_points.py:79), same-timestamp
+    ties broken by event_id (W6), single-event keys."""
+    t0 = dt.datetime(2024, 1, 1)
+    D = Decimal
+    rows = [
+        # key 1: abs-first, then deltas
+        (1, 1, t0, True, D("100.00"), D("0.00")),
+        (2, 1, t0 + dt.timedelta(hours=1), False, None, D("5.00")),
+        # key 2: NULL abs target resets to 0
+        (3, 2, t0, False, None, D("7.00")),
+        (4, 2, t0 + dt.timedelta(hours=1), True, None, D("0.00")),
+        (5, 2, t0 + dt.timedelta(hours=2), False, None, D("-3.00")),
+        # key 3: consecutive absolutes + tie timestamps
+        (6, 3, t0, True, D("50.00"), D("0.00")),
+        (7, 3, t0, True, D("20.00"), D("0.00")),
+        (8, 3, t0, False, None, D("1.00")),
+        # key 4: single delta event
+        (9, 4, t0, False, None, D("-11.00")),
+    ]
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    got = _collect_replay(df)
+    expect = {
+        1: (D("100.00"), D("100.00")),
+        2: (D("105.00"), D("5.00")),
+        3: (D("7.00"), D("7.00")),
+        4: (D("0.00"), D("-7.00")),
+        5: (D("-3.00"), D("-3.00")),
+        6: (D("50.00"), D("50.00")),
+        7: (D("20.00"), D("-30.00")),
+        8: (D("21.00"), D("1.00")),
+        9: (D("-11.00"), D("-11.00")),
+    }
+    assert got == expect
+    assert _collect_replay_pandas(df) == expect
+
+
+def test_replay_incremental_continuity(spark):
+    """T5 — replaying [all] == replaying [past] then [rest seeded with
+    prior running balance]: state continuity across the split point."""
+    from osmart_etl_spark.queries.temporal import movement_events
+
+    mv = movement_events(spark, SF_SMALL)
+    cutoff = F.lit("2024-01-10 00:00:00").cast("timestamp")
+
+    full = _collect_replay(mv)
+
+    prior = (
+        mv.filter(F.col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(F.sum("delta").alias("prior_sum"))
+    )
+    # prior_sum is only valid as an init if no absolute events pre-cutoff:
+    # compute true prior running via replay and take last per key instead.
+    from osmart_etl_spark.ops.windows import replay_running_balance
+    from pyspark.sql import Window
+
+    pre = replay_running_balance(
+        mv.filter(F.col("ts") < cutoff), key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    init = (
+        pre.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", F.col("running").alias("init_balance"))
+    )
+    cur = mv.filter(F.col("ts") >= cutoff).join(init, "user_id", "left")
+    inc = _collect_replay(cur, init_col="init_balance")
+
+    for event_id, (running, _) in inc.items():
+        assert running == full[event_id][0], f"event {event_id} diverged"
+
+
+def test_sparse_encode_decode_roundtrip(spark):
+    """W5 ↔ J7 round-trip (mirrors the reference's reconciliation T8):
+    densify(sparse_encode(series)) == series on the covered range."""
+    from osmart_etl_spark.ops.temporal import sparse_decode, sparse_encode
+
+    rows = []
+    base = dt.date(2024, 1, 1)
+    vals = [5, 5, 5, 7, 7, 2, 2, 2, 2, 9]
+    for key in (1, 2):
+        for i, v in enumerate(vals):
+            rows.append((key, base + dt.timedelta(days=i), v * key))
+    df = spark.createDataFrame(rows, ["art_id", "cal_date", "sod_stock"])
+
+    points = sparse_encode(df, ["art_id"]).withColumnRenamed("cal_date", "point_date")
+    assert points.count() == 2 * 4  # 4 change-points per key
+
+    dense = sparse_decode(points, spark, "2024-01-01", "2024-01-10", ["art_id"])
+    got = {(r["art_id"], r["cal_date"]): r["sod_stock"] for r in dense.collect()}
+    want = {(r["art_id"], r["cal_date"]): r["sod_stock"] for r in df.collect()}
+    assert got == want
+
+
+def test_asof_join(spark):
+    """Generalized as-of join: each probe picks the latest state <= ts."""
+    from osmart_etl_spark.ops.joins import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(days=2)), (1, t0), (2, t0 + dt.timedelta(days=1))],
+        ["k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(days=1), 10), (1, t0 + dt.timedelta(days=1), 20),
+         (2, t0 + dt.timedelta(days=2), 99)],
+        ["k", "rts", "state"],
+    )
+    out = asof_join(left, right, ["k"], "ts", "rts", ["state"])
+    got = {(r["k"], r["ts"]): r["state"] for r in out.collect()}
+    assert got == {
+        (1, t0 + dt.timedelta(days=2)): 20,
+        (1, t0): 10,
+        (2, t0 + dt.timedelta(days=1)): None,
+    }
