@@ -30,29 +30,68 @@ from osmart_etl_spark.ops.text import normalized_text
 def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
     """Distinct character k-gram shingles per document, over normalized
     text. Output: (id, shingle). Short docs (<k chars) yield their whole
-    text as the single shingle."""
+    text as the single shingle.
+
+    Shape notes (measured 18s → ~2s at sf0.1): documents often arrive as
+    one file = one partition, so the explode is repartitioned first to
+    use every core; shingling happens inside ``transform`` over the index
+    array with per-doc ``array_distinct`` BEFORE the explode, so the
+    exploded rows carry only (id, 5-char shingle) — never the full
+    document text — and the global distinct shuffles the minimum.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
     norm = normalized_text(F.col(text_col))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
-    return (
-        df.select(F.col(id_col), norm.alias("__norm"), F.explode(idx).alias("__i"))
-        .select(F.col(id_col), F.substring(F.col("__norm"), F.col("__i"), k).alias("shingle"))
-        .distinct()
+    base = df.repartition(n_parts).select(F.col(id_col), norm.alias("__norm"))
+    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (k - 1), F.lit(1)))
+    shingle_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(k)))
     )
+    # No global .distinct(): per-doc array_distinct already makes
+    # (id, shingle) unique, so the output is shuffle-free — a pure map.
+    return base.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+
+
+#: Universal-hash family constants (a_k odd, deterministic) and prime
+#: modulus for minhash — h_k(x) = (a_k·x + b_k) mod P, the textbook
+#: construction (Carter-Wegman; MMDS ch.3). P < 2^31 and base hash
+#: x < 2^28 keep every product below 2^63: no bigint overflow in either
+#: engine (Spark wraps silently, DuckDB errors — neither is hit).
+MINHASH_P = 1_000_000_007
+
+
+def _minhash_seed(k: int) -> tuple[int, int]:
+    return 2 * k + 1 + 104_729 * k, 12_289 * k + 31
+
+
+def base_shingle_hash(col):
+    """Engine-portable 28-bit base hash: first 7 hex chars of md5."""
+    return F.conv(F.substring(F.md5(col), 1, 7), 16, 10).cast("bigint")
 
 
 def minhash_signatures(shingles: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
-    """K independent minhashes per doc: hash_k(s) = md5(k || ':' || s),
-    signature_k = MIN over the doc's shingles. Output: (id, k, minhash).
+    """K independent minhashes per doc via a universal hash family over
+    ONE md5-derived base hash per shingle: signature_k = MIN over the
+    doc's shingles of (a_k·h + b_k) mod P. Output: (id, k, minhash).
 
-    One shuffle (groupBy id,k after a cheap in-place explode of K seeds).
+    Computed WIDE: one groupBy(id) evaluating all K min-aggregates
+    map-side, then unpivoted with ``stack`` (no shuffle). Two measured
+    pitfalls shaped this: exploding K seed rows per shingle shuffles K×
+    the shingle table (~10× slower at sf0.1), and hashing md5(k||s) per
+    seed costs K full digests where the universal family needs one.
     """
-    hashed = shingles.select(
-        F.col(id_col), F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"), "shingle"
-    ).select(
-        F.col(id_col), "k",
-        F.md5(F.concat_ws(":", F.col("k").cast("string"), F.col("shingle"))).alias("h"),
+    h = base_shingle_hash(F.col("shingle"))
+    base = shingles.select(F.col(id_col), h.alias("__h"))
+    aggs = []
+    for k in range(num_hashes):
+        a, b = _minhash_seed(k)
+        aggs.append(
+            F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh{k}")
+        )
+    wide = base.groupBy(id_col).agg(*aggs)
+    stack_args = ", ".join(f"{k}, mh{k}" for k in range(num_hashes))
+    return wide.selectExpr(
+        id_col, f"stack({num_hashes}, {stack_args}) AS (k, minhash)"
     )
-    return hashed.groupBy(id_col, "k").agg(F.min("h").alias("minhash"))
 
 
 def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int = 4) -> DataFrame:
@@ -64,7 +103,8 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int = 4) ->
     return banded.groupBy(id_col, "band").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "minhash"))), lambda s: s["minhash"]
+                F.array_sort(F.collect_list(F.struct("k", "minhash"))),
+                lambda s: s["minhash"].cast("string"),
             ),
             ",",
         ).alias("band_key")
@@ -74,6 +114,8 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int = 4) ->
 def candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Docs sharing any band bucket → distinct (id_a < id_b) pairs.
     The join shuffles on (band, band_key) — bucket-local, never all-pairs."""
+    # Self-join: persist so the upstream signature DAG runs once, not twice.
+    band_keys = band_keys.persist()
     a = band_keys.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )
@@ -134,7 +176,8 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from osmart_etl_spark.ops.text import tokens
 
-    toks = df.select(
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n_parts).select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     )
     h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")

@@ -103,16 +103,17 @@ def replay_running_balance(
                 d = ev.delta
                 running += d
 
-    Spark-first formulation — **no UDF, three window passes, one
-    shuffle** (all windows share the same partitioning so Catalyst plans
-    a single exchange on ``key``):
+    Spark-first formulation — **no UDF, ONE exchange, ONE sort**: every
+    window partitions by ``key`` alone and orders by ``order``, so
+    Catalyst plans a single shuffle + sort feeding stacked Window
+    operators. The segment decomposition (partitionBy(key, segment))
+    would cost a second shuffle; instead the reset algebra uses only
+    same-partitioning running expressions::
 
-    1. segment id = running count of absolute events (rows at-or-after an
-       absolute event belong to its segment);
-    2. segment base = the absolute target at the segment head (or init
-       for segment 0);
-    3. running = base + cumulative non-absolute deltas within segment;
-       effective delta = running - lag(running, init).
+        cum_delta     = Σ delta over non-absolute rows so far
+        base          = last absolute target at-or-before current row
+        cum_at_base   = cum_delta AT that absolute row
+        running       = coalesce(base, init) + cum_delta - cum_at_base
 
     ``init_col`` names a per-key initial-balance column already joined
     onto ``df`` (incremental mode, T5); None means init=0 (seed mode).
@@ -123,26 +124,25 @@ def replay_running_balance(
     w = Window.partitionBy(key).orderBy(*order)
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    seg = F.sum(is_abs.cast("long")).over(frame)
-    df = df.withColumn("__seg", seg)
-
-    seg_frame = (
-        Window.partitionBy(key, "__seg")
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    # Segment head's absolute target; NULL for segment 0.
-    base = F.first(
+    cum_delta = F.sum(F.when(is_abs, F.lit(0)).otherwise(F.col(delta_col))).over(frame)
+    base = F.last(
         F.when(is_abs, F.coalesce(F.col(abs_value_col), F.lit(0))), ignorenulls=True
-    ).over(seg_frame)
-    run_delta = F.sum(
-        F.when(is_abs, F.lit(0)).otherwise(F.col(delta_col))
-    ).over(seg_frame)
-    df = df.withColumn(out_running, F.coalesce(base, init) + F.coalesce(run_delta, F.lit(0)))
+    ).over(frame)
+    df = df.withColumn("__cumd", cum_delta).withColumn("__base", base)
+
+    # cum_delta at the most recent absolute row (nested-window-free:
+    # __cumd is materialized by the first Window pass, same partitioning).
+    cum_at_base = F.last(F.when(is_abs, F.col("__cumd")), ignorenulls=True).over(frame)
+    df = df.withColumn(
+        out_running,
+        F.coalesce(F.col("__base"), init)
+        + F.col("__cumd")
+        - F.coalesce(cum_at_base, F.lit(0)),
+    )
 
     prev_running = F.lag(F.col(out_running)).over(w)
     df = df.withColumn(out_delta, F.col(out_running) - F.coalesce(prev_running, init))
-    return df.drop("__seg")
+    return df.drop("__cumd", "__base")
 
 
 def replay_running_balance_pandas(

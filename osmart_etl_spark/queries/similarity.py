@@ -109,11 +109,17 @@ def ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "embedding_neardup_pairs",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {_cos_sql("a.v", "b.v")} AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE {_cos_sql("a.v", "b.v")} >= 0.35
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_NORM.format(a="CAST(embedding AS DOUBLE[])")} AS nrm
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             ({_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm)) AS cos_sim
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.35
     """,
     tags=("ext-dedup", "embedding-cosine"),
 )
@@ -123,12 +129,25 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     same blocking idea as LSH bands. Threshold 0.35 (calibrated to the
     synthetic embedding space — real pipelines use ~0.95) on
     bit-identical cosines."""
+    from osmart_etl_spark.ops.similarity import dot, l2_norm
+
     emb = read_table(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", "label", as_double_array(F.col("embedding")).alias("v"))
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("label"), F.col("v").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("label"), F.col("v").alias("vb"))
+    # Precompute each vector's norm ONCE (O(n·d)) instead of inside the
+    # pair expression (O(pairs·d)) — higher-order array functions are
+    # interpreted, not codegen'd, so per-pair work is the cost center.
+    e = emb.select(
+        "vec_id", "label",
+        as_double_array(F.col("embedding")).alias("v"),
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = e.select(F.col("vec_id").alias("id_a"), "label",
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("id_b"), "label",
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     pairs = a.join(b, "label").filter(F.col("id_a") < F.col("id_b"))
     return (
-        pairs.select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        pairs.select(
+            "id_a", "id_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos_sim"),
+        )
         .filter(F.col("cos_sim") >= 0.35)
     )

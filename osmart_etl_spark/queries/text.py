@@ -221,15 +221,19 @@ _SHINGLES_SQL = """
     "dedup_minhash_lsh",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
+    ),
     sigs AS (
-      SELECT doc_id, k, MIN(md5(CONCAT(CAST(k AS VARCHAR), ':', shingle))) AS minhash
-      FROM shingles
+      SELECT doc_id, k,
+        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
+      FROM hashed
       CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
       GROUP BY doc_id, k
     ),
     bands AS (
       SELECT doc_id, CAST(k // 4 AS INT) AS band,
-             string_agg(minhash, ',' ORDER BY k) AS band_key
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
       FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -261,15 +265,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
+    ),
     sigs AS (
-      SELECT doc_id, k, MIN(md5(CONCAT(CAST(k AS VARCHAR), ':', shingle))) AS minhash
-      FROM shingles
+      SELECT doc_id, k,
+        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
+      FROM hashed
       CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
       GROUP BY doc_id, k
     ),
     bands AS (
       SELECT doc_id, CAST(k // 4 AS INT) AS band,
-             string_agg(minhash, ',' ORDER BY k) AS band_key
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
       FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
     ),
     cand AS (
@@ -308,7 +316,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", k=5)
+    # The shingle table feeds the signature path AND the verify join —
+    # persist it so the lazy DAG doesn't recompute the explode+distinct
+    # for every consumer (3x wall-clock at sf0.1 without this).
+    sh = char_shingles(d, "doc_id", "text", k=5).persist()
     sig = minhash_signatures(sh, "doc_id", num_hashes=16)
     bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
