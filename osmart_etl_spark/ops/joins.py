@@ -163,3 +163,43 @@ def reconcile_full_outer(
         .select(*key, av, bv)
         .withColumn("diff", F.col(a_val) - F.col(b_val))
     )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+    extra_eq: list[str] | None = None,
+) -> DataFrame:
+    """Interval (range) join without an equi key, made shuffle-joinable
+    by time bucketing: explode each interval into the buckets it spans,
+    bucket each event's timestamp, equi-join on the bucket, then apply
+    the exact range predicate.
+
+    A raw ``events JOIN intervals ON ts BETWEEN start AND end`` plans as
+    BroadcastNestedLoopJoin — O(events × intervals), fatal at scale.
+    Bucketing turns it into a hash join on (bucket, extra keys): cost
+    O(events + intervals × span/bucket + matches). Same technique as
+    Flink interval joins / spatial grid joins. ``bucket`` must be at
+    least as coarse as typical interval length or the explode dominates.
+    """
+    b = F.expr(f"interval {bucket}") if not bucket[0].isdigit() else F.expr(f"interval {bucket}")
+    ev = events.withColumn("__bucket", F.date_trunc("day", F.col(ts_col)))
+    iv = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.col(start_col)),
+                F.date_trunc("day", F.col(end_col)),
+                b,
+            )
+        ),
+    )
+    on = ["__bucket"] + list(extra_eq or [])
+    joined = ev.join(iv, on)
+    return joined.filter(
+        (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) <= F.col(end_col))
+    ).drop("__bucket")

@@ -302,3 +302,124 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         F.get_json_object("props", "$.missing").cast("bigint").alias("prop_missing"),
     )
+
+
+@query(
+    "upsert_keep_latest",
+    oracle="""
+    WITH staged AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value, ts, 0 AS gen
+      FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'
+      UNION ALL
+      SELECT user_id, CAST(ts AS DATE) AS d, value, ts, 1 AS gen
+      FROM events WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    )
+    SELECT user_id, d, value AS latest_value, ts AS latest_ts
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, d ORDER BY ts DESC, gen DESC
+      ) AS rn
+      FROM staged
+    ) t WHERE rn = 1
+    """,
+    tags=("S7", "S8"),
+)
+def upsert_keep_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-latest-per-key upsert semantics (S7/S8) as a pure transform —
+    the engine's ON DUPLICATE KEY UPDATE analogue (db_helpers.py:25-40),
+    here merging an 'old' and 'new' generation of per-(user, day) state
+    through io/sinks.upsert_keep_latest. New generation out-ranks old on
+    order ties, exactly like the reference's upsert overwrite.
+    """
+    from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+    ev = read_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15 00:00:00").cast("timestamp")
+    cols = ["user_id", F.to_date("ts").alias("d"), "value", "ts"]
+    old = ev.filter(F.col("ts") < cutoff).select(*cols)
+    new = ev.filter(F.col("ts") >= cutoff).select(*cols)
+    merged = upsert_keep_latest(old, new, keys=["user_id", "d"], order_col="ts")
+    return merged.select(
+        "user_id", "d",
+        F.col("value").alias("latest_value"),
+        F.col("ts").alias("latest_ts"),
+    )
+
+
+@query(
+    "exact_percentiles",
+    oracle="""
+    SELECT event_type,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90,
+      quantile_cont(value, 0.99) AS p99,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("extras-percentile",),
+)
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark's ``percentile``
+    and DuckDB's ``quantile_cont`` share the linear-interpolation-at-
+    rank-p(n-1) definition, so results are bit-comparable. (The
+    approximate path — percentile_approx / t-digest — is in
+    ``approx_sketches`` with a rows-only check: sketches differ across
+    engines by design.)
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "approx_sketches",
+    oracle=None,  # sketch outputs are engine-specific by design → rows-only check
+    tags=("extras-approx",),
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — HyperLogLog distinct counts and t-digest
+    percentiles (free from Spark; absent from the reference). No SQL
+    oracle: sketch estimates legitimately differ across engines, so the
+    driver records the weaker rows-only check. The test suite bounds the
+    estimates against exact counts instead (tests/test_queries_parity.py).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "cube_engagement",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY CUBE (event_type, CAST(ts AS DATE))
+    """,
+    tags=("extras-cube",),
+)
+def cube_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (type, day) — all four grouping-set combinations in one
+    pass (Expand + single shuffle), free from Spark (SURVEY §2.4 note).
+    """
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.select("event_type", F.to_date("ts").alias("event_date"), "value")
+        .cube("event_type", "event_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dbl(F.sum(dec(F.col("value")))).alias("total_value"),
+        )
+    )

@@ -493,3 +493,140 @@ def replay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl(F.col("running")).alias("running"),
         dbl(F.col("effective_delta")).alias("effective_delta"),
     )
+
+
+@query(
+    "tumbling_window_net",
+    oracle="""
+    SELECT
+      date_trunc('day', ts) AS window_start,
+      user_id,
+      CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) * -1
+               ELSE CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS net_value,
+      COUNT(*) AS n_events
+    FROM events
+    GROUP BY date_trunc('day', ts), user_id
+    """,
+    tags=("T4", "streaming-batch-parity"),
+)
+def tumbling_window_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — tumbling 1-day window aggregation via ``F.window``: the
+    exact expression streaming/replay_stream.daily_net_windowed runs
+    under a watermark, here in batch mode (window() is just an
+    expression — same plan shape, same results, which is the point:
+    batch/streaming unification).
+    """
+    ev = read_table(spark, sf_dir, "events")
+    # sum in decimal for exactness, expose double
+    signed_dec = F.when(
+        F.col("event_type") == "error", F.col("value").cast("decimal(18,2)") * -1
+    ).otherwise(F.col("value").cast("decimal(18,2)"))
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
+        .agg(dbl(F.sum(signed_dec)).alias("net_value"), F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"), "user_id", "net_value", "n_events"
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     > INTERVAL 6 HOUR
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+        SUM(is_new_session) OVER (
+          PARTITION BY user_id ORDER BY ts
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+      MIN(ts) AS session_start, MAX(ts) AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("extras-session-window",),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6h inactivity gap) — gaps-and-islands: mark
+    session starts with lag, running-sum the marks into session ids,
+    aggregate per session. Same single-key partitioning as the W2
+    replay → one exchange. (Spark's native ``session_window`` exists
+    for streaming; the islands formulation is the batch-exact twin and
+    matches ANSI SQL for the oracle.)
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 6 * 3600), F.lit(1)).otherwise(F.lit(0)),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new_session").over(frame))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dbl(F.sum(F.col("value").cast("decimal(18,2)"))).alias("session_value"),
+    )
+
+
+@query(
+    "interval_range_join",
+    oracle="""
+    SELECT p.event_id, s.event_id AS signup_event_id, p.user_id, p.ts,
+           s.ts AS signup_ts,
+           p.value AS purchase_value
+    FROM events p
+    JOIN events s
+      ON p.user_id = s.user_id
+     AND s.event_type = 'signup'
+     AND p.event_type = 'purchase'
+     AND p.ts >= s.ts
+     AND p.ts <= s.ts + INTERVAL 2 DAY
+    """,
+    tags=("ext-range-join", "J2"),
+)
+def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join — purchases landing within [signup, signup+2d] per
+    user — via the bucketized range join (ops/joins.range_join_bucketed):
+    intervals explode into the day buckets they span, probes bucket by
+    day, and the join runs as a hash join on (bucket, user) with the
+    exact range applied after — never a nested-loop over all pairs.
+    """
+    from osmart_etl_spark.ops.joins import range_join_bucketed
+
+    ev = read_table(spark, sf_dir, "events")
+    probes = ev.filter(F.col("event_type") == "purchase")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("interval 2 day")).alias("end_ts"),
+    )
+    joined = range_join_bucketed(
+        probes, intervals, ts_col="ts", start_col="signup_ts", end_col="end_ts",
+        bucket="1 day", extra_eq=["user_id"],
+    )
+    return joined.select(
+        "event_id", "signup_event_id", "user_id", "ts", "signup_ts",
+        F.col("value").alias("purchase_value"),
+    )

@@ -42,3 +42,28 @@ def test_registry_contract():
     qs, oracles = e.queries(), e.oracle_sql()
     assert set(oracles) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_approx_sketches_bounded(spark):
+    """approx_count_distinct (HLL) within its advertised error of the
+    exact count; percentile_approx between group min/max."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.aggregates import approx_sketches
+
+    got = {r["event_type"]: r for r in approx_sketches(spark, SF_SMALL).collect()}
+    ev = read_table(spark, SF_SMALL, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    for k, r in got.items():
+        assert abs(r["approx_users"] - exact[k]["n"]) <= max(2, 0.1 * exact[k]["n"])
+        assert exact[k]["lo"] <= r["p50_approx"] <= exact[k]["hi"]
