@@ -24,3 +24,4 @@ from osmart_etl_spark.queries import dq  # noqa: F401, E402
 from osmart_etl_spark.queries import text  # noqa: F401, E402
 from osmart_etl_spark.queries import similarity  # noqa: F401, E402
 from osmart_etl_spark.queries import sql_api  # noqa: F401, E402
+from osmart_etl_spark.queries import functions_surface  # noqa: F401, E402

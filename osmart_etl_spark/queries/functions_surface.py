@@ -1,0 +1,295 @@
+"""Scalar/window function-family coverage (SURVEY.md §2.8 + free-from-
+Spark window surface): ranking, RANGE frames (W7), ordered array
+aggregation, string/null families, exact math.
+
+Cross-engine guardrails: only bit-exact math functions appear in
+oracle-compared outputs (sqrt/abs/sign/ceil/floor/mod are IEEE-exact;
+exp/ln/pow go through libm and may differ by 1 ulp between the JVM and
+C — they are exercised in tests, not in hash-compared queries). Array
+outputs are compared as joined strings (pandas stringifies Spark lists
+and DuckDB numpy arrays differently).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, dec, query
+
+
+@query(
+    "ranking_functions",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+      RANK()         OVER w AS rnk,
+      DENSE_RANK()   OVER w AS drnk,
+      ROW_NUMBER()   OVER w AS rn,
+      NTILE(4)       OVER w AS quartile,
+      CAST(PERCENT_RANK() OVER w AS DOUBLE) AS pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("extras-ranking", "W1"),
+)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ranking surface over one window spec — rank/dense_rank/
+    row_number/ntile/percent_rank. Total order (price, key) keeps every
+    rank deterministic (W6)."""
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).cast("double").alias("pct_rank"),
+    )
+
+
+@query(
+    "moving_range_sum",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch(ts)
+        RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS value_3d
+    FROM events
+    """,
+    tags=("W7", "extras-range-frame"),
+)
+def moving_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (W7) — 3-day moving sum per key ordered by event
+    TIME, not row position: rows within 259200s of the current row's
+    timestamp. Unlike a ROWS frame this is robust to uneven event
+    density — the frame follows the clock. (Spark's rangeBetween takes
+    numeric offsets, so the order key is epoch seconds; DuckDB's epoch()
+    matches.)"""
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-259200, 0)
+    )
+    return ev.select(
+        "event_id", "user_id", "ts",
+        dbl(F.sum(dec(F.col("value"))).over(w)).alias("value_3d"),
+    )
+
+
+@query(
+    "grouped_array_agg",
+    oracle="""
+    SELECT user_id,
+      string_agg(event_type, ',' ORDER BY event_type) AS types_sorted,
+      string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_distinct
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("extras-array-agg",),
+)
+def grouped_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered array aggregation — collect_list is shuffle-order-
+    nondeterministic, so deterministic use ALWAYS sorts before exposing
+    (here joined to a string for cross-engine comparison)."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.array_join(F.array_sort(F.collect_list("event_type")), ",").alias("types_sorted"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias("types_distinct"),
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT event_id,
+      upper(event_type) AS u, lower(event_type) AS l,
+      lpad(event_type, 10, '_') AS padded,
+      replace(event_type, 'c', 'k') AS replaced,
+      regexp_replace(props, '[0-9]+', '#', 'g') AS props_masked,
+      reverse(event_type) AS rev,
+      CAST(strpos(event_type, 'r') AS BIGINT) AS r_pos,
+      split_part(props, ':', 1) AS props_head,
+      CAST(length(trim(event_type)) AS BIGINT) AS trimmed_len,
+      repeat('ab', 3) AS repeated
+    FROM events
+    """,
+    tags=("F-string",),
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function family (§2.8): case, pad, replace, regexp mask,
+    reverse, position, split_part, trim/length, repeat."""
+    ev = read_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("u"),
+        F.lower("event_type").alias("l"),
+        F.lpad("event_type", 10, "_").alias("padded"),
+        F.replace(F.col("event_type"), F.lit("c"), F.lit("k")).alias("replaced"),
+        F.regexp_replace("props", "[0-9]+", "#").alias("props_masked"),
+        F.reverse("event_type").alias("rev"),
+        F.instr(F.col("event_type"), "r").cast("bigint").alias("r_pos"),
+        F.split_part(F.col("props"), F.lit(":"), F.lit(1)).alias("props_head"),
+        F.length(F.trim(F.col("event_type"))).cast("bigint").alias("trimmed_len"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+    )
+
+
+@query(
+    "null_handling",
+    oracle="""
+    SELECT event_id,
+      NULLIF(event_type, 'error') AS nullified,
+      COALESCE(NULLIF(event_type, 'error'), 'was_error') AS coalesced,
+      IFNULL(NULLIF(event_type, 'error'), 'fallback') AS ifnulled,
+      (NULLIF(event_type, 'error') IS NULL) AS is_nulled,
+      (NULLIF(event_type, 'error') IS NOT DISTINCT FROM NULL) AS null_safe_eq_null,
+      CASE WHEN value > 100 THEN NULL ELSE value END AS capped_or_null
+    FROM events
+    """,
+    tags=("F-null",),
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics family (§2.8): NULLIF/COALESCE/IFNULL, IS NULL,
+    null-safe equality (<=> / IS NOT DISTINCT FROM), NULL-producing
+    CASE."""
+    ev = read_table(spark, sf_dir, "events")
+    nullified = F.nullif(F.col("event_type"), F.lit("error"))
+    return ev.select(
+        "event_id",
+        nullified.alias("nullified"),
+        F.coalesce(nullified, F.lit("was_error")).alias("coalesced"),
+        F.ifnull(nullified, F.lit("fallback")).alias("ifnulled"),
+        nullified.isNull().alias("is_nulled"),
+        nullified.eqNullSafe(F.lit(None).cast("string")).alias("null_safe_eq_null"),
+        F.when(F.col("value") > 100, F.lit(None).cast("double"))
+        .otherwise(F.col("value"))
+        .alias("capped_or_null"),
+    )
+
+
+@query(
+    "math_exact",
+    oracle="""
+    SELECT event_id,
+      sqrt(value) AS root,
+      abs(value * -1) AS absolute,
+      sign(value - 100) AS sgn,
+      ceil(value) AS up,
+      floor(value) AS down,
+      CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
+      greatest(value, 50.0) AS hi,
+      least(value, 50.0) AS lo
+    FROM events
+    """,
+    tags=("F-math",),
+)
+def math_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact math family (§2.8): sqrt (correctly rounded by IEEE-754
+    in both engines), abs/sign/ceil/floor/mod/greatest/least.
+    Transcendentals (exp/ln/pow) are deliberately absent: libm vs JVM
+    can differ by 1 ulp, which the hash compare would flag."""
+    ev = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.sqrt(v).alias("root"),
+        F.abs(v * -1).alias("absolute"),
+        F.signum(v - 100).alias("sgn"),
+        F.ceil(v).alias("up"),
+        F.floor(v).alias("down"),
+        (F.col("event_id") % 7).cast("bigint").alias("m7"),
+        F.greatest(v, F.lit(50.0)).alias("hi"),
+        F.least(v, F.lit(50.0)).alias("lo"),
+    )
+
+
+@query(
+    "sales_pipeline_full",
+    oracle="""
+    WITH agg AS (
+      SELECT user_id,
+        CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS efectivo_in,
+        CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS tarjeta_in,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_venta,
+        MAX(ts) AS fecha_hora
+      FROM events
+      WHERE event_id > 2000
+      GROUP BY user_id
+    ),
+    wf AS (
+      -- DuckDB's LEAST/GREATEST over decimals returns DOUBLE; cast each
+      -- step back to DECIMAL(18,2) to recover the exact value (noise is
+      -- far below the 0.005 rounding boundary), matching Spark's
+      -- exact-decimal waterfall.
+      SELECT *,
+        CAST(LEAST(efectivo_in, total_venta) AS DECIMAL(18,2)) AS ef0
+      FROM agg
+    ),
+    wf2 AS (
+      SELECT *,
+        CAST(LEAST(tarjeta_in, total_venta - ef0) AS DECIMAL(18,2)) AS ta0
+      FROM wf
+    ),
+    norm AS (
+      SELECT user_id, total_venta, fecha_hora,
+        CASE WHEN efectivo_in = 0 AND tarjeta_in = 0 THEN total_venta ELSE ef0 END AS efectivo,
+        CASE WHEN efectivo_in = 0 AND tarjeta_in = 0 THEN CAST(0 AS DECIMAL(18,2)) ELSE ta0 END AS tarjeta,
+        CASE WHEN efectivo_in = 0 AND tarjeta_in = 0 THEN CAST(0 AS DECIMAL(18,2))
+             ELSE CAST(GREATEST(total_venta - ef0 - ta0, CAST(0 AS DECIMAL(18,2))) AS DECIMAL(18,2)) END AS otros
+      FROM wf2
+    )
+    SELECT user_id,
+      CAST(total_venta AS DOUBLE) AS total_venta,
+      CAST(efectivo AS DOUBLE) AS efectivo,
+      CAST(tarjeta AS DOUBLE) AS tarjeta,
+      CAST(otros AS DOUBLE) AS otros,
+      fecha_hora,
+      CASE
+        WHEN ROUND(total_venta, 2) = 0 AND ROUND(efectivo + tarjeta + otros, 2) = 0 THEN 'sin_monto'
+        WHEN ROUND(efectivo + tarjeta + otros, 2) = ROUND(total_venta, 2) THEN NULL
+        WHEN ROUND(efectivo + tarjeta + otros, 2) = 0 AND ROUND(total_venta, 2) > 0 THEN 'sin_pago'
+        WHEN ROUND(efectivo + tarjeta + otros, 2) > ROUND(total_venta, 2) THEN 'pago_excedente'
+        WHEN ROUND(efectivo + tarjeta + otros, 2) < ROUND(total_venta, 2) AND ROUND(total_venta, 2) > 0 THEN 'pago_incompleto'
+        ELSE 'devolucion_excedida'
+      END AS payment_issue,
+      'tienda_01' AS tienda,
+      'sicar' AS source_system
+    FROM norm
+    """,
+    tags=("EP1", "pipeline"),
+)
+def sales_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1 end-to-end THROUGH the pipeline module: watermark-filtered
+    conditional aggregation → waterfall split → no-flow override → QA
+    tagging → provenance (pipelines/sales.extract_sales +
+    normalize_payments + enrich_extract). Same composed code the
+    incremental runner executes — proving the pipeline layer, not a
+    re-implementation. extracted_at/last_event_id dropped from the
+    compare (run-time dependent)."""
+    from osmart_etl_spark.pipelines.sales import extract_sales, normalize_payments
+    from osmart_etl_spark.ops.relational import enrich_extract
+
+    ev = read_table(spark, sf_dir, "events")
+    batch = extract_sales(ev, last_id=2000)
+    out = enrich_extract(
+        normalize_payments(batch), tienda="tienda_01", source_system="sicar"
+    )
+    return out.select(
+        "user_id",
+        dbl(F.col("total_venta")).alias("total_venta"),
+        dbl(F.col("efectivo")).alias("efectivo"),
+        dbl(F.col("tarjeta")).alias("tarjeta"),
+        dbl(F.col("otros")).alias("otros"),
+        "fecha_hora",
+        "payment_issue",
+        "tienda",
+        "source_system",
+    )
