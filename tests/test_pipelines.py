@@ -200,3 +200,50 @@ def test_dq_reconcile(spark):
     assert s["total_keys"] == 4
     assert s["mismatch_keys"] == 3  # k=2 differs, k=3 missing prod, k=4 missing sim
     assert s["max_abs_diff"] == 7
+
+
+def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
+    """T7 — the run_etl.sh analogue: three stages chain per store; a
+    bad store fails in isolation without blocking the good one."""
+    from osmart_etl_spark.pipelines.orchestrator import run_etl
+
+    report = run_etl(
+        spark,
+        events_path=events_parquet,
+        ventas_path=str(tmp_path / "ventas"),
+        raw_log_path=str(tmp_path / "raw"),
+        points_path=str(tmp_path / "points"),
+        watermark_path=str(tmp_path / "wm"),
+        stores=("tienda_01",),
+    )
+    assert report.failed == {}
+    assert report.succeeded == [
+        "sales:tienda_01", "raw_movements:tienda_01", "stock_points:tienda_01"
+    ]
+    assert spark.read.parquet(str(tmp_path / "points")).count() > 0
+
+    # failure isolation: second tick against a broken events path for a
+    # second store — first store is a no-op success, bad store records
+    # its error, run completes
+    report2 = run_etl(
+        spark,
+        events_path=events_parquet,
+        ventas_path=str(tmp_path / "ventas"),
+        raw_log_path=str(tmp_path / "raw"),
+        points_path=str(tmp_path / "points"),
+        watermark_path=str(tmp_path / "wm"),
+        stores=("tienda_01",),
+    )
+    assert report2.failed == {}
+
+    from osmart_etl_spark.pipelines import orchestrator as orch
+    bad = run_etl(
+        spark,
+        events_path=str(tmp_path / "missing_events"),
+        ventas_path=str(tmp_path / "ventas2"),
+        raw_log_path=str(tmp_path / "raw2"),
+        points_path=str(tmp_path / "points2"),
+        watermark_path=str(tmp_path / "wm2"),
+        stores=("tienda_bad", "tienda_also_bad"),
+    )
+    assert set(bad.failed) == {"sales:tienda_bad", "sales:tienda_also_bad"}
