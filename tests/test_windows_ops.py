@@ -191,3 +191,27 @@ def test_asof_join(spark):
         (1, t0): 10,
         (2, t0 + dt.timedelta(days=1)): None,
     }
+
+
+def test_replay_seeded_fuzz(spark):
+    """Seeded randomized differential: 600 events over 12 keys with
+    dense ties, NULL absolute targets, negative deltas, and leading/
+    consecutive absolutes — window form == applyInPandas form exactly."""
+    import random
+    from decimal import Decimal as D
+
+    rng = random.Random(20260813)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for event_id in range(600):
+        key = rng.randrange(12)
+        # coarse timestamps → many exact ties within a key (tiebreaker path)
+        ts = t0 + dt.timedelta(hours=rng.randrange(48))
+        if rng.random() < 0.25:
+            abs_val = None if rng.random() < 0.3 else D(str(rng.randrange(-50, 200))) + D("0.25")
+            rows.append((event_id, key, ts, True, abs_val, D("0.00")))
+        else:
+            delta = D(str(rng.randrange(-40, 40))) + D("0.50")
+            rows.append((event_id, key, ts, False, None, delta))
+    df = spark.createDataFrame(rows, MV_SCHEMA).repartition(7)  # scramble order
+    assert _collect_replay(df) == _collect_replay_pandas(df)
