@@ -423,3 +423,31 @@ def cube_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.sum(dec(F.col("value")))).alias("total_value"),
         )
     )
+
+
+@query(
+    "salted_skew_agg",
+    oracle="""
+    SELECT user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("scale-skew", "A3"),
+)
+def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof salted two-phase aggregation (ops/skew.salted_sum_count)
+    — identical results to a plain groupBy (the oracle IS the plain
+    GROUP BY), but the hot key's rows spread over 16 salt buckets before
+    the merge: no straggler partition at 100 TB. Decimal sums keep the
+    two-phase merge exact.
+    """
+    from osmart_etl_spark.ops.skew import salted_sum_count
+
+    ev = read_table(spark, sf_dir, "events")
+    out = salted_sum_count(
+        ev, ["user_id"], dec(F.col("value")), n_salts=16,
+        value_alias="total_dec", count_alias="n",
+    )
+    return out.select("user_id", dbl(F.col("total_dec")).alias("total"), "n")

@@ -107,3 +107,45 @@ def test_stateful_replay_stream_matches_batch(spark, tmp_path, events_stream_dir
     assert set(final) == set(bal)
     for k, (_, running) in final.items():
         assert running == pytest.approx(bal[k], abs=1e-9)
+
+
+def test_foreachbatch_upsert_sink(spark, tmp_path, events_stream_dir):
+    """T6 — the standard exactly-once sink recipe: streaming
+    foreachBatch + keyed upsert. Re-delivered micro-batches overwrite
+    idempotently, so the sink holds one row per key with the latest
+    state regardless of redelivery."""
+    from osmart_etl_spark.io.sinks import upsert_parquet
+
+    sink = str(tmp_path / "fb_sink")
+
+    def merge_batch(batch_df, batch_id):
+        agg = batch_df.groupBy("user_id").agg(
+            F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n")
+        )
+        upsert_parquet(
+            spark, agg.withColumn("batch_id", F.lit(batch_id)),
+            sink, keys=["user_id"], order_col="last_ts",
+        )
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(events_stream_dir).schema
+    ).option("maxFilesPerTrigger", 1).parquet(events_stream_dir)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.read.parquet(sink)
+    # one row per user, and last_ts == global max ts per user
+    assert out.groupBy("user_id").count().filter(F.col("count") > 1).count() == 0
+    want = {
+        r["user_id"]: r["m"]
+        for r in spark.read.parquet(events_stream_dir)
+        .groupBy("user_id").agg(F.max("ts").alias("m")).collect()
+    }
+    got = {r["user_id"]: r["last_ts"] for r in out.collect()}
+    assert got == want
