@@ -356,3 +356,72 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return simhash60(d, "doc_id", "text")
+
+
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "text_bpe_tokens",
+    oracle=f"""
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+      CAST(len(list_distinct(regexp_extract_all(text, '{_BPE_PATTERN}'))) AS BIGINT) AS n_uniq_bpe_tokens,
+      array_to_string(regexp_extract_all(text, '{_BPE_PATTERN}')[1:5], '|') AS first_tokens
+    FROM documents
+    """,
+    tags=("ext-text", "bpe-tokenize"),
+)
+def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (the GPT-2-pretokenizer shape reduced
+    to a portable character-class pattern: letter runs | digit runs |
+    single punctuation). Token counting for training-data budgeting —
+    one regexp_extract_all projection, no shuffle, no UDF."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_bpe_tokens"),
+        F.array_join(F.slice(toks, 1, 5), "|").alias("first_tokens"),
+    )
+
+
+@query(
+    "doc_rolling_hash",
+    oracle="""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(list_filter(string_split(text, ' '), x -> x != ''),
+                         t -> ('0x' || substr(md5(t), 1, 7))::BIGINT)),
+        (acc, h) -> (acc * 31 + h) % 1000000007
+      ) AS rolling_fp,
+      CAST(len(list_filter(string_split(text, ' '), x -> x != '')) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("ext-text", "rolling-hash"),
+)
+def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the token stream:
+    fp = fold(acc*31 + hash(token)) mod P — order-sensitive (unlike a
+    bag-of-tokens digest), so reordered documents get different
+    fingerprints; identical prefixes share hash prefixes, the property
+    chunk-level dedup exploits. Token hashes are md5-derived 28-bit ints
+    (engine-portable); the fold is a strict left reduce in both engines.
+    """
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    hashes = F.transform(t, lambda x: F.conv(F.substring(F.md5(x), 1, 7), 16, 10).cast("bigint"))
+    fp = F.aggregate(
+        hashes,
+        F.lit(0).cast("bigint"),
+        lambda acc, h: (acc * 31 + h) % 1000000007,
+    )
+    return d.select(
+        "doc_id",
+        fp.alias("rolling_fp"),
+        F.size(t).cast("bigint").alias("n_tokens"),
+    )
