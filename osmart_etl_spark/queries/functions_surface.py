@@ -293,3 +293,69 @@ def sales_pipeline_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tienda",
         "source_system",
     )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+    SELECT event_id, user_id, ts,
+      LAG(value)  OVER w AS prev_value,
+      LEAD(value) OVER w AS next_value,
+      FIRST_VALUE(value) OVER w AS first_seen,
+      LAST_VALUE(value) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS final_value,
+      NTH_VALUE(value, 2) OVER w AS second_seen
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("extras-navigation", "W4"),
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation-function surface: lag/lead/first_value/last_value/
+    nth_value over one window. last_value uses an explicit
+    unbounded-following frame (the default frame ends at CURRENT ROW,
+    which silently makes last_value == current value — the classic
+    window-frame trap, identical in both engines)."""
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id", "user_id", "ts",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_seen"),
+        F.last("value").over(w_full).alias("final_value"),
+        F.nth_value("value", 2).over(w).alias("second_seen"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 25) AS BIGINT) AS bucket,
+      COUNT(*) AS n,
+      CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS lo,
+      CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS hi,
+      CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM events) AS frac
+    FROM events
+    GROUP BY CAST(FLOOR(value / 25) AS BIGINT)
+    """,
+    tags=("extras-histogram",),
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (floor-bucket groupBy) with per-bucket
+    bounds and fraction via a scalar subquery — the basic profiling
+    query every data pipeline runs before setting DQ thresholds."""
+    ev = read_table(spark, sf_dir, "events")
+    total = ev.count()  # scalar — one tiny job, mirrors the subquery
+    return (
+        ev.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dbl(F.min(dec(F.col("value")))).alias("lo"),
+            dbl(F.max(dec(F.col("value")))).alias("hi"),
+        )
+        .withColumn("frac", F.col("n").cast("double") / F.lit(total))
+    )
