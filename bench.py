@@ -35,12 +35,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, qd in q.REGISTRY.items():
-        t0 = time.time()
-        df = qd.fn(spark, sf_dir)
-        # Force full evaluation of every output column (count alone could
-        # let Catalyst prune the computation).
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # Best of two runs: steady-state timing (first run can absorb
+        # codegen/footer-cache misses; machine noise on this box is ±25%).
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            df = qd.fn(spark, sf_dir)
+            # Force full evaluation of every output column (count alone
+            # could let Catalyst prune the computation).
+            df.write.format("noop").mode("overwrite").save()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     result = {

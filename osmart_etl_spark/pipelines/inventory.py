@@ -168,15 +168,35 @@ def run_stock_points_incremental(
     points_path: str,
     watermark_path: str,
     store_name: str = "tienda_01",
+    complete_days_before: dt.date | None = None,
 ) -> str | None:
     """EP3: compute/refresh stock points from movements past the date
-    watermark, upsert on (art_id, point_date)."""
+    watermark, upsert on (art_id, point_date).
+
+    ``complete_days_before`` enforces the reference's T3 rule
+    ("only process complete days" — update_stock_points.py:86): only
+    movements strictly before that date are processed, so a partially
+    observed day is never folded into SOD state. Pass today's date for
+    the reference's movements-through-yesterday behavior; None processes
+    everything (tests / backfills of closed history).
+    """
     store = WatermarkStore(spark, watermark_path)
+    # The watermark must track the max PROCESSED MOVEMENT date — NOT the
+    # max emitted point_date, which is movement-day + 1 (the spine adds a
+    # final-SOD day): advancing to it would make the next run's strict
+    # `>` filter silently drop one full day of movements. (The bug is
+    # insidious because any later absolute reset masks it in final
+    # balances.) Computed eagerly per run and carried via this cell.
+    new_wm_holder: list = [None]
 
     def extract(spark_, last):
         mv = spark_.read.parquet(raw_log_path)
         if last is not None:
             mv = mv.filter(F.to_date("fecha") > F.lit(last).cast("date"))
+        if complete_days_before is not None:
+            mv = mv.filter(F.to_date("fecha") < F.lit(complete_days_before))
+        row = mv.agg(F.max(F.to_date("fecha")).alias("m")).first()
+        new_wm_holder[0] = row["m"].isoformat() if row["m"] is not None else None
         try:
             prior = spark_.read.parquet(points_path)
         except Exception:
@@ -191,8 +211,7 @@ def run_stock_points_incremental(
         )
 
     def wm(batch: DataFrame):
-        row = batch.agg(F.max("point_date").alias("m")).first()
-        return row["m"].isoformat() if row["m"] is not None else None
+        return new_wm_holder[0]
 
     return run_incremental(
         spark, store=store, pipeline="stock_points", source_name=store_name,

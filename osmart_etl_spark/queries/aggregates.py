@@ -451,3 +451,35 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_alias="total_dec", count_alias="n",
     )
     return out.select("user_id", dbl(F.col("total_dec")).alias("total"), "n")
+
+
+@query(
+    "rollup_with_grouping_id",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+      CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_date,
+      COUNT(*) AS n
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-05 00:00:00'
+    GROUP BY ROLLUP (event_type, CAST(ts AS DATE))
+    """,
+    tags=("extras-grouping-id",),
+)
+def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + GROUPING() markers — disambiguates a NULL that IS a
+    group value from the NULL a rollup superaggregate fills in; without
+    the marker, rollup outputs over nullable group columns are
+    ambiguous."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-05 00:00:00").cast("timestamp")
+    )
+    return (
+        ev.select("event_type", F.to_date("ts").alias("event_date"))
+        .rollup("event_type", "event_date")
+        .agg(
+            F.grouping("event_type").cast("bigint").alias("g_type"),
+            F.grouping("event_date").cast("bigint").alias("g_date"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -124,3 +124,51 @@ def run_available_now(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def replay_transform_with_state(events: DataFrame) -> DataFrame:
+    """T5 via ``transformWithStateInPandas`` — Spark 4's successor to
+    applyInPandasWithState (explicit typed state variables, timers,
+    schema evolution). Same replay semantics as ``replay_stateful``;
+    kept as the forward-looking twin so both stateful APIs are covered.
+
+    Runtime dependency: the transformWithState driver worker speaks
+    protobuf to the state server — requires a working ``google.protobuf``
+    (absent in this container; the equivalence test skips there, and
+    ``replay_stateful`` remains the exercised path).
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ReplayProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._running = handle.getValueState("running", "running DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            (user_id,) = key
+            running = self._running.get()[0] if self._running.exists() else 0.0
+            out = []
+            for pdf in rows:
+                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+                for row in pdf.itertuples(index=False):
+                    if row.event_type == "signup":
+                        running = float(row.value)
+                    elif row.event_type == "error":
+                        running -= float(row.value)
+                    else:
+                        running += float(row.value)
+                    out.append((user_id, row.event_id, row.ts, running))
+            self._running.update((running,))
+            yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "running"])
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        ReplayProcessor(),
+        outputStructType=REPLAY_OUTPUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+    )

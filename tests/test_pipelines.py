@@ -144,26 +144,25 @@ def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
     expected = {
         (r["art_id"], r["point_date"]): r["sod_stock"] for r in full.collect()
     }
-    # every full-history point at-or-after its key's first phase-2 day must
-    # match; phase-1 points may legitimately differ in change-day encoding
-    # (a point is only re-emitted when the value changes), so compare the
-    # reconstructed FINAL balance per key instead of raw point rows.
-    from osmart_etl_spark.ops.joins import asof_lookup
+    # Raw point rows may differ in change-day encoding between the two
+    # paths, so compare the RECONSTRUCTED DENSE SOD series over the whole
+    # calendar — day-level equality. (Comparing only final balances is
+    # too weak: a later absolute reset masks any dropped day — exactly
+    # how the max-point_date watermark off-by-one once hid.)
+    from osmart_etl_spark.ops.temporal import sparse_decode
 
-    inc_final = {
-        r["art_id"]: r["sod_stock"]
-        for r in asof_lookup(
-            spark.read.parquet(points), ["art_id"], "point_date",
-            F.lit("2099-01-01").cast("date"),
+    lo, hi = "2024-01-01", "2024-02-02"
+    inc_dense = {
+        (r["art_id"], r["cal_date"]): r["sod_stock"]
+        for r in sparse_decode(
+            spark.read.parquet(points), spark, lo, hi, ["art_id"]
         ).collect()
     }
-    full_final = {
-        r["art_id"]: r["sod_stock"]
-        for r in asof_lookup(
-            full, ["art_id"], "point_date", F.lit("2099-01-01").cast("date")
-        ).collect()
+    full_dense = {
+        (r["art_id"], r["cal_date"]): r["sod_stock"]
+        for r in sparse_decode(full, spark, lo, hi, ["art_id"]).collect()
     }
-    assert inc_final == full_final
+    assert inc_dense == full_dense
 
 
 def test_dq_quarantine_split(spark):
@@ -247,3 +246,30 @@ def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
         stores=("tienda_bad", "tienda_also_bad"),
     )
     assert set(bad.failed) == {"sales:tienda_bad", "sales:tienda_also_bad"}
+
+
+def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
+    """T3 — the only-complete-days rule: with complete_days_before set,
+    movements on/after that date are excluded from the SOD computation."""
+    import datetime as dt2
+
+    from osmart_etl_spark.pipelines.inventory import (
+        run_raw_movements_incremental,
+        run_stock_points_incremental,
+    )
+
+    raw = str(tmp_path / "raw")
+    wmp = str(tmp_path / "wm")
+    run_raw_movements_incremental(
+        spark, events_path=events_parquet, raw_log_path=raw, watermark_path=wmp
+    )
+    cutoff = dt2.date(2024, 1, 15)
+    pts_cut = str(tmp_path / "pts_cut")
+    wm = run_stock_points_incremental(
+        spark, raw_log_path=raw, points_path=pts_cut, watermark_path=str(tmp_path / "wm2"),
+        complete_days_before=cutoff,
+    )
+    # watermark and points never reach the incomplete-day region
+    assert wm is not None and wm <= "2024-01-15"
+    max_pt = spark.read.parquet(pts_cut).agg(F.max("point_date").alias("m")).first()["m"]
+    assert max_pt <= cutoff  # spine extends to max movement day + 1 == cutoff at most

@@ -149,3 +149,34 @@ def test_foreachbatch_upsert_sink(spark, tmp_path, events_stream_dir):
     }
     got = {r["user_id"]: r["last_ts"] for r in out.collect()}
     assert got == want
+
+
+def test_transform_with_state_matches_applyinpandas(spark, tmp_path, events_stream_dir):
+    """Spark 4 transformWithStateInPandas replay == applyInPandasWithState
+    replay on the same ordered stream (both stateful APIs, same semantics).
+
+    transformWithStateInPandas talks to the state server over protobuf;
+    skipped where google.protobuf is unavailable (this container)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError:
+        pytest.skip("transformWithStateInPandas requires google.protobuf (not in container)")
+    from osmart_etl_spark.streaming.replay_stream import (
+        replay_stateful,
+        replay_transform_with_state,
+        run_available_now,
+    )
+
+    def run(factory, name, ckpt):
+        stream = spark.readStream.schema(
+            spark.read.parquet(events_stream_dir).schema
+        ).option("maxFilesPerTrigger", 1).parquet(events_stream_dir)
+        return {
+            r["event_id"]: round(r["running"], 9)
+            for r in run_available_now(factory(stream), str(tmp_path / ckpt), name)
+        }
+
+    a = run(replay_stateful, "tws_a", "ck_a")
+    b = run(replay_transform_with_state, "tws_b", "ck_b")
+    assert a == b
+    assert len(a) == spark.read.parquet(events_stream_dir).count()
