@@ -40,15 +40,33 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     document text — and the global distinct shuffles the minimum.
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    norm = normalized_text(F.col(text_col))
-    base = df.repartition(n_parts).select(F.col(id_col), norm.alias("__norm"))
-    idx = F.sequence(F.lit(1), F.greatest(F.length("__norm") - (k - 1), F.lit(1)))
-    shingle_arr = F.array_distinct(
-        F.transform(idx, lambda i: F.col("__norm").substr(i, F.lit(k)))
+    base = df.repartition(n_parts).select(
+        F.col(id_col), shingle_array(F.col(text_col), k=k).alias("__sh")
     )
     # No global .distinct(): per-doc array_distinct already makes
     # (id, shingle) unique, so the output is shuffle-free — a pure map.
-    return base.select(F.col(id_col), F.explode(shingle_arr).alias("shingle"))
+    return base.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+
+
+def shingle_array(text_col, k: int = 5):
+    """Column expression: distinct character k-gram shingles of the
+    normalized text, as array<string>. Always ≥1 element (short docs
+    yield their whole text as the single shingle)."""
+    norm = normalized_text(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, __sh array<string>) — the per-doc distinct shingle SET kept
+    in array form. The array form is the scale path: every downstream
+    stage (minhash, band keys, Jaccard intersect) folds over the array
+    map-side instead of shuffling an exploded |doc|×|shingles| row table.
+    Repartitioned first: single-file parquet = one input partition."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n_parts).select(
+        F.col(id_col), shingle_array(F.col(text_col), k=k).alias("__sh")
+    )
 
 
 #: Universal-hash family constants (a_k odd, deterministic) and prime
@@ -111,6 +129,54 @@ def lsh_band_keys(signatures: DataFrame, id_col: str, rows_per_band: int = 4) ->
     )
 
 
+def minhash_band_keys(
+    doc_sets: DataFrame,
+    id_col: str,
+    num_hashes: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """(id, band, band_key) computed with ZERO shuffles from the array
+    form (``shingle_sets`` output).
+
+    Exactly ONE shuffle — the groupBy(id) computing all K min-aggregates
+    — and it carries only K bigints per doc after map-side partial
+    aggregation (combiners take the min before anything moves). The
+    explode + md5 + universal-hash expressions all sit inside
+    whole-stage codegen (an interpreted higher-order fold was measured
+    ~3× slower here: HOF lambdas don't codegen and box every bigint).
+    Band keys come straight off the wide K-vector (ordered concat of
+    each band's R minima, 4 structs exploded — 4 tiny rows/doc); the
+    row path's second groupBy(id, band) + collect_list shuffle is gone.
+    """
+    hashed = doc_sets.select(
+        F.col(id_col), F.explode("__sh").alias("__s")
+    ).select(F.col(id_col), base_shingle_hash(F.col("__s")).alias("__h"))
+    aggs = []
+    for k in range(num_hashes):
+        a, b = _minhash_seed(k)
+        aggs.append(F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"__mh{k}"))
+    wide = hashed.groupBy(id_col).agg(*aggs)
+    n_bands = num_hashes // rows_per_band
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__mh{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("band_key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return wide.select(F.col(id_col), F.explode(band_structs).alias("__b")).select(
+        id_col, "__b.band", "__b.band_key"
+    )
+
+
 def candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
     """Docs sharing any band bucket → distinct (id_a < id_b) pairs.
     The join shuffles on (band, band_key) — bucket-local, never all-pairs."""
@@ -162,6 +228,82 @@ def jaccard_verify(
     )
 
 
+def jaccard_verify_hybrid(
+    doc_sets: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs — the production
+    shape. |A∩B| via the codegen'd row-explode hash join (pairs side
+    broadcast); |A| and |B| read straight off ``size(__sh)`` — a pure
+    projection instead of a corpus-sized groupBy — and joined broadcast
+    (one row per doc). Output: (id_a, id_b, jaccard)."""
+    sa = doc_sets.select(F.col(id_col).alias("id_a"), F.explode("__sh").alias("shingle"))
+    sb = doc_sets.select(F.col(id_col).alias("id_b"), F.explode("__sh").alias("shingle"))
+    inter = (
+        sa.join(F.broadcast(pairs), "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = doc_sets.select(
+        F.col(id_col), F.size("__sh").cast("bigint").alias("n")
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a", "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def jaccard_verify_sets(
+    doc_sets: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs, array form.
+
+    |A∩B| = size(array_intersect) over the per-doc shingle arrays.
+    Scale shape: the corpus-sized doc_sets table is first semi-joined
+    (broadcast of the tiny candidate-id set — ids only, never array
+    payloads: broadcasting rows carrying shingle arrays OOMed the
+    driver at sf0.1) down to the ≤2·|pairs| docs that appear in any
+    candidate pair; every join after that touches only candidate docs,
+    so verify cost scales with |candidates|, not corpus size. Compare
+    the row form (``jaccard_verify``): that expands every pair to |A|
+    shingle rows and shuffles them through a (id_b, shingle) join +
+    groupBy. Counts are exact either way (arrays are distinct sets);
+    the double division is bit-deterministic.
+    Output: (id_a, id_b, jaccard)."""
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__cid"))
+        .union(pairs.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    cd = doc_sets.join(
+        F.broadcast(cand_ids), doc_sets[id_col] == F.col("__cid")
+    ).drop("__cid")
+    a = cd.select(F.col(id_col).alias("id_a"), F.col("__sh").alias("__sh_a"))
+    b = cd.select(F.col(id_col).alias("id_b"), F.col("__sh").alias("__sh_b"))
+    full = a.join(F.broadcast(pairs), "id_a").join(b, "id_b")
+    n_inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("bigint")
+    denom = (
+        F.size("__sh_a").cast("bigint") + F.size("__sh_b").cast("bigint") - n_inter
+    )
+    return (
+        full.select(
+            "id_a", "id_b",
+            (n_inter.cast("double") / denom.cast("double")).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens.
 
@@ -169,31 +311,40 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     long in both engines); bit b of the fingerprint is the sign of
     Σ_tokens (2·bit_b(h) − 1). Output: (id, simhash bigint).
 
-    Implementation is one explode (tokens × 60 bits) + groupBy — heavy
-    but linear; for production scale, prefer the per-bit popcount over
-    64-bit words in a pandas_udf. Near-dup pairing over simhash uses
-    band-rotation buckets, not materialized here.
+    Implementation: ONE projection, zero shuffles — a fold over the
+    token-hash array carrying all 60 bit-vote counters in an array
+    accumulator (zip_with against a literal mask array), then a second
+    fold packs the positive-vote bits back into the fingerprint. The
+    former shape (explode tokens × 60 bits + two groupBys) shuffled a
+    60×-expanded row table — measured ~6× slower at sf0.1 and the
+    dominant shuffle at scale. Docs with no tokens are dropped (matches
+    the oracle's UNNEST semantics).
     """
     from osmart_etl_spark.ops.text import tokens
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(n_parts).select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(60)])
+    hashes = F.transform(
+        tokens(F.col(text_col)),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("bigint"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
-    bits = toks.select(
-        F.col(id_col), h.alias("h"), F.explode(F.sequence(F.lit(0), F.lit(59))).alias("b")
+    init = F.array_repeat(F.lit(0).cast("bigint"), 60)
+    votes = F.aggregate(
+        hashes,
+        init,
+        lambda acc, h: F.zip_with(
+            acc, masks, lambda v, m: v + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1)
+        ),
     )
-    # Bit test via power-of-two mask (2^b is exact in double for b<=59);
-    # shiftright's numBits must be a literal in Spark, hence the mask form.
-    mask = F.pow(F.lit(2.0), F.col("b")).cast("bigint")
-    contrib = bits.select(
-        F.col(id_col), "b",
-        (F.when(F.col("h").bitwiseAND(mask) != 0, 1).otherwise(0) * 2 - 1).alias("c"),
+    fp = F.aggregate(
+        F.zip_with(
+            votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
     )
-    bit_votes = contrib.groupBy(id_col, "b").agg(F.sum("c").alias("v"))
-    return bit_votes.groupBy(id_col).agg(
-        F.sum(
-            F.when(F.col("v") > 0, F.pow(F.lit(2.0), F.col("b")).cast("bigint")).otherwise(F.lit(0))
-        ).alias("simhash")
+    return (
+        df.repartition(n_parts)
+        .filter(F.size(tokens(F.col(text_col))) > 0)
+        .select(F.col(id_col), fp.alias("simhash"))
     )

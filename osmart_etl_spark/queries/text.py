@@ -245,19 +245,19 @@ _SHINGLES_SQL = """
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: 5-char shingles → 16 md5-seeded
     minhashes → 4 bands × 4 rows → bucket join (ops/dedup.py). The
-    all-pairs space is never built; the join shuffles on band keys only.
+    all-pairs space is never built; signatures + band keys are a pure
+    array-fold projection (zero shuffles), so the ONLY shuffle in the
+    whole pipeline is the band-bucket self-join.
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        char_shingles,
-        lsh_band_keys,
-        minhash_signatures,
+        minhash_band_keys,
+        shingle_sets,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sh = char_shingles(d, "doc_id", "text", k=5)
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
-    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    sets = shingle_sets(d, "doc_id", "text", k=5)
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     return candidate_pairs(bands, "doc_id")
 
 
@@ -306,24 +306,26 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-Jaccard verification over LSH candidates only —
     the verify stage of the near-dedup pipeline. Counts are bigint, so
     the jaccard double division is bit-deterministic.
+
+    Shape: the per-doc shingle SET (array form, persisted — shingling
+    runs once) feeds the single-shuffle minhash/band path; verify is
+    the row-explode hash-join form, which stays inside whole-stage
+    codegen. (An array_intersect verify was measured 5× slower here:
+    interpreted set-builds per pair lose to codegen'd joins when
+    candidates are dense.)
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        char_shingles,
-        jaccard_verify,
-        lsh_band_keys,
-        minhash_signatures,
+        jaccard_verify_hybrid,
+        minhash_band_keys,
+        shingle_sets,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    # The shingle table feeds the signature path AND the verify join —
-    # persist it so the lazy DAG doesn't recompute the explode+distinct
-    # for every consumer (3x wall-clock at sf0.1 without this).
-    sh = char_shingles(d, "doc_id", "text", k=5).persist()
-    sig = minhash_signatures(sh, "doc_id", num_hashes=16)
-    bands = lsh_band_keys(sig, "doc_id", rows_per_band=4)
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    return jaccard_verify(sh, cand, "doc_id", threshold=0.5)
+    return jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
 
 
 @query(
