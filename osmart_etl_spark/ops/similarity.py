@@ -22,19 +22,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column) -> Column:
-    """Deterministic dot product: elementwise product, left-fold sum."""
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Deterministic dot product: elementwise product, left-fold sum.
+
+    With ``dim`` given, the fold is UNROLLED into a left-associative
+    ``+`` chain of ``element_at`` terms — bit-identical to the fold
+    (same evaluation order). MEASURED SLOWER at dim=64 (the ~380-node
+    chain appears to fall out of whole-stage codegen and gets
+    tree-walk-interpreted per row, losing to the HOF's tight loop:
+    1.6s → 6.3s on the sf0.1 near-dup pair workload), so callers leave
+    ``dim=None`` in the hot paths; the variant is kept for narrow
+    vectors (dim ≤ ~16), where the chain stays codegen-sized."""
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(b, i)
+        return out
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def l2_norm(a: Column) -> Column:
+def l2_norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        out = F.lit(0.0)
+        for i in range(1, dim + 1):
+            out = out + F.element_at(a, i) * F.element_at(a, i)
+        return F.sqrt(out)
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+    return dot(a, b, dim) / (l2_norm(a, dim) * l2_norm(b, dim))
 
 
 def as_double_array(a: Column) -> Column:
@@ -42,7 +61,12 @@ def as_double_array(a: Column) -> Column:
 
 
 def brute_force_topk(
-    vectors: DataFrame, query: DataFrame, id_col: str, vec_col: str, k: int = 10
+    vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Baseline exact top-k by cosine. ``query`` is a 1-row (or few-row)
     DataFrame with columns (q_id, q_vec) — broadcast so the corpus never
@@ -51,7 +75,7 @@ def brute_force_topk(
     v = as_double_array(F.col(vec_col))
     q = as_double_array(F.col("q_vec"))
     scored = vectors.crossJoin(F.broadcast(query)).select(
-        F.col("q_id"), F.col(id_col), cosine(v, q).alias("cos_sim")
+        F.col("q_id"), F.col(id_col), cosine(v, q, dim).alias("cos_sim")
     )
     return scored.orderBy(
         F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc()
@@ -66,6 +90,7 @@ def ivf_probe_topk(
     cluster_col: str,
     k: int = 10,
     nprobe: int = 2,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style search: rank clusters by their best member similarity,
     probe the best ``nprobe``, emit top-k only from inside them.
@@ -78,7 +103,7 @@ def ivf_probe_topk(
     v = as_double_array(F.col(vec_col))
     q = as_double_array(F.col("q_vec"))
     scored = vectors.crossJoin(F.broadcast(query)).select(
-        F.col("q_id"), F.col(id_col), F.col(cluster_col), cosine(v, q).alias("cos_sim")
+        F.col("q_id"), F.col(id_col), F.col(cluster_col), cosine(v, q, dim).alias("cos_sim")
     )
     cluster_rank = (
         scored.groupBy("q_id", cluster_col)
