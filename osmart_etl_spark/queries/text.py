@@ -261,9 +261,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return candidate_pairs(bands, "doc_id")
 
 
-@query(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH shingles AS ({_SHINGLES_SQL}),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
@@ -299,7 +297,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes na ON na.doc_id = i.id_a
     JOIN sizes nb ON nb.doc_id = i.id_b
     WHERE CAST(i.n_inter AS DOUBLE) / CAST(na.n + nb.n - i.n_inter AS DOUBLE) >= 0.5
-    """,
+    """
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=_NGRAM_JACCARD_SQL,
     tags=("ext-dedup", "ngram-jaccard"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +329,56 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     return jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    )
+    SELECT node AS doc_id, MIN(r) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+    tags=("ext-dedup", "connected-components", "iterative"),
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster canonicalization — the last stage of the
+    near-dedup pipeline: LSH candidates → exact-Jaccard verify (≥0.5) →
+    connected components → (doc_id, canonical_id = min doc of its
+    cluster). Keeping min-id per component is how a training pipeline
+    picks which near-dup survives.
+
+    The component step is genuinely iterative (transitive closure), so
+    the Spark side is a driver-bounded label-propagation loop with
+    per-round lineage checkpoints (ops/graph.connected_components); the
+    oracle is DuckDB's recursive CTE over the same verified edges.
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        jaccard_verify_hybrid,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
 
 
 @query(
