@@ -151,3 +151,62 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+_N_SEEDS = 8
+
+
+@query(
+    "ivf_build_assign",
+    oracle=f"""
+    WITH seeds AS (
+      SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS s_vec
+      FROM embeddings WHERE vec_id < {_N_SEEDS}
+    ),
+    scored AS (
+      SELECT e.vec_id, s.seed_id,
+             {_cos_sql("CAST(e.embedding AS DOUBLE[])", "s.s_vec")} AS cos_sim
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, seed_id, cos_sim,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id ORDER BY cos_sim DESC, seed_id ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, seed_id AS cluster_id, cos_sim FROM ranked WHERE rn = 1
+    """,
+    tags=("ext-sim", "ivf-build"),
+)
+def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer BUILD step: deterministic seed centroids
+    (the first _N_SEEDS vectors — a k-means++-free seeding that stays
+    engine-reproducible), every vector assigned to its best seed by
+    cosine, ties to the lower seed id. ``ann_ivf_probe`` is the read
+    side of this index; together they are the build/probe pair.
+
+    Scale shape: seeds broadcast (a centroid table is always tiny),
+    scoring is map-side, and the argmax is ONE partial-aggregated
+    shuffle carrying a single struct per vector —
+    ``max(struct(cos_sim, -seed_id))`` instead of a rank window, which
+    would shuffle all |vectors|×|seeds| scored rows. At re-cluster time
+    this runs once per Lloyd round with updated centroids.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < _N_SEEDS).select(
+        F.col("vec_id").alias("seed_id"),
+        as_double_array(F.col("embedding")).alias("s_vec"),
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        cosine(as_double_array(F.col("embedding")), F.col("s_vec")).alias("cos_sim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("seed_id")).alias("neg_seed"))).alias("b")
+    )
+    return best.select(
+        "vec_id",
+        (-F.col("b.neg_seed")).cast("bigint").alias("cluster_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    )
