@@ -576,3 +576,65 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(sl, " ").alias("chunk_text"),
     )
+
+
+@query(
+    "contamination_check",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i : i+3], ' ') AS gram
+      FROM toks
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, len(t) - 3)) AS i
+      ) g
+      WHERE len(t) >= 4
+    ),
+    bench_grams AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0
+    ),
+    hits AS (
+      SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_shared_grams
+      FROM grams g JOIN bench_grams b ON g.gram = b.gram
+      WHERE g.doc_id % 97 != 0
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_shared_grams FROM hits
+    """,
+    tags=("ext-decontamination", "ngram-overlap"),
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing any
+    4-token n-gram with the held-out benchmark set (here: the
+    deterministic doc_id % 97 == 0 subset stands in for an eval suite).
+    The standard pre-training hygiene pass (e.g. GPT-3 appendix C used
+    13-gram overlap; 4 fits this corpus's short paraphrase-dup docs).
+
+    Scale shape: benchmark n-grams are a broadcast-sized set by nature
+    (eval suites are small) — the join broadcasts them, so the corpus
+    side never shuffles; per-doc gram sets are built with array ops
+    (distinct before explode) and the only aggregation is the per-doc
+    hit count, partial-aggregated map-side.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = d.repartition(n_parts).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 4)
+    idx = F.sequence(F.lit(1), F.size("t") - 3)
+    gram_arr = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(F.col("t"), i, 4), " "))
+    )
+    grams = base.select("doc_id", F.explode(gram_arr).alias("gram"))
+    bench = (
+        grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    )
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )

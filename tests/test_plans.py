@@ -49,3 +49,38 @@ def test_anti_join_broadcast(spark):
 
     plan = _formatted_plan(anti_join_exclusions(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_simhash_zero_shuffle(spark):
+    """The fold-based SimHash must stay a pure projection: no
+    hash-partitioning exchange anywhere (the only exchange is the
+    round-robin repartition off the single input file)."""
+    from osmart_etl_spark.ops.dedup import simhash60
+    from osmart_etl_spark.io.sources import read_table
+
+    df = simhash60(read_table(spark, SF_SMALL, "documents"), "doc_id", "text")
+    plan = _formatted_plan(df)
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_minhash_bands_single_hash_exchange(spark):
+    """Signature + band keys = ONE hash exchange (the groupBy-min);
+    the former stack + groupBy(id, band) second shuffle must not
+    reappear."""
+    from osmart_etl_spark.ops.dedup import minhash_band_keys, shingle_sets
+    from osmart_etl_spark.io.sources import read_table
+
+    sets = shingle_sets(read_table(spark, SF_SMALL, "documents"), "doc_id", "text")
+    plan = _formatted_plan(minhash_band_keys(sets, "doc_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    # map-side combine before the exchange
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_contamination_benchmark_broadcast(spark):
+    """The benchmark n-gram set must broadcast — the corpus-side gram
+    table must not shuffle for the overlap join."""
+    from osmart_etl_spark.queries.text import contamination_check
+
+    plan = _formatted_plan(contamination_check(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan, plan
