@@ -75,3 +75,40 @@ def lang_id(toks: Column) -> Column:
                 is_max = is_max & (scores[lang] >= scores[o])
         expr = F.when((scores[lang] > 0) & is_max, F.lit(lang)).otherwise(expr)
     return expr
+
+
+def max_multiplicity(arr: Column) -> Column:
+    """Highest multiplicity of any element in ``arr`` (0 for empty) —
+    computed as the longest run in the SORTED array via one fold, so
+    per-document mode-counting never needs an explode + two shuffles.
+    Accumulator carries (prev element, current run, best run)."""
+    sorted_arr = F.array_sort(arr)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("best"),
+    )
+    step = lambda acc, x: F.struct(  # noqa: E731
+        x.alias("prev"),
+        F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1)
+        .otherwise(F.lit(1).cast("bigint"))
+        .alias("run"),
+        F.greatest(
+            acc["best"],
+            F.when(acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1).otherwise(
+                F.lit(1).cast("bigint")
+            ),
+        ).alias("best"),
+    )
+    return F.aggregate(sorted_arr, init, step)["best"]
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent token 2-grams as strings; empty for docs with <2 tokens."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - 1, F.lit(0)))
+    return F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        )
+    )

@@ -638,3 +638,75 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared_grams"))
     )
+
+
+@query(
+    "gopher_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT doc_id, MAX(c) AS top_uni
+      FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(t) AS tok FROM toks) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, MAX(c) AS top_bi
+      FROM (
+        SELECT doc_id, gram, COUNT(*) AS c
+        FROM (
+          SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+          FROM toks CROSS JOIN LATERAL (
+            SELECT UNNEST(generate_series(1, len(t) - 1)) AS i
+          ) g
+          WHERE len(t) >= 2
+        ) GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    )
+    SELECT k.doc_id,
+      CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(k.t)) AS DOUBLE) / CAST(len(k.t) AS DOUBLE)
+        AS dup_token_frac,
+      CAST(u.top_uni AS DOUBLE) / CAST(len(k.t) AS DOUBLE) AS top_unigram_frac,
+      CAST(COALESCE(b.top_bi, 0) AS DOUBLE) / CAST(greatest(len(k.t) - 1, 1) AS DOUBLE)
+        AS top_bigram_frac
+    FROM toks k
+    JOIN uni u ON u.doc_id = k.doc_id
+    LEFT JOIN bi b ON b.doc_id = k.doc_id
+    WHERE len(k.t) > 0
+    """,
+    tags=("ext-text", "gopher-repetition"),
+)
+def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. '21 §A1.1): duplicate
+    -token fraction, top-unigram mass, top-bigram mass — the rules that
+    catch boilerplate/keyword-stuffed documents.
+
+    Zero-shuffle: each signal comes off the per-doc token array — the
+    mode count is the longest run of the SORTED array in one fold
+    (ops/text.max_multiplicity), so no explode + groupBy per n-gram
+    order. The oracle computes the same integers relationally; the
+    fractions are bigint/bigint double divisions, bit-deterministic.
+    """
+    from osmart_etl_spark.ops.text import bigrams, max_multiplicity
+
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    base = d.repartition(n_parts).select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    n = F.size("t").cast("bigint")
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct("t")).cast("bigint").cast("double") / n.cast("double")
+    top_uni = max_multiplicity(F.col("t")).cast("double") / n.cast("double")
+    top_bi = max_multiplicity(bigrams(F.col("t"))).cast("double") / F.greatest(
+        n - 1, F.lit(1).cast("bigint")
+    ).cast("double")
+    return base.select(
+        "doc_id",
+        dup_frac.alias("dup_token_frac"),
+        top_uni.alias("top_unigram_frac"),
+        top_bi.alias("top_bigram_frac"),
+    )

@@ -68,9 +68,15 @@ def test_minhash_bands_single_hash_exchange(spark):
     the former stack + groupBy(id, band) second shuffle must not
     reappear."""
     from osmart_etl_spark.ops.dedup import minhash_band_keys, shingle_sets
-    from osmart_etl_spark.io.sources import read_table
 
-    sets = shingle_sets(read_table(spark, SF_SMALL, "documents"), "doc_id", "text")
+    # Fresh local input: reading the shared documents table here can hit
+    # another test's persisted shingle_sets, and the cached plan's
+    # printed lineage double-counts exchanges.
+    docs = spark.createDataFrame(
+        [(i, f"some deterministic text body number {i} with shingles") for i in range(50)],
+        ["doc_id", "text"],
+    )
+    sets = shingle_sets(docs, "doc_id", "text")
     plan = _formatted_plan(minhash_band_keys(sets, "doc_id"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     # map-side combine before the exchange
