@@ -59,15 +59,27 @@ def tag_issue_python_udf(total: float, pagado: float) -> str | None:
 
 @pandas_udf(StringType())
 def tag_issue_pandas_udf(total: pd.Series, pagado: pd.Series) -> pd.Series:
-    """Scalar Pandas UDF (Arrow-batched) — vectorized escape hatch."""
+    """Scalar Pandas UDF (Arrow-batched) — vectorized escape hatch.
+
+    np.select in the EXACT native if/elif precedence: mask-assignment
+    stacks diverge from the native twin wherever a later mask overwrites
+    an earlier one (e.g. negative/zero totals fell through every guarded
+    mask and returned None instead of 'pago_incompleto').
+    """
+    import numpy as np
+
     t, p = total.round(2), pagado.round(2)
-    out = pd.Series([None] * len(t), dtype=object)
-    out[(p < t) & (t > 0)] = "pago_incompleto"
-    out[p > t] = "pago_excedente"
-    out[(p == 0) & (t > 0)] = "sin_pago"
-    out[p == t] = None
-    out[(t == 0) & (p == 0)] = "sin_monto"
-    return out
+    out = np.select(
+        [
+            (t == 0) & (p == 0),
+            p == t,
+            (p == 0) & (t > 0),
+            p > t,
+        ],
+        ["sin_monto", None, "sin_pago", "pago_excedente"],
+        default="pago_incompleto",
+    )
+    return pd.Series(out, index=total.index, dtype=object)
 
 
 def waterfall_pandas_iter_udf():

@@ -97,10 +97,13 @@ def upsert_parquet(
     key prefix (e.g. store + month) and restrict the rewrite to affected
     partitions via dynamic partition overwrite.
     """
-    try:
-        old = spark.read.parquet(path)
-    except Exception:
-        old = None
+    from osmart_etl_spark.io.sources import path_exists
+
+    # Existence is checked explicitly; any error reading an EXISTING table
+    # (transient FS failure, corrupt footer, permissions) propagates
+    # instead of being mistaken for "first write" — a broad except here
+    # would overwrite the table with only the new batch.
+    old = spark.read.parquet(path) if path_exists(spark, path) else None
     merged = upsert_keep_latest(old, new, keys, order_col)
     if old is not None:
         # Sever lineage to the files about to be overwritten (no driver

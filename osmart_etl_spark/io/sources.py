@@ -29,6 +29,22 @@ from pyspark.sql import functions as F
 from osmart_etl_spark.schemas import TESTDATA_SCHEMAS
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` exists on its (Hadoop) filesystem.
+
+    Used by sinks and the watermark store instead of a broad
+    ``except Exception`` around the read: a transient FS error or corrupt
+    footer must propagate (so a retry sees the real failure), not be
+    silently treated as "table missing" — which would overwrite the table
+    with only the new batch, or reset a watermark and re-extract
+    duplicates.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(hpath))
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table with its declared schema.
 

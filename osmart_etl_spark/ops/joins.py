@@ -165,6 +165,18 @@ def reconcile_full_outer(
     )
 
 
+_BUCKET_UNIT_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400, "week": 604800}
+
+
+def _bucket_seconds(bucket: str) -> int:
+    """Parse '<n> <unit>' (e.g. '2 day', '6 hours') to seconds."""
+    n_str, unit = bucket.strip().split()
+    unit = unit.rstrip("s").lower()
+    if unit not in _BUCKET_UNIT_SECONDS:
+        raise ValueError(f"unsupported bucket unit {unit!r}; use one of {sorted(_BUCKET_UNIT_SECONDS)}")
+    return int(n_str) * _BUCKET_UNIT_SECONDS[unit]
+
+
 def range_join_bucketed(
     events: DataFrame,
     intervals: DataFrame,
@@ -183,18 +195,25 @@ def range_join_bucketed(
     BroadcastNestedLoopJoin — O(events × intervals), fatal at scale.
     Bucketing turns it into a hash join on (bucket, extra keys): cost
     O(events + intervals × span/bucket + matches). Same technique as
-    Flink interval joins / spatial grid joins. ``bucket`` must be at
-    least as coarse as typical interval length or the explode dominates.
+    Flink interval joins / spatial grid joins.
+
+    Both sides bucket on the SAME fixed epoch grid
+    (``floor(unix_ts / bucket_seconds)``): a per-side truncation (e.g.
+    day-trunc events while exploding intervals at a coarser step) leaves
+    grid points the two sides don't share and silently drops matches.
+    Pick ``bucket`` near the typical interval length: coarser wastes
+    filter work, much finer makes the interval explode dominate.
     """
-    b = F.expr(f"interval {bucket}") if not bucket[0].isdigit() else F.expr(f"interval {bucket}")
-    ev = events.withColumn("__bucket", F.date_trunc("day", F.col(ts_col)))
+    step = F.lit(_bucket_seconds(bucket))
+    ev = events.withColumn(
+        "__bucket", F.floor(F.col(ts_col).cast("long") / step)
+    )
     iv = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                F.date_trunc("day", F.col(start_col)),
-                F.date_trunc("day", F.col(end_col)),
-                b,
+                F.floor(F.col(start_col).cast("long") / step),
+                F.floor(F.col(end_col).cast("long") / step),
             )
         ),
     )

@@ -18,8 +18,38 @@ dots) so no centroid arrays are ever materialized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _topk_per_query(scored: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Top-k rows per ``q_id`` (deterministic: cos desc, id asc).
+
+    Two-phase so the final per-query rank never sees the full corpus:
+    phase 1 keeps the top-k within each (q_id, input-partition) slice —
+    the global per-query top-k is a subset of the union of per-slice
+    top-k under ANY partition layout, so correctness is layout-
+    independent — phase 2 ranks the ≤ k·n_partitions survivors per
+    q_id. Scored rows are narrow (ids + one double; vectors already
+    projected away), so the phase-1 shuffle is cheap, and hot queries
+    don't serialize onto one reducer the way a single global
+    ``Window.partitionBy(q_id)`` over raw scores would.
+    """
+    order = [F.col("cos_sim").desc(), F.col(id_col).asc()]
+    w1 = Window.partitionBy("q_id", "__pid").orderBy(*order)
+    pruned = (
+        scored.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .drop("__pid", "__rn")
+    )
+    w2 = Window.partitionBy("q_id").orderBy(*order)
+    return (
+        pruned.withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy(F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc())
+    )
 
 
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -68,18 +98,17 @@ def brute_force_topk(
     k: int = 10,
     dim: int | None = None,
 ) -> DataFrame:
-    """Baseline exact top-k by cosine. ``query`` is a 1-row (or few-row)
+    """Baseline exact top-k by cosine, PER QUERY. ``query`` is a
     DataFrame with columns (q_id, q_vec) — broadcast so the corpus never
-    shuffles; the top-k itself is TakeOrderedAndProject (per-partition
-    heaps, driver merge of k)."""
+    shuffles; each query row gets its own k results (a global
+    ``.limit(k)`` would hand all k slots to whichever q_id sorts
+    lowest)."""
     v = as_double_array(F.col(vec_col))
     q = as_double_array(F.col("q_vec"))
     scored = vectors.crossJoin(F.broadcast(query)).select(
         F.col("q_id"), F.col(id_col), cosine(v, q, dim).alias("cos_sim")
     )
-    return scored.orderBy(
-        F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc()
-    ).limit(k)
+    return _topk_per_query(scored, k, id_col)
 
 
 def ivf_probe_topk(
@@ -105,14 +134,18 @@ def ivf_probe_topk(
     scored = vectors.crossJoin(F.broadcast(query)).select(
         F.col("q_id"), F.col(id_col), F.col(cluster_col), cosine(v, q, dim).alias("cos_sim")
     )
+    cw = Window.partitionBy("q_id").orderBy(
+        F.col("c_score").desc(), F.col(cluster_col).asc()
+    )
+    # Cluster selection is per q_id (a global limit(nprobe) would probe
+    # only the best clusters of one query); the ranked table is tiny
+    # (queries × clusters), so the window costs nothing.
     cluster_rank = (
         scored.groupBy("q_id", cluster_col)
         .agg(F.max("cos_sim").alias("c_score"))
-        .orderBy(F.col("c_score").desc(), F.col(cluster_col).asc())
-        .limit(nprobe)
+        .withColumn("__crn", F.row_number().over(cw))
+        .filter(F.col("__crn") <= nprobe)
         .select("q_id", cluster_col)
     )
     probed = scored.join(F.broadcast(cluster_rank), ["q_id", cluster_col])
-    return probed.orderBy(
-        F.col("q_id").asc(), F.col("cos_sim").desc(), F.col(id_col).asc()
-    ).limit(k)
+    return _topk_per_query(probed, k, id_col)

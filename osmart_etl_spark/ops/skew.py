@@ -28,18 +28,30 @@ def salted_sum_count(
     n_salts: int = 16,
     value_alias: str = "total",
     count_alias: str = "n",
+    salt_from: list[str] | None = None,
 ) -> DataFrame:
     """Skew-proof SUM + COUNT per key via two-phase salted aggregation.
 
     Phase 1 groups by (keys…, salt) — the hot key's rows spread over
     ``n_salts`` reducers; phase 2 merges the ≤n_salts partials per key.
-    Results are identical to a plain groupBy (sum/count are algebraic);
-    the salt derives from a hash of a uniform column rather than rand()
-    so the computation stays deterministic and retry-safe (a rand() salt
-    changes assignment on task retry — fine for sums, but it breaks
-    result reproducibility audits).
+    Results are identical to a plain groupBy (sum/count are algebraic).
+
+    The salt hashes **stable row content** (``salt_from``, e.g. a unique
+    event id), never ``rand()`` or ``monotonically_increasing_id()``:
+    both of those depend on run/partition layout, so a stage retry after
+    a fetch failure can route recomputed rows to different (key, salt)
+    reducers (SPARK-23207-class loss/duplication) and reproducibility
+    audits break. ``salt_from`` is required so the determinism guarantee
+    is real, not aspirational.
     """
-    salt = (F.abs(F.hash(*[F.col(k) for k in keys], F.monotonically_increasing_id())) % n_salts).alias("__salt")
+    if not salt_from:
+        raise ValueError(
+            "salt_from is required: pass stable unique column(s) (e.g. an "
+            "event id) so the salt is deterministic under task retry"
+        )
+    salt = (
+        F.abs(F.hash(*[F.col(c) for c in salt_from])) % n_salts
+    ).alias("__salt")
     partial = (
         df.select(*keys, value.alias("__v"), salt)
         .groupBy(*keys, "__salt")

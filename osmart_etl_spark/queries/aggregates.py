@@ -448,7 +448,7 @@ def salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_table(spark, sf_dir, "events")
     out = salted_sum_count(
         ev, ["user_id"], dec(F.col("value")), n_salts=16,
-        value_alias="total_dec", count_alias="n",
+        value_alias="total_dec", count_alias="n", salt_from=["event_id"],
     )
     return out.select("user_id", dbl(F.col("total_dec")).alias("total"), "n")
 

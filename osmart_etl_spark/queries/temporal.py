@@ -534,7 +534,7 @@ def tumbling_window_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_windows",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                   OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                      > INTERVAL 6 HOUR
@@ -542,9 +542,9 @@ def tumbling_window_net(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     sessions AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, event_id, ts, value,
         SUM(is_new_session) OVER (
-          PARTITION BY user_id ORDER BY ts
+          PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
         ) AS session_id
       FROM marked
@@ -577,7 +577,7 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frame = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     sessions = marked.withColumn("session_id", F.sum("is_new_session").over(frame))

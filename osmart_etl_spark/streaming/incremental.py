@@ -57,10 +57,14 @@ class WatermarkStore:
         self.path = path
 
     def read_all(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(WATERMARK_SCHEMA).parquet(self.path)
-        except Exception:
+        from osmart_etl_spark.io.sources import path_exists
+
+        # Only a genuinely missing store reads as empty; a transient FS
+        # error must raise, not silently reset the watermark (which would
+        # re-extract and duplicate-append the whole history).
+        if not path_exists(self.spark, self.path):
             return self.spark.createDataFrame([], WATERMARK_SCHEMA)
+        return self.spark.read.schema(WATERMARK_SCHEMA).parquet(self.path)
 
     def get(self, pipeline: str, store: str) -> str | None:
         rows = (
