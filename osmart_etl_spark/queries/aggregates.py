@@ -378,21 +378,53 @@ def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_sketches",
-    oracle=None,  # sketch outputs are engine-specific by design → rows-only check
+    oracle="""
+    SELECT event_type,
+      COUNT(DISTINCT user_id) AS n_distinct_users,
+      TRUE AS approx_users_ok,
+      TRUE AS p50_ok,
+      COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
     tags=("extras-approx",),
 )
 def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — HyperLogLog distinct counts and t-digest
-    percentiles (free from Spark; absent from the reference). No SQL
-    oracle: sketch estimates legitimately differ across engines, so the
-    driver records the weaker rows-only check. The test suite bounds the
-    estimates against exact counts instead (tests/test_queries_parity.py).
+    """Approximate aggregates — HyperLogLog distinct counts and KLL-style
+    quantile sketches (free from Spark; absent from the reference).
+
+    Sketch estimates legitimately differ across engines, so the raw
+    estimates can't hash-match a DuckDB oracle. The verification contract
+    instead: output the EXACT stats (which both engines agree on
+    bit-for-bit) plus booleans asserting each sketch lies within its
+    documented error bound — ``approx_count_distinct`` default rsd=0.05,
+    checked at 3σ (±15%); ``percentile_approx(…, 1000)`` guarantees rank
+    error ≤ n/1000, checked against exact quantiles at 0.5 ± 0.02. The
+    oracle emits TRUE literals, so a sketch drifting out of bound becomes
+    a value-hash mismatch, not silence. Both sketches are merge-
+    commutative, hence deterministic under any partitioning.
     """
     ev = read_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.expr("percentile_approx(value, 0.5, 1000)").alias("p50_approx"),
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_distinct_users"),
+        F.approx_count_distinct("user_id").alias("__approx_users"),
+        F.expr("percentile_approx(value, 0.5, 1000)").alias("__p50_approx"),
+        F.expr("percentile(value, 0.48)").alias("__p50_lo"),
+        F.expr("percentile(value, 0.52)").alias("__p50_hi"),
         F.count(F.lit(1)).alias("n"),
+    )
+    return agg.select(
+        "event_type",
+        "n_distinct_users",
+        (
+            F.abs(F.col("__approx_users") - F.col("n_distinct_users"))
+            <= F.ceil(F.lit(0.15) * F.col("n_distinct_users"))
+        ).alias("approx_users_ok"),
+        (
+            (F.col("__p50_approx") >= F.col("__p50_lo"))
+            & (F.col("__p50_approx") <= F.col("__p50_hi"))
+        ).alias("p50_ok"),
+        "n",
     )
 
 

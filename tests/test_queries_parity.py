@@ -45,8 +45,10 @@ def test_registry_contract():
 
 
 def test_approx_sketches_bounded(spark):
-    """approx_count_distinct (HLL) within its advertised error of the
-    exact count; percentile_approx between group min/max."""
+    """The query's own verification contract: every sketch-in-bound
+    boolean is TRUE and the exact columns match an independent exact
+    aggregation (the driver's oracle additionally hash-checks these
+    against DuckDB)."""
     from pyspark.sql import functions as F
 
     from osmart_etl_spark.io.sources import read_table
@@ -57,13 +59,12 @@ def test_approx_sketches_bounded(spark):
     exact = {
         r["event_type"]: r
         for r in ev.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
-        )
+        .agg(F.countDistinct("user_id").alias("n"), F.count(F.lit(1)).alias("cnt"))
         .collect()
     }
+    assert set(got) == set(exact)
     for k, r in got.items():
-        assert abs(r["approx_users"] - exact[k]["n"]) <= max(2, 0.1 * exact[k]["n"])
-        assert exact[k]["lo"] <= r["p50_approx"] <= exact[k]["hi"]
+        assert r["approx_users_ok"] is True
+        assert r["p50_ok"] is True
+        assert r["n_distinct_users"] == exact[k]["n"]
+        assert r["n"] == exact[k]["cnt"]
