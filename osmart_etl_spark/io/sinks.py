@@ -115,6 +115,73 @@ def upsert_parquet(
     writer.parquet(path)
 
 
+def merge_upsert_partitioned(
+    spark: SparkSession,
+    new: DataFrame,
+    path: str,
+    keys: list[str],
+    order_col: str,
+    *,
+    n_buckets: int = 64,
+    bucket_col: str = "__bucket",
+) -> list[int]:
+    """MERGE-style upsert with O(delta) write cost (S7/S8 scale path).
+
+    The MySQL reference upserts via ``INSERT … ON DUPLICATE KEY UPDATE``
+    (db_helpers.py:25-40) — the engine touches only the rows whose PKs
+    appear in the batch. ``upsert_parquet`` above is semantically right
+    but rewrites the WHOLE table per batch; at 100 TB that is the first
+    real wall. This sink restores the O(delta) property on plain parquet:
+
+    1. the table is laid out partitioned by ``pmod(hash(keys…), n_buckets)``
+       — a deterministic function of the key, so every key lives in
+       exactly one partition directory forever;
+    2. an incoming batch touches only the buckets its keys hash to —
+       read back JUST those partitions (directory pruning, not a table
+       scan), merge keep-latest, and rewrite JUST those directories via
+       dynamic partition overwrite.
+
+    Per-batch cost: O(|delta| + size of touched buckets) ≈
+    O(|delta| × table_size/n_buckets · distinct_buckets). With Delta Lake
+    available the same call is one ``MERGE INTO`` (file-level instead of
+    bucket-level granularity); this is the no-extra-dependency analogue.
+
+    Returns the list of touched bucket ids (for tests / observability).
+    """
+    bucketed = new.withColumn(
+        bucket_col, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    )
+    from osmart_etl_spark.io.sources import path_exists
+
+    if not path_exists(spark, path):
+        bucketed.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+        return sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
+
+    # ≤ n_buckets small ints — a bounded driver-side read, not a data scan.
+    touched = sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
+    old_touched = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
+    merged = upsert_keep_latest(old_touched, bucketed, keys, order_col)
+    # Reading from and overwriting the same directories: materialize on
+    # the executors first so the overwrite never consumes files it is
+    # deleting.
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        # Per-write dynamic overwrite: only partitions PRESENT in `merged`
+        # (exactly the touched buckets) are replaced; the rest of the
+        # table's directories are never listed, read, or rewritten.
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(bucket_col)
+        .parquet(path)
+    )
+    return touched
+
+
+def read_merge_table(spark: SparkSession, path: str, bucket_col: str = "__bucket") -> DataFrame:
+    """Read a ``merge_upsert_partitioned`` table without the layout column."""
+    return spark.read.parquet(path).drop(bucket_col)
+
+
 def write_quarantine(df: DataFrame, path: str) -> None:
     """Append-mode quarantine sink (S9, dq_exclusions_csv.py:57-66).
 
