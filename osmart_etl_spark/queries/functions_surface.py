@@ -56,8 +56,8 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id, ts,
       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-        PARTITION BY user_id ORDER BY epoch(ts)
-        RANGE BETWEEN 259200 PRECEDING AND CURRENT ROW
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW
       ) AS DOUBLE) AS value_3d
     FROM events
     """,
@@ -68,13 +68,14 @@ def moving_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     TIME, not row position: rows within 259200s of the current row's
     timestamp. Unlike a ROWS frame this is robust to uneven event
     density — the frame follows the clock. (Spark's rangeBetween takes
-    numeric offsets, so the order key is epoch seconds; DuckDB's epoch()
-    matches.)"""
+    numeric offsets, so the order key is integer MICROSECONDS — a
+    floor-to-second key silently moves rows in/out of the frame when a
+    gap is within 1s of the bound; DuckDB's epoch_us matches exactly.)"""
     ev = read_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
-        .rangeBetween(-259200, 0)
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-259_200_000_000, 0)
     )
     return ev.select(
         "event_id", "user_id", "ts",

@@ -536,17 +536,18 @@ def tumbling_window_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH marked AS (
       SELECT user_id, event_id, ts, value,
         CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                     > INTERVAL 6 HOUR
+                  OR epoch_us(ts)
+                     - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 21600000000
              THEN 1 ELSE 0 END AS is_new_session
       FROM events
     ),
     sessions AS (
       SELECT user_id, event_id, ts, value,
-        SUM(is_new_session) OVER (
+        CAST(SUM(is_new_session) OVER (
           PARTITION BY user_id ORDER BY ts, event_id
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
+        ) AS BIGINT) AS session_id
       FROM marked
     )
     SELECT user_id, session_id,
@@ -570,10 +571,14 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    # Exact-microsecond gap (unix_micros ↔ DuckDB epoch_us) — a
+    # floor-to-second cast("long") diverges from the oracle whenever a
+    # gap straddles the 6h boundary by sub-second amounts (1 known case
+    # at sf0.1).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
     marked = ev.withColumn(
         "is_new_session",
-        F.when(gap.isNull() | (gap > 6 * 3600), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
     frame = (
         Window.partitionBy("user_id")

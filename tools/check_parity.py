@@ -58,6 +58,18 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
+        # Representation drift the driver's value-hash WOULD catch but a
+        # value-level compare coerces away: e.g. DuckDB HUGEINT (int128,
+        # fetchdf → float64) vs Spark BIGINT (int64). If one side is
+        # integer and the other float with no NaN explaining it, the
+        # engines disagree on the column's type — fail loudly.
+        sk, dk = sv.dtype.kind, dv.dtype.kind
+        if {sk, dk} == {"i", "f"} and not sv.isna().any() and not dv.isna().any():
+            problems.append(
+                f"col {c}: dtype drift spark={sv.dtype} duck={dv.dtype} "
+                "(engine type mismatch, e.g. HUGEINT vs BIGINT — cast the oracle)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(dv):
             both_nan = sv.isna() & dv.isna()
             eq = (sv == dv) | both_nan
