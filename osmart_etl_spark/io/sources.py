@@ -39,10 +39,25 @@ def path_exists(spark: SparkSession, path: str) -> bool:
     with only the new batch, or reset a watermark and re-extract
     duplicates.
     """
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.exists(hpath))
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(hpath))
+    except AttributeError:
+        # Spark Connect session: no _jvm/_jsc gateway. Probe by asking the
+        # server to resolve the path's schema — PATH_NOT_FOUND means
+        # missing; anything else (corrupt footer, permissions, transient
+        # FS error) propagates, same contract as the JVM branch.
+        from pyspark.errors import AnalysisException
+
+        try:
+            spark.read.format("parquet").load(path).schema
+            return True
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" in (getattr(e, "getErrorClass", lambda: "")() or str(e)):
+                return False
+            raise
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

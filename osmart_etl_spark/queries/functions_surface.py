@@ -43,10 +43,11 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey", "o_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.row_number().over(w).alias("rn"),
-        F.ntile(4).over(w).alias("quartile"),
+        # Spark ranking fns emit INT, DuckDB BIGINT — pin BIGINT.
+        F.rank().over(w).cast("bigint").alias("rnk"),
+        F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.percent_rank().over(w).cast("double").alias("pct_rank"),
     )
 
@@ -180,9 +181,9 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
       sqrt(value) AS root,
       abs(value * -1) AS absolute,
-      sign(value - 100) AS sgn,
-      ceil(value) AS up,
-      floor(value) AS down,
+      CAST(sign(value - 100) AS BIGINT) AS sgn,
+      CAST(ceil(value) AS BIGINT) AS up,
+      CAST(floor(value) AS BIGINT) AS down,
       CAST(CAST(event_id AS BIGINT) % 7 AS BIGINT) AS m7,
       greatest(value, 50.0) AS hi,
       least(value, 50.0) AS lo
@@ -201,7 +202,10 @@ def math_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sqrt(v).alias("root"),
         F.abs(v * -1).alias("absolute"),
-        F.signum(v - 100).alias("sgn"),
+        # Engine result types differ on these (DuckDB sign→TINYINT,
+        # ceil/floor(double)→DOUBLE; Spark signum→DOUBLE, ceil/floor→LONG)
+        # — both sides pin BIGINT so the driver's value-hash agrees.
+        F.signum(v - 100).cast("bigint").alias("sgn"),
         F.ceil(v).alias("up"),
         F.floor(v).alias("down"),
         (F.col("event_id") % 7).cast("bigint").alias("m7"),

@@ -70,6 +70,12 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 "(engine type mismatch, e.g. HUGEINT vs BIGINT — cast the oracle)"
             )
             continue
+        if sk == "i" and dk == "i" and sv.dtype != dv.dtype:
+            problems.append(
+                f"col {c}: integer width drift spark={sv.dtype} duck={dv.dtype} "
+                "(e.g. TINYINT vs BIGINT — cast both sides to BIGINT)"
+            )
+            continue
         if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(dv):
             both_nan = sv.isna() & dv.isna()
             eq = (sv == dv) | both_nan
