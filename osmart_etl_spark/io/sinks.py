@@ -146,16 +146,49 @@ def merge_upsert_partitioned(
     available the same call is one ``MERGE INTO`` (file-level instead of
     bucket-level granularity); this is the no-extra-dependency analogue.
 
+    The key→bucket layout (n_buckets, key list, order column) is pinned
+    in a ``_layout`` sidecar inside the table directory on first write
+    (underscore-prefixed, so table reads never see it) and validated on
+    every later batch: a batch with a different n_buckets or key order
+    would hash keys to DIFFERENT directories, silently leaving stale
+    versions unmerged — that is a hard error here, not a corruption.
+
     Returns the list of touched bucket ids (for tests / observability).
     """
     bucketed = new.withColumn(
         bucket_col, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
     )
+    # ONE materialization of the incoming batch: the touched-bucket set
+    # and the written rows must come from the same evaluation — a
+    # nondeterministic source re-evaluated at write time could emit rows
+    # into buckets absent from `touched`, and dynamic overwrite would
+    # then replace those directories losing every pre-existing row.
+    bucketed = bucketed.localCheckpoint(eager=True)
     from osmart_etl_spark.io.sources import path_exists
 
+    layout = {
+        "n_buckets": n_buckets,
+        "keys": list(keys),
+        "order_col": order_col,
+        "bucket_col": bucket_col,
+    }
+    layout_path = f"{path.rstrip('/')}/_layout"
     if not path_exists(spark, path):
         bucketed.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
+        # Sidecar AFTER the table write (the overwrite would delete it).
+        spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(layout_path)
         return sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
+
+    # F.hash is order-sensitive over its arguments, so the key LIST (not
+    # set) must match exactly.
+    stored = _read_layout(spark, layout_path)
+    if stored != layout:
+        raise ValueError(
+            f"merge_upsert_partitioned layout mismatch at {path}: "
+            f"table was created with {stored}, this batch supplies {layout}. "
+            "Changing n_buckets/keys re-homes keys to different directories; "
+            "rebuild the table instead."
+        )
 
     # ≤ n_buckets small ints — a bounded driver-side read, not a data scan.
     touched = sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
@@ -175,6 +208,17 @@ def merge_upsert_partitioned(
         .parquet(path)
     )
     return touched
+
+
+def _read_layout(spark: SparkSession, layout_path: str) -> dict:
+    """Read the ``_layout`` sidecar of a merge table (internal)."""
+    row = spark.read.json(layout_path).collect()[0].asDict()
+    return {
+        "n_buckets": int(row["n_buckets"]),
+        "keys": list(row["keys"]),
+        "order_col": row["order_col"],
+        "bucket_col": row["bucket_col"],
+    }
 
 
 def read_merge_table(spark: SparkSession, path: str, bucket_col: str = "__bucket") -> DataFrame:

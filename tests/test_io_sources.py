@@ -59,3 +59,138 @@ def test_quarantine_sink_roundtrip(spark, tmp_path):
     assert back.count() == 2 * res.quarantined.count()
     deduped = dedup_by_key(back, ["uniq"])
     assert deduped.count() == res.quarantined.count()
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert_partitioned (S7/S8 O(delta) scale path)
+# ---------------------------------------------------------------------------
+
+
+def _merge_rows(spark, path):
+    from osmart_etl_spark.io.sinks import read_merge_table
+
+    return {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in read_merge_table(spark, path).collect()
+    }
+
+
+def _file_snapshot(path):
+    """{relpath: (size, mtime)} for every data file under a merge table."""
+    import os
+
+    snap = {}
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.startswith(("_", ".")) or "_layout" in root:
+                continue
+            p = os.path.join(root, f)
+            rel = os.path.relpath(p, path)
+            st = os.stat(p)
+            snap[rel] = (st.st_size, st.st_mtime_ns)
+    return snap
+
+
+def test_merge_upsert_equivalence_and_idempotency(spark, tmp_path):
+    """The O(delta) merge sink must agree with the reference semantics
+    (upsert_keep_latest = INSERT..ON DUPLICATE KEY UPDATE) and a rerun
+    of the same batch must be a no-op on table contents."""
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned, upsert_keep_latest
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(200)], "k1 int, k2 int, v double, ver int"
+    )
+    batch = spark.createDataFrame(
+        [(i, i % 3, float(i) + 100.0, 2) for i in range(50, 70)]
+        + [(1000 + i, i % 3, -1.0, 2) for i in range(5)],  # brand-new keys
+        "k1 int, k2 int, v double, ver int",
+    )
+
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=16)
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=16)
+
+    expect = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in upsert_keep_latest(base, batch, ["k1", "k2"], "ver").collect()
+    }
+    assert _merge_rows(spark, path) == expect
+
+    # Idempotency: replaying the SAME batch changes nothing.
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=16)
+    assert _merge_rows(spark, path) == expect
+
+
+def test_merge_upsert_touches_bounded_buckets(spark, tmp_path):
+    """A small batch must touch only the buckets its keys hash to, and
+    every file in an UNtouched bucket directory must remain byte-for-byte
+    the same (same size + mtime) after the merge — the O(delta) claim."""
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(500)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=32)
+
+    before = _file_snapshot(path)
+    one_key = spark.createDataFrame([(7, 0, 9.9, 2)], "k1 int, k2 int, v double, ver int")
+    touched = merge_upsert_partitioned(spark, one_key, path, ["k1", "k2"], "ver", n_buckets=32)
+
+    assert len(touched) == 1  # one key → exactly one bucket
+    after = _file_snapshot(path)
+    touched_dirs = {f"__bucket={b}" for b in touched}
+    for rel, sig in before.items():
+        bucket_dir = rel.split("/")[0]
+        if bucket_dir not in touched_dirs:
+            assert after.get(rel) == sig, f"untouched file changed: {rel}"
+
+
+def test_merge_upsert_layout_mismatch_raises(spark, tmp_path):
+    """Re-merging with different n_buckets or key order would hash keys
+    to the wrong directories — must be rejected, not silently corrupt."""
+    import pytest
+
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(1, 2, 1.0, 1)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=16)
+    with pytest.raises(ValueError, match="layout mismatch"):
+        merge_upsert_partitioned(spark, base, path, ["k2", "k1"], "ver", n_buckets=8)
+
+
+def test_merge_upsert_nondeterministic_batch_loses_no_rows(spark, tmp_path):
+    """The batch is materialized ONCE before the touched-bucket set is
+    computed: even a nondeterministic source (rand()-keyed) cannot emit
+    write-time rows into buckets missing from the touched set, which
+    dynamic overwrite would then clobber."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned, read_merge_table
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, 0.0, 1) for i in range(300)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=16)
+    n_before = read_merge_table(spark, path).count()
+
+    nondet = (
+        spark.range(10)
+        .select(
+            (F.floor(F.rand() * 10000) + 2000).cast("int").alias("k1"),
+            F.lit(0).alias("k2"),
+            F.lit(5.0).alias("v"),
+            F.lit(2).alias("ver"),
+        )
+    )
+    merge_upsert_partitioned(spark, nondet, path, ["k1", "k2"], "ver", n_buckets=16)
+    # Every base row must survive (new keys only ADD; rand keys are >= 2000).
+    out = read_merge_table(spark, path)
+    assert out.filter(F.col("k1") < 300).count() == n_before
