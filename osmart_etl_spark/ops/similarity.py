@@ -149,3 +149,154 @@ def ivf_probe_topk(
     )
     probed = scored.join(F.broadcast(cluster_rank), ["q_id", cluster_col])
     return _topk_per_query(probed, k, id_col)
+
+
+def recompute_centroids(
+    assigned: DataFrame, vec_col: str, cluster_col: str = "cluster_id"
+) -> DataFrame:
+    """Elementwise-mean centroids per cluster, distributed.
+
+    posexplode → groupBy (cluster, position) → avg → re-assemble sorted
+    by position. The shuffle carries n·d scalar rows ONCE per Lloyd
+    round — the idiomatic distributed array-mean (Spark has no native
+    array-avg aggregate); partial aggregation halves it map-side. The
+    output is K rows (centroid table) — always broadcastable.
+
+    Float means are reduction-order-dependent, so refined centroids are
+    NOT bit-reproducible across partitionings — fine for index BUILD
+    (recall is measured, not hashed); the oracle-backed seed assignment
+    (queries/similarity.ivf_build_assign) stays the engine-parity
+    surface.
+    """
+    pos = assigned.select(
+        cluster_col, F.posexplode(as_double_array(F.col(vec_col))).alias("pos", "x")
+    )
+    return (
+        pos.groupBy(cluster_col, "pos")
+        .agg(F.avg("x").alias("m"))
+        .groupBy(cluster_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(cluster_col, F.transform("pm", lambda s: s["m"]).alias("c_vec"))
+    )
+
+
+def assign_to_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest centroid by cosine (argmax via
+    one partial-aggregated struct-max — no rank window, no n×K shuffle).
+    ``centroids``: (cluster_id, c_vec); broadcast — a centroid table is
+    always tiny."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+        id_col,
+        "cluster_id",
+        cosine(as_double_array(F.col(vec_col)), F.col("c_vec"), dim).alias("cos_sim"),
+    )
+    best = scored.groupBy(id_col).agg(
+        F.max(F.struct(F.col("cos_sim"), (-F.col("cluster_id")).alias("neg_c"))).alias("b")
+    )
+    return best.select(
+        id_col,
+        (-F.col("b.neg_c")).cast("bigint").alias("cluster_id"),
+        F.col("b.cos_sim").alias("cos_sim"),
+    )
+
+
+def lloyd_refine(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_clusters: int,
+    n_rounds: int = 3,
+) -> DataFrame:
+    """K-means (Lloyd) refinement of an IVF coarse quantizer.
+
+    Seeds = the first ``k_clusters`` vectors by id (deterministic, no
+    RNG); each round reassigns all vectors to the nearest centroid and
+    recomputes elementwise-mean centroids. Returns the final assignment
+    (id, cluster_id, cos_sim).
+
+    Scale shape per round: one broadcast of K centroids, one map-side
+    scoring pass, one partial-aggregated argmax shuffle, one n·d
+    centroid-mean shuffle. The assignment is persisted per round and the
+    previous round unpersisted — lineage stays O(1) across rounds
+    instead of growing a 2^rounds replay chain.
+    """
+    seeds = (
+        vectors.orderBy(F.col(id_col).asc())
+        .limit(k_clusters)
+        .select(
+            F.row_number().over(Window.orderBy(F.col(id_col).asc())).alias("cluster_id"),
+            as_double_array(F.col(vec_col)).alias("c_vec"),
+        )
+    )
+    centroids = seeds
+    assigned = None
+    for _ in range(max(1, n_rounds)):
+        prev = assigned
+        assigned = assign_to_centroids(vectors, centroids, id_col, vec_col).join(
+            vectors.select(id_col, vec_col), id_col
+        )
+        assigned = assigned.persist()
+        assigned.count()  # materialize via the DAG path (AQE stays on)
+        if prev is not None:
+            prev.unpersist()
+        centroids = recompute_centroids(assigned, vec_col)
+    return assigned.select(id_col, "cluster_id", "cos_sim")
+
+
+def ivf_probe_topk_centroids(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str = "cluster_id",
+    k: int = 10,
+    nprobe: int = 2,
+    dim: int | None = None,
+) -> DataFrame:
+    """True-IVF probe: cluster selection costs Q×K centroid dots, and
+    ONLY the members of the selected clusters are ever scored.
+
+    ``ivf_probe_topk`` above ranks clusters by best member similarity —
+    robust, but it scores the full corpus to find that max, so it prunes
+    rank work, not scan work. With a centroid table (seed vectors or
+    ``lloyd_refine`` output: (cluster_id, c_vec)) the selection phase
+    touches no corpus rows at all; the scan reads ~nprobe/K of the
+    corpus. That is the shape that survives 100 TB: centroid table
+    broadcast twice (once against queries — trivially small — once as
+    the per-query probe list joined into the corpus scan).
+
+    On ISOTROPIC (unstructured) vectors coarse cells barely concentrate
+    neighbors, so recall demands a high nprobe/K — see
+    tests/test_similarity_recall.py, which pins that worst-case curve;
+    clustered real-world embeddings reach the same recall at far lower
+    probe fractions.
+    """
+    q = as_double_array(F.col("q_vec"))
+    c_scored = query.crossJoin(F.broadcast(centroids)).select(
+        "q_id", cluster_col, cosine(q, F.col("c_vec"), dim).alias("c_score")
+    )
+    cw = Window.partitionBy("q_id").orderBy(
+        F.col("c_score").desc(), F.col(cluster_col).asc()
+    )
+    probe_list = (
+        c_scored.withColumn("__crn", F.row_number().over(cw))
+        .filter(F.col("__crn") <= nprobe)
+        .select("q_id", cluster_col)
+    )
+    v = as_double_array(F.col(vec_col))
+    # (q_id, cluster) pairs join corpus on cluster FIRST — rows outside
+    # probed clusters never reach the scoring expression.
+    probed = vectors.join(F.broadcast(probe_list), cluster_col).join(
+        F.broadcast(query), "q_id"
+    )
+    scored = probed.select(
+        "q_id", id_col, cosine(v, as_double_array(F.col("q_vec")), dim).alias("cos_sim")
+    )
+    return _topk_per_query(scored, k, id_col)

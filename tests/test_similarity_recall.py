@@ -1,0 +1,133 @@
+"""ANN quality gate: IVF probe recall@10 vs brute-force ground truth,
+with Lloyd-refined centroids (SURVEY extension surface; the scale path
+for similarity search must MEASURE its recall, not assume it)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_MEDIUM
+
+K = 10
+N_QUERIES = 20
+N_CLUSTERS = 16
+# The synthetic embeddings are ISOTROPIC random vectors (measured:
+# within-label cos ~= cross-label cos ~= 0, top-10 neighbor label purity
+# at chance) -- the worst case for IVF, where coarse cells barely
+# concentrate neighbors. recall@10 >= 0.9 therefore needs a high probe
+# fraction here (12/16); clustered real embeddings reach it far lower.
+NPROBE = 12
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from osmart_etl_spark.io.sources import read_table
+
+    # single-file parquet = one partition; spread before heavy ops
+    return read_table(spark, SF_MEDIUM, "embeddings").repartition(8).persist()
+
+
+@pytest.fixture(scope="module")
+def queries_df(spark, emb):
+    from osmart_etl_spark.ops.similarity import as_double_array
+
+    return (
+        emb.orderBy(F.col("vec_id").desc())
+        .limit(N_QUERIES)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            as_double_array(F.col("embedding")).alias("q_vec"),
+        )
+        .persist()
+    )
+
+
+def _recall_at_k(truth, got) -> float:
+    t, g = {}, {}
+    for r in truth:
+        t.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in got:
+        g.setdefault(r["q_id"], set()).add(r["vec_id"])
+    per_q = [len(t[q] & g.get(q, set())) / len(t[q]) for q in t]
+    return sum(per_q) / len(per_q)
+
+
+def test_ivf_recall_at_10(spark, emb, queries_df):
+    """Lloyd-refined centroids + true-IVF probe (cluster selection from
+    the centroid table, only probed members scored) must reach
+    recall@10 >= 0.9 against exact brute force."""
+    from osmart_etl_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_probe_topk_centroids,
+        lloyd_refine,
+        recompute_centroids,
+    )
+
+    truth = brute_force_topk(emb, queries_df, "vec_id", "embedding", k=K).collect()
+
+    assigned = lloyd_refine(emb, "vec_id", "embedding", N_CLUSTERS, n_rounds=3)
+    clustered = emb.join(assigned.select("vec_id", "cluster_id"), "vec_id")
+    centroids = recompute_centroids(
+        clustered.select("cluster_id", "embedding"), "embedding"
+    )
+    got = ivf_probe_topk_centroids(
+        clustered, centroids, queries_df, "vec_id", "embedding",
+        k=K, nprobe=NPROBE,
+    ).collect()
+
+    r = _recall_at_k(truth, got)
+    assert r >= 0.9, f"recall@10={r:.3f} < 0.9 (nprobe={NPROBE}/{N_CLUSTERS})"
+
+
+def test_lloyd_improves_or_matches_seed_recall(spark, emb, queries_df):
+    """Refined centroids must not be WORSE than raw seed assignment for
+    the same probe budget — the point of paying for Lloyd rounds."""
+    from osmart_etl_spark.ops.similarity import (
+        assign_to_centroids,
+        as_double_array,
+        brute_force_topk,
+        lloyd_refine,
+    )
+
+    truth = brute_force_topk(emb, queries_df, "vec_id", "embedding", k=K).collect()
+
+    seeds = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(N_CLUSTERS)
+        .select(
+            F.col("vec_id").alias("cluster_id"),
+            as_double_array(F.col("embedding")).alias("c_vec"),
+        )
+    )
+    from osmart_etl_spark.ops.similarity import (
+        ivf_probe_topk_centroids,
+        recompute_centroids,
+    )
+
+    seed_assigned = assign_to_centroids(emb, seeds, "vec_id", "embedding")
+    seed_recall = _recall_at_k(
+        truth,
+        ivf_probe_topk_centroids(
+            emb.join(seed_assigned.select("vec_id", "cluster_id"), "vec_id"),
+            seeds, queries_df, "vec_id", "embedding", k=K, nprobe=NPROBE,
+        ).collect(),
+    )
+
+    refined = lloyd_refine(emb, "vec_id", "embedding", N_CLUSTERS, n_rounds=3)
+    ref_clustered = emb.join(refined.select("vec_id", "cluster_id"), "vec_id")
+    ref_centroids = recompute_centroids(
+        ref_clustered.select("cluster_id", "embedding"), "embedding"
+    )
+    lloyd_recall = _recall_at_k(
+        truth,
+        ivf_probe_topk_centroids(
+            ref_clustered, ref_centroids, queries_df, "vec_id", "embedding",
+            k=K, nprobe=NPROBE,
+        ).collect(),
+    )
+    # Tolerate tiny float-order wobble; Lloyd must be at least on par.
+    assert lloyd_recall >= seed_recall - 0.02, (
+        f"lloyd={lloyd_recall:.3f} worse than seeds={seed_recall:.3f}"
+    )
