@@ -55,6 +55,44 @@ def daily_net_windowed(events: DataFrame, late: str = "1 day") -> DataFrame:
     )
 
 
+def sessionize(events: DataFrame, gap: str = "6 hours", late: str = "1 day") -> DataFrame:
+    """Native ``session_window`` twin of the batch gaps-and-islands
+    query (queries/temporal.session_windows, ref session semantics):
+    per-user sessions closed by >= ``gap`` of inactivity, aggregated to
+    (start, end, n_events, value).
+
+    Streaming shape: dynamic-gap session windows merge in the state
+    store as events arrive; in append mode a session emits exactly once,
+    when the watermark passes ``session_end + gap`` — so late data
+    within the watermark still extends/merges its session, and a closed
+    session is final (the reference recomputes closed sessions on every
+    run; this emits each once, same output, O(open sessions) state).
+
+    Works identically on batch DataFrames (session_window is a grouping
+    expr; withWatermark is a no-op in batch). Boundary semantics: a gap
+    of EXACTLY ``gap`` starts a new session here (session extent is
+    [start, last+gap)), while the islands formulation keeps it
+    (``> 6h``). Ties at exact microsecond-boundary gaps are the only
+    divergence; the equality test guards that the fixture has none.
+
+    Value sum in DECIMAL(18,2) then double — the engine-wide money rule,
+    and exact under any micro-batch ordering.
+    """
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("session_value"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events", "session_value")
+    )
+
+
 REPLAY_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -180,3 +180,160 @@ def test_transform_with_state_matches_applyinpandas(spark, tmp_path, events_stre
     b = run(replay_transform_with_state, "tws_b", "ck_b")
     assert a == b
     assert len(a) == spark.read.parquet(events_stream_dir).count()
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path, events_stream_dir):
+    """Native session_window twin: streaming (append mode, availableNow)
+    == the same sessionize() on the batch DataFrame, for every session
+    the watermark sealed; only tail sessions may be unsealed."""
+    from osmart_etl_spark.streaming.replay_stream import run_available_now, sessionize
+
+    stream = _read_stream(spark, events_stream_dir)
+    rows = run_available_now(
+        sessionize(stream), str(tmp_path / "ckpt_sw"), "sessions_t"
+    )
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["session_value"], 9),
+        )
+        for r in rows
+    }
+
+    batch = sessionize(spark.read.parquet(events_stream_dir)).collect()
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["session_value"], 9),
+        )
+        for r in batch
+    }
+    assert got, "no sessions emitted"
+    for k, v in got.items():
+        assert want[k] == v, f"session {k}: stream {v} != batch {want[k]}"
+    # unsealed sessions: only those the 1-day watermark cannot have
+    # passed (session_end + 6h gap within watermark delay of stream end)
+    import datetime as dt
+
+    max_ts = max(e for (_, _, e) in want)
+    for (u, s, e) in set(want) - set(got):
+        assert e >= max_ts - dt.timedelta(days=1, hours=6), (
+            f"non-tail session unsealed: ({u}, {s}, {e})"
+        )
+
+
+def test_session_window_batch_matches_islands(spark, events_stream_dir):
+    """sessionize() in batch mode == the gaps-and-islands batch query
+    (session_windows) on the same events — the stream/batch semantics
+    are one definition. Guard: the exact-6h-gap boundary (the one
+    open/closed divergence between session_window's [start, last+gap)
+    extent and the islands' `> 6h` test) must not occur in the fixture."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(events_stream_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    assert (
+        ev.withColumn("g", gap_us).filter(F.col("g") == 6 * 3600 * 1_000_000).count() == 0
+    ), "fixture has an exact-6h gap; boundary semantics differ there"
+
+    from osmart_etl_spark.streaming.replay_stream import sessionize
+
+    native = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["session_value"], 9),
+        )
+        for r in sessionize(ev).collect()
+    }
+
+    marked = ev.withColumn(
+        "is_new_session",
+        F.when(gap_us.isNull() | (gap_us > 6 * 3600 * 1_000_000), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    )
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    islands = (
+        marked.withColumn("session_id", F.sum("is_new_session").over(frame))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
+        )
+    )
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"]): (
+            r["n_events"],
+            round(r["session_value"], 9),
+        )
+        for r in islands.collect()
+    }
+    assert native == want
+
+
+def test_session_window_drops_late_data(spark, tmp_path):
+    """Watermark contract: an event arriving in a LATER incremental run
+    with event time older than the checkpointed watermark is dropped —
+    the already-sealed session emitted WITHOUT it and is never
+    retracted (append mode). Two availableNow drains against one
+    checkpoint = two cron-style runs, the reference's operating mode."""
+    import datetime as dt
+
+    from osmart_etl_spark.streaming.replay_stream import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, event_id long, ts timestamp, value double"
+    d = tmp_path / "late_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "ckpt_late")
+    out = str(tmp_path / "sessions_out")
+
+    def drain(name):
+        # parquet sink (memory sink cannot recover a checkpoint, and the
+        # whole point here is watermark continuity across two runs)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*.parquet")
+        )
+        q = (
+            sessionize(stream, gap="6 hours", late="1 hour")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # run 1: session A (2 events) + a far-future event that pushes the
+    # watermark way past session A's end → A seals and emits
+    spark.createDataFrame(
+        [
+            (1, 1, t0, 10.0),
+            (1, 2, t0 + dt.timedelta(hours=1), 5.0),
+            (1, 3, t0 + dt.timedelta(days=30), 1.0),
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b1.parquet"))
+    drain("late_sessions_r1")
+
+    # run 2: a late event that WOULD extend session A, but its event
+    # time is far below the checkpointed watermark (max - 1h) → dropped
+    spark.createDataFrame(
+        [(1, 4, t0 + dt.timedelta(hours=2), 100.0)], schema
+    ).coalesce(1).write.parquet(str(d / "b2.parquet"))
+    rows = drain("late_sessions_r2")  # sink dir holds both runs' output
+
+    sealed = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["session_value"])
+        for r in rows
+    }
+    # session A sealed with exactly the 2 on-time events; the late
+    # event neither extended it nor spawned a retro session
+    assert sealed == {(1, t0): (2, 15.0)}
