@@ -145,6 +145,116 @@ def replay_running_balance(
     return df.drop("__cumd", "__base")
 
 
+def replay_running_balance_chunked(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    *,
+    chunk: Column,
+    delta_col: str = "delta",
+    is_absolute_col: str = "is_absolute",
+    abs_value_col: str = "abs_value",
+    init_col: str | None = None,
+    out_running: str = "running",
+    out_delta: str = "effective_delta",
+) -> DataFrame:
+    """W2 with BOUNDED partitions — the skew-proof form of
+    :func:`replay_running_balance` for keys whose event count exceeds a
+    single task's comfort zone (the ref's pandas loop simply dies there;
+    seed_stock_points.py:74-85 holds one SKU's history in memory).
+
+    Two-level distributed segmented scan (the classic parallel-prefix
+    decomposition, applied to the reset monoid):
+
+    1. ``chunk`` splits each key's history into order-aligned ranges
+       (the expression must be a non-decreasing function of the LEADING
+       order column, e.g. ``floor(unix_micros(ts) / week)``), so every
+       window below partitions by ``(key, chunk)`` — partition size is
+       bounded by chunk span, never by key cardinality skew.
+    2. Within-chunk pass: the same reset algebra as the flat form,
+       partitioned by ``(key, chunk)``.
+    3. Each chunk collapses to its effect on an incoming balance ``r``:
+       ``out(r) = exit_base            if the chunk saw an absolute
+                  r + delta_sum        otherwise``
+       — which is exactly one (is_absolute, abs_value, delta) event at
+       chunk granularity. The chunk-level scan is therefore a recursive
+       call to :func:`replay_running_balance` over the tiny summary
+       table (|keys| x |chunks| rows).
+    4. Chunk entry state joins back on ``(key, chunk)`` — the same
+       partitioning the rows already have.
+
+    Cost vs the flat form: +1 shuffle (summary scan) +1 join. Use it
+    when a single key's events exceed ~what one task should sort
+    (measured threshold in SCALE.md); the flat single-exchange form
+    wins below that.
+    """
+    is_abs = F.col(is_absolute_col)
+    init = F.coalesce(F.col(init_col), F.lit(0)) if init_col else F.lit(0)
+
+    df = df.withColumn("__chunk", chunk)
+    wc = Window.partitionBy(key, "__chunk").orderBy(*order)
+    frame = wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    cum_delta = F.sum(F.when(is_abs, F.lit(0)).otherwise(F.col(delta_col))).over(frame)
+    base = F.last(
+        F.when(is_abs, F.coalesce(F.col(abs_value_col), F.lit(0))), ignorenulls=True
+    ).over(frame)
+    df = df.withColumn("__cumd", cum_delta).withColumn("__base", base)
+    df = df.withColumn(
+        "__cumab", F.last(F.when(is_abs, F.col("__cumd")), ignorenulls=True).over(frame)
+    )
+
+    # Chunk effect = state of the LAST row (its cumulatives summarize the
+    # chunk): same partitioning as wc, so no extra exchange for the take.
+    wlast = Window.partitionBy(key, "__chunk").orderBy(*[F.col(c).desc() for c in order])
+    last_rows = (
+        df.withColumn("__rn", F.row_number().over(wlast))
+        .filter(F.col("__rn") == 1)
+        .select(
+            key,
+            "__chunk",
+            F.col("__base").isNotNull().alias("__has_abs"),
+            F.col("__cumd").alias("__add"),
+            (F.col("__base") + F.col("__cumd") - F.coalesce(F.col("__cumab"), F.lit(0))).alias(
+                "__exit_base"
+            ),
+            *([init_col] if init_col else []),
+        )
+    )
+
+    # Chunk-level scan: the summary rows ARE reset-monoid events, so the
+    # flat operator computes each chunk's exit balance directly.
+    scanned = replay_running_balance(
+        last_rows,
+        key=key,
+        order=["__chunk"],
+        delta_col="__add",
+        is_absolute_col="__has_abs",
+        abs_value_col="__exit_base",
+        init_col=init_col,
+        out_running="__exit",
+        out_delta="__exit_d",
+    )
+    wk = Window.partitionBy(key).orderBy("__chunk")
+    incoming = scanned.select(
+        key,
+        "__chunk",
+        F.coalesce(F.lag("__exit").over(wk), init).alias("__incoming"),
+    )
+
+    df = df.join(incoming, on=[key, "__chunk"])
+    df = df.withColumn(
+        out_running,
+        F.when(
+            F.col("__base").isNotNull(),
+            F.col("__base") + F.col("__cumd") - F.coalesce(F.col("__cumab"), F.lit(0)),
+        ).otherwise(F.col("__incoming") + F.col("__cumd")),
+    )
+    prev = F.lag(F.col(out_running)).over(wc)
+    df = df.withColumn(out_delta, F.col(out_running) - F.coalesce(prev, F.col("__incoming")))
+    return df.drop("__chunk", "__cumd", "__base", "__cumab", "__incoming")
+
+
 def replay_running_balance_pandas(
     df: DataFrame,
     key: str,

@@ -133,6 +133,60 @@ def segmented_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "segmented_replay_chunked",
+    oracle=f"""
+    WITH mv AS ({_MOVEMENT_CTE}),
+    seg AS (
+      SELECT *, SUM(CASE WHEN is_abs THEN 1 ELSE 0 END) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS seg_id
+      FROM mv
+    ),
+    run AS (
+      SELECT *,
+        COALESCE(FIRST_VALUE(CASE WHEN is_abs THEN COALESCE(abs_value, {_ZERO}) END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ), {_ZERO})
+        + SUM(CASE WHEN is_abs THEN {_ZERO} ELSE delta END) OVER (
+          PARTITION BY user_id, seg_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running
+      FROM seg
+    )
+    SELECT event_id, user_id, ts,
+      CAST(running AS DOUBLE) AS running,
+      CAST(running - COALESCE(LAG(running) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id), {_ZERO}) AS DOUBLE) AS effective_delta
+    FROM run
+    """,
+    tags=("W2", "W6"),
+)
+def segmented_replay_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2, skew-proof form: the same replay semantics computed as a
+    two-level distributed segmented scan with weekly chunks, so no task
+    ever sorts more than one key-week of events — the plan that survives
+    a key with 10^9 events at 100 TB (SCALE.md "W2 under skew"). Oracle
+    is identical to ``segmented_replay``: the decomposition must be
+    invisible in the result.
+    """
+    from osmart_etl_spark.ops.windows import replay_running_balance_chunked
+
+    mv = movement_events(spark, sf_dir)
+    out = replay_running_balance_chunked(
+        mv, key="user_id", order=["ts", "event_id"],
+        chunk=F.floor(F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000)),
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        dbl(F.col("running")).alias("running"),
+        dbl(F.col("effective_delta")).alias("effective_delta"),
+    )
+
+
+@query(
     "sod_lag",
     oracle=f"""
     WITH mv AS ({_MOVEMENT_CTE}),

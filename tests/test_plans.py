@@ -90,3 +90,24 @@ def test_contamination_benchmark_broadcast(spark):
 
     plan = _formatted_plan(contamination_check(spark, SF_SMALL))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_replay_chunked_bounded_partitions(spark):
+    """The skew-proof W2 must keep every per-row window partitioned by
+    (key, chunk) — a window partitioned by the key alone over the row
+    stream would reintroduce the unbounded hot-key partition. The only
+    key-alone windows allowed are on the tiny chunk-summary side."""
+    from osmart_etl_spark.queries.temporal import segmented_replay_chunked
+
+    plan = _formatted_plan(segmented_replay_chunked(spark, SF_SMALL))
+    # per-row exchanges carry the chunk column alongside the key
+    assert "hashpartitioning(user_id" in plan
+    assert "__chunk" in plan, plan
+    # windowed per-row passes: every Window block that orders by event_id
+    # (the row stream) must list __chunk in its partition spec
+    import re
+
+    for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        spec_cols, part, _order = m.groups()
+        if "event_id" in _order or "event_id" in spec_cols:
+            assert "__chunk" in part, f"row-stream window missing chunk: {m.group(0)}"

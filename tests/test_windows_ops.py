@@ -62,6 +62,19 @@ def _collect_replay_pandas(df, **kw):
     }
 
 
+def _collect_replay_chunked(df, chunk, **kw):
+    from osmart_etl_spark.ops.windows import replay_running_balance_chunked
+
+    out = replay_running_balance_chunked(
+        df, key="user_id", order=["ts", "event_id"], chunk=chunk,
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value", **kw
+    )
+    return {
+        r["event_id"]: (r["running"], r["effective_delta"])
+        for r in out.collect()
+    }
+
+
 def test_replay_window_vs_pandas_on_events(spark):
     """Dual-implementation agreement on real data (seed mode, init=0)."""
     from osmart_etl_spark.queries.temporal import movement_events
@@ -215,3 +228,69 @@ def test_replay_seeded_fuzz(spark):
             rows.append((event_id, key, ts, False, None, delta))
     df = spark.createDataFrame(rows, MV_SCHEMA).repartition(7)  # scramble order
     assert _collect_replay(df) == _collect_replay_pandas(df)
+
+
+# ---------------------------------------------------------------------------
+# Chunked (skew-proof) W2 — must be bit-identical to the flat form
+# ---------------------------------------------------------------------------
+
+def test_replay_chunked_on_events(spark):
+    """Two-level segmented scan == flat single-exchange form on real
+    events, with weekly chunks (several chunks per key)."""
+    from osmart_etl_spark.queries.temporal import movement_events
+
+    mv = movement_events(spark, SF_SMALL)
+    chunk = F.floor(F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000))
+    assert _collect_replay_chunked(mv, chunk) == _collect_replay(mv)
+
+
+def test_replay_chunked_skewed_key(spark):
+    """One hot key with ~20x the events of the rest; tiny chunks so the
+    hot key spans many chunks, cold keys often fit in one. Also covers
+    chunks with no absolute event, all-absolute chunks, and empty chunk
+    ids (gaps in the chunk sequence)."""
+    import random
+    from decimal import Decimal as D
+
+    rng = random.Random(99)
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for event_id in range(2400):
+        key = 0 if event_id % 6 != 5 else rng.randrange(1, 40)
+        ts = t0 + dt.timedelta(minutes=rng.randrange(4000))
+        if rng.random() < 0.2:
+            abs_val = None if rng.random() < 0.3 else D(rng.randrange(-50, 200))
+            rows.append((event_id, key, ts, True, abs_val, D("0.00")))
+        else:
+            rows.append((event_id, key, ts, False, None, D(rng.randrange(-40, 40))))
+    df = spark.createDataFrame(rows, MV_SCHEMA).repartition(7)
+    chunk = F.floor(F.unix_micros("ts") / F.lit(6 * 3600 * 1_000_000))  # 6h chunks
+    assert _collect_replay_chunked(df, chunk) == _collect_replay(df)
+    # degenerate chunking: everything in one chunk == flat by construction
+    assert _collect_replay_chunked(df, F.lit(0)) == _collect_replay(df)
+
+
+def test_replay_chunked_with_init(spark):
+    """Incremental mode (per-key init balance) flows through the chunk
+    scan: first chunk's entry state must be the key's init, not 0."""
+    from decimal import Decimal as D
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    for event_id in range(300):
+        key = event_id % 3
+        ts = t0 + dt.timedelta(hours=event_id // 3)
+        if event_id % 17 == 0:
+            rows.append((event_id, key, ts, True, D(event_id), D("0.00")))
+        else:
+            rows.append((event_id, key, ts, False, None, D(event_id % 7 - 3)))
+    df = spark.createDataFrame(rows, MV_SCHEMA)
+    init = spark.createDataFrame(
+        [(0, D("100.00")), (1, D("-7.50"))], ["user_id", "init_balance"]
+    )  # key 2 missing -> NULL init -> 0
+    df = df.join(init, "user_id", "left")
+    chunk = F.floor(F.unix_micros("ts") / F.lit(86400 * 1_000_000))
+    assert (
+        _collect_replay_chunked(df, chunk, init_col="init_balance")
+        == _collect_replay(df, init_col="init_balance")
+    )
