@@ -93,6 +93,27 @@ def sessionize(events: DataFrame, gap: str = "6 hours", late: str = "1 day") -> 
     )
 
 
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str] | None = None, late: str = "1 day"
+) -> DataFrame:
+    """Streaming twin of the exact-dedup operator (queries/text
+    ``dedup_exact`` / U5): at-most-once emission per key over an
+    unbounded stream, with state bounded by the watermark.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key in the state store only
+    until the watermark passes its first-seen event time + ``late`` — so
+    re-deliveries inside the lateness window (the at-least-once source
+    failure mode: replayed files, redelivered Kafka offsets) dedup
+    exactly, while state stays O(keys per watermark window), not O(all
+    keys ever). Contrast with batch dedup (full-history groupBy) and
+    ``dropDuplicates`` (unbounded state). Works on batch frames too,
+    where it degrades to plain dropDuplicates semantics.
+    """
+    return events.withWatermark("ts", late).dropDuplicatesWithinWatermark(
+        list(keys) if keys else ["event_id"]
+    )
+
+
 REPLAY_OUTPUT_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

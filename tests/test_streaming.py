@@ -337,3 +337,63 @@ def test_session_window_drops_late_data(spark, tmp_path):
     # session A sealed with exactly the 2 on-time events; the late
     # event neither extended it nor spawned a retro session
     assert sealed == {(1, t0): (2, 15.0)}
+
+
+def test_dedup_within_watermark_two_runs(spark, tmp_path):
+    """Streaming exact-dedup (U5 twin): re-deliveries inside the
+    lateness window dedup across micro-batches AND across two
+    availableNow runs sharing a checkpoint (the at-least-once replay
+    failure mode); fresh keys pass through. State is watermark-bounded."""
+    import datetime as dt
+
+    from osmart_etl_spark.streaming.replay_stream import dedup_within_watermark
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    d = tmp_path / "dd_src"
+    d.mkdir()
+    ckpt = str(tmp_path / "dd_ckpt")
+    out = str(tmp_path / "dd_out")
+
+    def drain():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(d) + "/*.parquet")
+        )
+        q = (
+            dedup_within_watermark(stream, ["event_id"], late="1 day")
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).collect()
+
+    # run 1, two files => two micro-batches; event 2 duplicated within
+    # batch 1 and re-delivered in batch 2
+    spark.createDataFrame(
+        [(1, 10, t0, 1.0), (2, 11, t0 + dt.timedelta(minutes=5), 2.0),
+         (2, 11, t0 + dt.timedelta(minutes=5), 2.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b1.parquet"))
+    spark.createDataFrame(
+        [(2, 11, t0 + dt.timedelta(minutes=5), 2.0),
+         (3, 12, t0 + dt.timedelta(hours=1), 3.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b2.parquet"))
+    rows = drain()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+    # run 2 against the same checkpoint: replay of event 3 (inside the
+    # 1-day window of its first arrival) dropped, fresh event 4 kept
+    spark.createDataFrame(
+        [(3, 12, t0 + dt.timedelta(hours=1), 3.0),
+         (4, 13, t0 + dt.timedelta(hours=2), 4.0)],
+        schema,
+    ).coalesce(1).write.parquet(str(d / "b3.parquet"))
+    rows = drain()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
