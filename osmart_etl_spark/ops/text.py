@@ -112,3 +112,68 @@ def bigrams(toks: Column) -> Column:
             lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
         )
     )
+
+
+def bm25_top_terms(
+    docs,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 3,
+    stopwords: tuple[str, ...] = STOPWORDS,
+):
+    """BM25 top-``top_n`` terms per document — the relevance/keyword
+    extraction primitive of a training-data pipeline (salient-term
+    indexing, query-doc scoring, near-topic sampling).
+
+    Output: (doc, term, tf, df, rank) — integer evidence only. The BM25
+    score itself is deliberately NOT emitted: it contains ``ln``, which
+    libm vs JVM may round 1 ulp apart, so cross-engine comparison is done
+    on the *ranking* the score induces (ties are impossible across
+    distinct (tf, df, dl) triples except at ulp distance, and identical
+    triples produce identical doubles within each engine; row_number
+    tiebreaks on the term itself).
+
+    Scale shape: explode → two partial-agg groupBys (tf by (doc, term),
+    df by term) → join on term, join on doc, ONE window on doc. The
+    corpus-wide scalars (N, total token count) ride a broadcast 1-row
+    aggregate, never a driver round-trip. documents arrive as few files;
+    the explode is repartitioned first (single-file gotcha).
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    toks = (
+        docs.repartition(n_parts)
+        .select(F.col(doc_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))
+        .filter(~F.col("term").isin(*stopwords))
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl"))
+
+    scored = tf.join(dfreq, "term").join(dl, "doc").crossJoin(F.broadcast(stats))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    score = (idf * (F.col("tf") * F.lit(k1 + 1.0))) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    w = Window.partitionBy("doc").orderBy(F.col("__score").desc(), "term")
+    return (
+        scored.withColumn("__score", score)
+        .withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.col("doc").alias(doc_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "rnk",
+        )
+    )

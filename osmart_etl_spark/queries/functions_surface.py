@@ -354,7 +354,9 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds and fraction via a scalar subquery — the basic profiling
     query every data pipeline runs before setting DQ thresholds."""
     ev = read_table(spark, sf_dir, "events")
-    total = ev.count()  # scalar — one tiny job, mirrors the subquery
+    # scalar subquery as a broadcast 1-row aggregate: one DAG, no
+    # separate driver-side count job (round-2 ADVICE)
+    total = ev.agg(F.count(F.lit(1)).alias("__total"))
     return (
         ev.groupBy(F.floor(F.col("value") / 25).cast("bigint").alias("bucket"))
         .agg(
@@ -362,5 +364,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dbl(F.min(dec(F.col("value")))).alias("lo"),
             dbl(F.max(dec(F.col("value")))).alias("hi"),
         )
-        .withColumn("frac", F.col("n").cast("double") / F.lit(total))
+        .crossJoin(F.broadcast(total))
+        .withColumn("frac", F.col("n").cast("double") / F.col("__total"))
+        .drop("__total")
     )

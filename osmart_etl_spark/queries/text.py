@@ -710,3 +710,185 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_uni.alias("top_unigram_frac"),
         top_bi.alias("top_bigram_frac"),
     )
+
+
+@query(
+    "text_bm25_topterms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc, unnest({_TOKS}) AS term FROM documents
+    ),
+    filt AS (
+      SELECT doc, term FROM toks
+      WHERE term NOT IN ('the','a','of','and','is','to','in')
+    ),
+    tf AS (SELECT doc, term, COUNT(*) AS tf FROM filt GROUP BY doc, term),
+    dl AS (SELECT doc, SUM(tf) AS dl FROM tf GROUP BY doc),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    scored AS (
+      SELECT tf.doc, tf.term, tf.tf, dfreq.df,
+        (ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (tf.tf * 2.2))
+        / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+             / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))) AS score
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+    ),
+    ranked AS (
+      SELECT doc, term, tf, df,
+        ROW_NUMBER() OVER (PARTITION BY doc ORDER BY score DESC, term) AS rnk
+      FROM scored
+    )
+    SELECT doc AS doc_id, term, CAST(tf AS BIGINT) AS tf,
+      CAST(df AS BIGINT) AS df, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("ext-text", "bm25"),
+)
+def text_bm25_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) top-3 salient terms per document
+    (ops/text.bm25_top_terms). The comparison contract is rank-level:
+    both engines rank by their own ln-based score (see the op docstring
+    for why that is ulp-robust), and only integer evidence columns are
+    emitted."""
+    d = read_table(spark, sf_dir, "documents")
+    from osmart_etl_spark.ops.text import bm25_top_terms
+
+    return bm25_top_terms(d, "doc_id", "text", k1=1.2, b=0.75, top_n=3)
+
+
+@query(
+    "dedup_canonical_corpus",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    ),
+    comp AS (SELECT node, MIN(r) AS canonical_id FROM reach GROUP BY node),
+    sizes AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id)
+    SELECT d.doc_id, d.lang, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+      CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.node
+    LEFT JOIN sizes s ON d.doc_id = s.canonical_id
+    WHERE c.node IS NULL OR c.canonical_id = d.doc_id
+    """,
+    tags=("ext-dedup", "end-to-end"),
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dedup pipeline's actual DELIVERABLE: the surviving
+    corpus. LSH candidates → exact-Jaccard verify → connected
+    components → drop every doc whose cluster canonical is not itself;
+    survivors carry their cluster size (1 = was never duplicated).
+
+    Scale shape: the loser id set is a bare-id anti-join (never carries
+    text); cluster sizes ride a groupBy on the tiny component table.
+    Everything upstream reuses the persisted shingle/band tables.
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        jaccard_verify_hybrid,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
+
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    sizes = comp.groupBy(F.col("component").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("__sz")
+    )
+    return (
+        d.join(F.broadcast(losers), "doc_id", "left_anti")
+        .join(F.broadcast(sizes), "doc_id", "left")
+        .select(
+            "doc_id", "lang", "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+            F.coalesce(F.col("__sz"), F.lit(1)).cast("bigint").alias("cluster_size"),
+        )
+    )
+
+
+@query(
+    "text_lm_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+        unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ),
+    dfreq AS (SELECT bigram, COUNT(DISTINCT doc_id) AS df FROM bg GROUP BY bigram)
+    SELECT bg.doc_id,
+      COUNT(*) AS n_bigrams,
+      CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known,
+      CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS coverage,
+      CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) >= 0.5
+        AS lm_pass
+    FROM bg JOIN dfreq USING (bigram)
+    GROUP BY bg.doc_id
+    """,
+    tags=("ext-text", "quality-lm"),
+)
+def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM coverage quality filter (the CCNet/KenLM idea with the
+    corpus itself as the language model): a document whose bigrams are
+    mostly unseen elsewhere is noise-like and fails the filter. Per doc:
+    bigram instances, instances whose bigram occurs in >= 2 distinct
+    docs, coverage fraction (bigint/bigint double division — exact),
+    pass flag at 0.5.
+
+    Scale shape: one explode -> distinct-doc df (two partial-agg
+    groupBys) -> join instances on bigram -> per-doc agg. The df table
+    at 100 TB is the corpus vocabulary of bigrams — it shuffles on the
+    bigram key, never broadcast.
+    """
+    from osmart_etl_spark.ops.text import bigrams, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = spark.sparkContext.defaultParallelism
+    inst = (
+        d.repartition(n_parts)
+        .select("doc_id", F.explode(bigrams(tokens(F.col("text")))).alias("bigram"))
+    )
+    dfreq = (
+        inst.distinct()
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    known = (F.col("df") >= 2).cast("long")
+    return (
+        inst.join(dfreq, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(known).alias("n_known"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("n_known").cast("bigint").alias("n_known"),
+            (F.col("n_known").cast("double") / F.col("n_bigrams")).alias("coverage"),
+            (F.col("n_known").cast("double") / F.col("n_bigrams") >= 0.5).alias("lm_pass"),
+        )
+    )
