@@ -892,3 +892,50 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_known").cast("double") / F.col("n_bigrams") >= 0.5).alias("lm_pass"),
         )
     )
+
+
+@query(
+    "doc_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, doc_id % 8 AS shard,
+        LEAST(len({_TOKS}), 100) AS n
+      FROM documents
+    ),
+    ord AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+      FROM toks
+    ),
+    rec AS (
+      SELECT shard, rn, doc_id, n,
+        CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS bin_offset,
+        n AS fill
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.shard, o.rn, o.doc_id, o.n,
+        CASE WHEN r.fill + o.n > 100 THEN r.bin_id + 1 ELSE r.bin_id END,
+        CASE WHEN r.fill + o.n > 100 THEN CAST(0 AS BIGINT) ELSE r.fill END,
+        CASE WHEN r.fill + o.n > 100 THEN o.n ELSE r.fill + o.n END
+      FROM ord o JOIN rec r ON o.shard = r.shard AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard, bin_id, bin_offset,
+      CAST(n AS BIGINT) AS n_tokens
+    FROM rec
+    """,
+    tags=("ext-text", "packing", "udf-escape-hatch"),
+)
+def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training batches (ops/packing.pack_sequences,
+    capacity=100 tokens, 8 shards): greedy first-fit in doc_id order
+    within deterministic shards — the padding-minimization step before
+    batching. The oracle replays the same greedy recurrence as a
+    recursive CTE; the Spark side is the applyInPandas escape hatch
+    because a self-referential reset accumulator is not a window
+    function. Integer-only output — exact."""
+    from osmart_etl_spark.ops.packing import pack_sequences
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    return pack_sequences(
+        d, "doc_id", F.size(tokens(F.col("text"))), capacity=100, n_shards=8
+    )

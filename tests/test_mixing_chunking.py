@@ -68,3 +68,34 @@ def test_chunk_sizes(spark):
     w_max = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last"))
     nonfinal = chunks.join(w_max, "doc_id").filter(F.col("chunk_idx") < F.col("last"))
     assert nonfinal.filter(F.col("n_chunk_tokens") != 50).count() == 0
+
+
+def test_sequence_packing_invariants(spark):
+    """Packing contract: (a) no bin exceeds capacity; (b) within a bin,
+    docs occupy contiguous [offset, offset+n) intervals starting at 0 in
+    doc_id order (lossless packing, no holes, no overlap); (c) every doc
+    appears exactly once; (d) bins are dense per shard (0..max)."""
+    from osmart_etl_spark.ops.packing import pack_sequences
+    from osmart_etl_spark.ops.text import tokens
+
+    cap = 100
+    d = read_table(spark, SF_MEDIUM, "documents")
+    out = pack_sequences(
+        d, "doc_id", F.size(tokens(F.col("text"))), capacity=cap, n_shards=8
+    ).collect()
+
+    assert len(out) == d.count()
+    by_bin: dict = {}
+    for r in out:
+        assert 0 <= r["n_tokens"] <= cap
+        by_bin.setdefault((r["shard"], r["bin_id"]), []).append(r)
+    for (shard, bin_id), rows in by_bin.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        pos = 0
+        for r in rows:
+            assert r["bin_offset"] == pos, (shard, bin_id, r)
+            pos += r["n_tokens"]
+        assert pos <= cap
+    for shard in {r["shard"] for r in out}:
+        bins = sorted({b for (s, b) in by_bin if s == shard})
+        assert bins == list(range(len(bins)))
