@@ -187,6 +187,70 @@ def segmented_replay_chunked(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR epoch_us(ts)
+                     - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                     > 21600000000
+             THEN 1 ELSE 0 END AS is_new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts, value,
+        CAST(SUM(is_new_session) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS BIGINT) AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+      MIN(ts) AS session_start, MAX(ts) AS session_end,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("extras-session-window",),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (6h inactivity gap) — gaps-and-islands: mark
+    session starts with lag, running-sum the marks into session ids,
+    aggregate per session. Same single-key partitioning as the W2
+    replay → one exchange. (Spark's native ``session_window`` exists
+    for streaming; the islands formulation is the batch-exact twin and
+    matches ANSI SQL for the oracle.)
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Exact-microsecond gap (unix_micros ↔ DuckDB epoch_us) — a
+    # floor-to-second cast("long") diverges from the oracle whenever a
+    # gap straddles the 6h boundary by sub-second amounts (1 known case
+    # at sf0.1).
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    marked = ev.withColumn(
+        "is_new_session",
+        F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessions = marked.withColumn("session_id", F.sum("is_new_session").over(frame))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        dbl(F.sum(F.col("value").cast("decimal(18,2)"))).alias("session_value"),
+    )
+
+
+@query(
     "sod_lag",
     oracle=f"""
     WITH mv AS ({_MOVEMENT_CTE}),
@@ -581,70 +645,6 @@ def tumbling_window_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("w.start").alias("window_start"), "user_id", "net_value", "n_events"
         )
-    )
-
-
-@query(
-    "session_windows",
-    oracle="""
-    WITH marked AS (
-      SELECT user_id, event_id, ts, value,
-        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                  OR epoch_us(ts)
-                     - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
-                     > 21600000000
-             THEN 1 ELSE 0 END AS is_new_session
-      FROM events
-    ),
-    sessions AS (
-      SELECT user_id, event_id, ts, value,
-        CAST(SUM(is_new_session) OVER (
-          PARTITION BY user_id ORDER BY ts, event_id
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS BIGINT) AS session_id
-      FROM marked
-    )
-    SELECT user_id, session_id,
-      MIN(ts) AS session_start, MAX(ts) AS session_end,
-      COUNT(*) AS n_events,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-    tags=("extras-session-window",),
-)
-def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (6h inactivity gap) — gaps-and-islands: mark
-    session starts with lag, running-sum the marks into session ids,
-    aggregate per session. Same single-key partitioning as the W2
-    replay → one exchange. (Spark's native ``session_window`` exists
-    for streaming; the islands formulation is the batch-exact twin and
-    matches ANSI SQL for the oracle.)
-    """
-    from pyspark.sql import Window
-
-    ev = read_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Exact-microsecond gap (unix_micros ↔ DuckDB epoch_us) — a
-    # floor-to-second cast("long") diverges from the oracle whenever a
-    # gap straddles the 6h boundary by sub-second amounts (1 known case
-    # at sf0.1).
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    marked = ev.withColumn(
-        "is_new_session",
-        F.when(gap.isNull() | (gap > 6 * 3600 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
-    )
-    frame = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessions = marked.withColumn("session_id", F.sum("is_new_session").over(frame))
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.count(F.lit(1)).alias("n_events"),
-        dbl(F.sum(F.col("value").cast("decimal(18,2)"))).alias("session_value"),
     )
 
 
