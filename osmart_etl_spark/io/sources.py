@@ -29,6 +29,21 @@ from pyspark.sql import functions as F
 from osmart_etl_spark.schemas import TESTDATA_SCHEMAS
 
 
+def default_parallelism(spark: SparkSession) -> int:
+    """Connect-safe fan-out width for repartitioning single-file inputs.
+
+    Classic sessions report the scheduler's ``defaultParallelism``;
+    Spark Connect sessions have no ``sparkContext`` gateway
+    (AttributeError / PySparkException), so fall back to the session's
+    shuffle-partition setting — the same order of magnitude, and only a
+    fan-out hint, never a correctness input.
+    """
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # Connect: PySparkNotImplementedError subclass varies
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+
+
 def path_exists(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` exists on its (Hadoop) filesystem.
 

@@ -39,7 +39,9 @@ def char_shingles(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Data
     exploded rows carry only (id, 5-char shingle) — never the full
     document text — and the global distinct shuffles the minimum.
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    n_parts = default_parallelism(df.sparkSession)
     base = df.repartition(n_parts).select(
         F.col(id_col), shingle_array(F.col(text_col), k=k).alias("__sh")
     )
@@ -63,7 +65,9 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataF
     stage (minhash, band keys, Jaccard intersect) folds over the array
     map-side instead of shuffling an exploded |doc|×|shingles| row table.
     Repartitioned first: single-file parquet = one input partition."""
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    n_parts = default_parallelism(df.sparkSession)
     return df.repartition(n_parts).select(
         F.col(id_col), shingle_array(F.col(text_col), k=k).alias("__sh")
     )
@@ -322,7 +326,9 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     from osmart_etl_spark.ops.text import tokens
 
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    n_parts = default_parallelism(df.sparkSession)
     masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(60)])
     hashes = F.transform(
         tokens(F.col(text_col)),

@@ -145,7 +145,9 @@ def bm25_top_terms(
     from pyspark.sql import Window
 
     spark = docs.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    n_parts = default_parallelism(spark)
     toks = (
         docs.repartition(n_parts)
         .select(F.col(doc_col).alias("doc"), F.explode(tokens(F.col(text_col))).alias("term"))

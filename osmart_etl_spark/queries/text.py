@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.io.sources import default_parallelism, read_table
 from osmart_etl_spark.ops.text import (
     STOPWORDS,
     fingerprint,
@@ -563,7 +563,7 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.text import tokens
 
     d = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = default_parallelism(spark)
     base = d.repartition(n_parts).select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).filter(F.size("t") > 0)
@@ -620,7 +620,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     hit count, partial-aggregated map-side.
     """
     d = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = default_parallelism(spark)
     base = d.repartition(n_parts).select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).filter(F.size("t") >= 4)
@@ -694,7 +694,7 @@ def gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.text import bigrams, max_multiplicity
 
     d = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = default_parallelism(spark)
     base = d.repartition(n_parts).select(
         "doc_id", tokens(F.col("text")).alias("t")
     ).filter(F.size("t") > 0)
@@ -866,7 +866,7 @@ def text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.text import bigrams, tokens
 
     d = read_table(spark, sf_dir, "documents")
-    n_parts = spark.sparkContext.defaultParallelism
+    n_parts = default_parallelism(spark)
     inst = (
         d.repartition(n_parts)
         .select("doc_id", F.explode(bigrams(tokens(F.col("text")))).alias("bigram"))
