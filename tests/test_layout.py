@@ -73,3 +73,49 @@ def test_partition_pruning(spark, tmp_path_factory):
     got = df.count()
     want = ev.filter(F.col("d") == "2024-01-05").count()
     assert got == want > 0
+
+
+def test_zorder_clustering_narrows_file_ranges(spark, tmp_path_factory):
+    """Z-order layout: each output file's (min,max) footprint must be a
+    small hyper-rectangle in BOTH clustered dimensions — the property
+    parquet footer pruning needs for multi-column data skipping. A
+    round-robin layout's files each span ~the whole domain (normalized
+    area ~1); the z-ordered files must average far below it."""
+    from osmart_etl_spark.io.layout import write_zordered
+    from osmart_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_id", "user_id", "value")
+    base = tmp_path_factory.mktemp("zorder")
+    naive, zord = str(base / "naive"), str(base / "zord")
+    n_files = 16
+    ev.repartition(n_files).write.parquet(naive)
+    write_zordered(ev, zord, ["user_id", "value"], n_files=n_files)
+
+    def mean_file_area(path: str) -> float:
+        df = spark.read.parquet(path)
+        lo_u, hi_u, lo_v, hi_v = df.agg(
+            F.min("user_id"), F.max("user_id"), F.min("value"), F.max("value")
+        ).collect()[0]
+        per_file = (
+            df.groupBy(F.input_file_name().alias("f"))
+            .agg(
+                F.min("user_id").alias("u0"), F.max("user_id").alias("u1"),
+                F.min("value").alias("v0"), F.max("value").alias("v1"),
+            )
+            .collect()
+        )
+        areas = [
+            ((r["u1"] - r["u0"]) / (hi_u - lo_u)) * ((r["v1"] - r["v0"]) / (hi_v - lo_v))
+            for r in per_file
+        ]
+        return sum(areas) / len(areas)
+
+    naive_area = mean_file_area(naive)
+    z_area = mean_file_area(zord)
+    # round-robin files span ~the full plane; z-ordered tiles must be
+    # dramatically tighter (16 files ≈ 4x4 grid → area ≈ 1/16 ideal)
+    assert naive_area > 0.5, naive_area
+    assert z_area < naive_area / 3, (z_area, naive_area)
+
+    # layout must not lose or duplicate rows
+    assert spark.read.parquet(zord).count() == ev.count()
