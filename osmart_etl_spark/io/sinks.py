@@ -234,3 +234,92 @@ def write_quarantine(df: DataFrame, path: str) -> None:
     the ``uniq`` key (U5).
     """
     df.write.mode("append").parquet(path)
+
+
+def scd2_apply(
+    current: DataFrame | None,
+    changes: DataFrame,
+    keys: list[str],
+    order_col: str,
+    attrs: list[str],
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension merge as a pure transform — the
+    versioned-history completion of the upsert family (S7/S8 keep ONLY
+    the latest row; SCD2 keeps every version with its validity window).
+
+    ``changes`` carries (keys, attrs, order_col = change timestamp);
+    ``current`` is the existing history (keys, attrs, valid_from,
+    valid_to NULL = open, is_current) or None for the initial load.
+    Output invariants (locked by tests):
+
+    - per key, versions form a contiguous chain: each row's ``valid_to``
+      equals the next ``valid_from``; exactly one open row;
+    - a change identical to the key's previous version (NULL-safe
+      attribute compare) is a no-op — redelivered batches are absorbed,
+      so the merge is idempotent;
+    - already-closed history rows are never rewritten.
+
+    Scale shape: everything partitions by the dimension key — one
+    exchange, three same-partition window passes over (open ∪ changes),
+    which is O(open + batch), never O(closed history); closed rows pass
+    through untouched.
+    """
+    from functools import reduce
+
+    new_v = changes.select(
+        *keys, *attrs, F.col(order_col).alias("valid_from")
+    ).withColumn("__gen", F.lit(1))
+    closed = None
+    if current is not None:
+        closed = current.filter(F.col("valid_to").isNotNull()).select(
+            *keys, *attrs, "valid_from", "valid_to"
+        )
+        open_rows = (
+            current.filter(F.col("valid_to").isNull())
+            .select(*keys, *attrs, "valid_from")
+            .withColumn("__gen", F.lit(0))
+        )
+        # Late-arrival guard (the T2 watermark rule applied to dimension
+        # maintenance): a redelivered change OLDER than the key's open
+        # version was already superseded and closed — re-admitting it
+        # would duplicate closed history. Exact ties are kept and
+        # resolved by __gen below.
+        base_vf = open_rows.select(*keys, F.col("valid_from").alias("__open_vf"))
+        new_v = (
+            new_v.join(base_vf, keys, "left")
+            .filter(F.col("__open_vf").isNull() | (F.col("valid_from") >= F.col("__open_vf")))
+            .drop("__open_vf")
+        )
+        versions = open_rows.unionByName(new_v)
+    else:
+        versions = new_v
+
+    # exact-timestamp tie: the incoming change beats the stored version.
+    # Same key partitioning as every window below — one exchange total.
+    w_tie = Window.partitionBy(*keys).orderBy("valid_from", F.col("__gen").desc())
+    versions = (
+        versions.withColumn(
+            "__dup_tie",
+            F.coalesce(F.col("valid_from") == F.lag("valid_from").over(w_tie), F.lit(False)),
+        )
+        .filter(~F.col("__dup_tie"))
+        .drop("__dup_tie", "__gen")
+    )
+
+    # drop consecutive no-op versions (NULL-safe attr compare)
+    w = Window.partitionBy(*keys).orderBy("valid_from")
+    same_as_prev = reduce(
+        lambda a, b: a & b, [F.col(a).eqNullSafe(F.lag(a).over(w)) for a in attrs]
+    )
+    versions = (
+        versions.withColumn("__same", F.coalesce(same_as_prev, F.lit(False)))
+        .filter(~F.col("__same"))
+        .drop("__same")
+    )
+
+    out = versions.withColumn("valid_to", F.lead("valid_from").over(w)).withColumn(
+        "is_current", F.col("valid_to").isNull()
+    )
+    if closed is not None:
+        out = closed.withColumn("is_current", F.lit(False)).unionByName(out)
+    return out

@@ -689,3 +689,51 @@ def interval_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "signup_event_id", "user_id", "ts", "signup_ts",
         F.col("value").alias("purchase_value"),
     )
+
+
+@query(
+    "scd2_dimension_snapshot",
+    oracle="""
+    WITH ch AS (
+      SELECT user_id, ts, event_type,
+        ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      FROM events
+    ),
+    u AS (SELECT user_id, ts, event_type FROM ch WHERE rn = 1),
+    f AS (
+      SELECT *, LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+      FROM u
+    ),
+    v AS (SELECT user_id, ts, event_type FROM f WHERE prev IS NULL OR event_type <> prev)
+    SELECT user_id, event_type AS state, ts AS valid_from,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL AS is_current
+    FROM v
+    """,
+    tags=("extras-scd2", "W5"),
+)
+def scd2_dimension_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension built from a change log (io/sinks.scd2_apply,
+    initial-load path): per user, the event_type stream collapses to
+    versioned states with contiguous validity windows — consecutive
+    duplicates absorbed, one open row per key. Exact same-timestamp ties
+    pre-deduped by max event_id (W6 determinism rule) because SCD2
+    validity is keyed by timestamp alone.
+    """
+    from osmart_etl_spark.io.sinks import scd2_apply
+
+    ev = read_table(spark, sf_dir, "events")
+    w_tie = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    changes = (
+        ev.withColumn("__rn", F.row_number().over(w_tie))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    out = scd2_apply(None, changes, ["user_id"], "ts", ["event_type"])
+    return out.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "valid_from",
+        "valid_to",
+        "is_current",
+    )

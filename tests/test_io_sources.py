@@ -194,3 +194,59 @@ def test_merge_upsert_nondeterministic_batch_loses_no_rows(spark, tmp_path):
     # Every base row must survive (new keys only ADD; rand keys are >= 2000).
     out = read_merge_table(spark, path)
     assert out.filter(F.col("k1") < 300).count() == n_before
+
+
+def test_scd2_apply_initial_merge_and_idempotency(spark):
+    """SCD2 contract: contiguous validity chains, one open row per key,
+    no-op changes absorbed, closed history untouched, idempotent
+    re-application of the same batch."""
+    import datetime as dt
+
+    from osmart_etl_spark.io.sinks import scd2_apply
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    cols = ["store_id", "region", "tier", "ts"]
+
+    b1 = spark.createDataFrame(
+        [(1, "north", "gold", t(1)), (2, "south", "silver", t(1))], cols
+    )
+    dim = scd2_apply(None, b1, ["store_id"], "ts", ["region", "tier"])
+    got = {(r["store_id"]): r for r in dim.collect()}
+    assert len(got) == 2 and all(r["is_current"] and r["valid_to"] is None for r in got.values())
+
+    # batch 2: store 1 changes tier twice (chain), store 2 no-op redelivery,
+    # store 3 new, plus an exact-duplicate change row (tie) for store 3
+    b2 = spark.createDataFrame(
+        [
+            (1, "north", "plat", t(5)),
+            (1, "north", "diamond", t(9)),
+            (2, "south", "silver", t(6)),
+            (3, "east", "bronze", t(7)),
+            (3, "east", "bronze", t(7)),
+        ],
+        cols,
+    )
+    dim2 = scd2_apply(dim, b2, ["store_id"], "ts", ["region", "tier"])
+    rows = sorted(dim2.collect(), key=lambda r: (r["store_id"], r["valid_from"]))
+
+    by_key: dict = {}
+    for r in rows:
+        by_key.setdefault(r["store_id"], []).append(r)
+    # store 1: three versions chained gold -> plat -> diamond
+    s1 = by_key[1]
+    assert [r["tier"] for r in s1] == ["gold", "plat", "diamond"]
+    assert [r["valid_to"] for r in s1[:-1]] == [r["valid_from"] for r in s1[1:]]
+    assert s1[-1]["is_current"] and s1[-1]["valid_to"] is None
+    # store 2: redelivered identical state absorbed — still ONE version
+    assert len(by_key[2]) == 1 and by_key[2][0]["is_current"]
+    # store 3: duplicate tie collapsed to one open version
+    assert len(by_key[3]) == 1 and by_key[3][0]["valid_from"] == t(7)
+    # exactly one open row per key
+    for k, vs in by_key.items():
+        assert sum(1 for r in vs if r["valid_to"] is None) == 1, k
+
+    # idempotency: applying batch 2 again changes nothing
+    dim3 = scd2_apply(dim2, b2, ["store_id"], "ts", ["region", "tier"])
+    a = sorted(map(tuple, dim2.collect()))
+    b = sorted(map(tuple, dim3.collect()))
+    assert a == b
