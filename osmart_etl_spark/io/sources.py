@@ -82,17 +82,27 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     types across scale factors; parquet column pruning + filter pushdown
     still apply (the schema only constrains, it does not force reads).
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader cannot hold in (microsecond) TimestampType; we read
-    it as raw nanos via ``nanosAsLong`` and truncate to micros with exact
-    integer division (a double division would lose precision above 2^53).
-    DuckDB's ns→µs conversion truncates the same way.
+    ``events.ts`` has shipped in two physical layouts across testdata
+    generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    reader can only surface as a raw long via ``nanosAsLong``) and plain
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (surfaced as
+    TIMESTAMP_NTZ). Branch on the type the reader actually produced:
+    nanos are truncated to micros with exact integer division (a double
+    division would lose precision above 2^53 — DuckDB's ns→µs conversion
+    truncates the same way), and NTZ micros are reinterpreted as the
+    session-UTC TimestampType every downstream operator expects; both
+    yield identical values under the UTC session.
     """
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = spark.read.parquet(path)
-        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(raw.dtypes).get("ts")
+        if ts_type == "bigint":
+            return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if ts_type == "timestamp_ntz":
+            return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+        return raw
     schema = TESTDATA_SCHEMAS.get(name)
     reader = spark.read
     if schema is not None:
