@@ -1,0 +1,182 @@
+"""Corpus-cleaning queries over ``documents`` (training-data pipeline
+surface): PII detect/redact and paragraph-level exact dedup.
+
+The synthetic corpus carries no natural PII, so ``pii_scrub`` first
+constructs a deterministic augmented column — identical string algebra
+on both engines — for a doc_id-gated subset, then runs the actual
+operator (regex detect + global redact) over it. The construction is
+part of the query contract; the detector/redactor is what's verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import default_parallelism, read_table
+from osmart_etl_spark.ops.cleaning import (
+    EMAIL_RE,
+    PHONE_RE,
+    POS_BASE,
+    count_matches,
+    dedup_units_corpus_wide,
+    redact,
+    reassemble,
+    unit_explode,
+)
+from osmart_etl_spark.queries.base import query
+
+_UNIT = 16  # tokens per dedup unit
+
+_AUG_SQL = """
+      text
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+              ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                   || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+              ELSE '' END
+"""
+
+
+def _aug_text() -> F.Column:
+    """Deterministic PII injection (Spark twin of ``_AUG_SQL``)."""
+    did = F.col("doc_id")
+    email = F.concat(
+        F.lit(" contact u"), did.cast("string"), F.lit("@example.com now")
+    )
+    phone = F.concat(
+        F.lit(" call 555-0"),
+        F.lpad((did % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" today"),
+    )
+    return F.concat(
+        F.col("text"),
+        F.when(did % 3 == 0, email).otherwise(F.lit("")),
+        F.when(did % 5 == 0, phone).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "pii_scrub",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, {_AUG_SQL} AS a FROM documents
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(a, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+      CAST(len(regexp_extract_all(a, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+      (len(regexp_extract_all(a, '{EMAIL_RE}')) > 0
+       OR len(regexp_extract_all(a, '{PHONE_RE}')) > 0) AS has_pii,
+      md5(regexp_replace(regexp_replace(a, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM aug
+    """,
+    tags=("ext-cleaning", "pii"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + global redaction — one projection over one scan,
+    zero shuffle, all regex work JVM-side in codegen. At 100 TB this is
+    the cheapest shape possible: cost is exactly the text-column scan.
+
+    Engine-portability: patterns restricted to class/bounded-repetition
+    constructs Java regex and RE2 agree on; Spark's regexp_replace is
+    global by default while DuckDB needs the explicit 'g' flag (the
+    oracle passes it)."""
+    d = read_table(spark, sf_dir, "documents")
+    a = _aug_text()
+    redacted = redact(redact(a, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return d.select(
+        "doc_id",
+        count_matches(a, EMAIL_RE).alias("n_emails"),
+        count_matches(a, PHONE_RE).alias("n_phones"),
+        (
+            (count_matches(a, EMAIL_RE) > 0) | (count_matches(a, PHONE_RE) > 0)
+        ).alias("has_pii"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+@query(
+    "paragraph_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, t, CAST((len(t) - 1) // {_UNIT} AS INT) AS max_i
+      FROM toks WHERE len(t) > 0
+    ),
+    units AS (
+      SELECT doc_id, i AS u_idx,
+             array_to_string(t[i*{_UNIT}+1 : i*{_UNIT}+{_UNIT}], ' ') AS u_text
+      FROM base
+      CROSS JOIN LATERAL (SELECT UNNEST(generate_series(0, max_i)) AS i) g
+    ),
+    keyed AS (
+      SELECT doc_id, u_idx, u_text, md5(u_text) AS h,
+             doc_id * {POS_BASE} + u_idx AS pos
+      FROM units
+    ),
+    firsts AS (SELECT h, min(pos) AS first_pos FROM keyed GROUP BY h),
+    kept AS (
+      SELECT k.doc_id, k.u_idx, k.u_text
+      FROM keyed k JOIN firsts f ON k.h = f.h AND k.pos = f.first_pos
+    ),
+    kept_agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_units,
+             md5(string_agg(u_text, ' ' ORDER BY u_idx)) AS dedup_fp
+      FROM kept GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, CAST(max_i + 1 AS BIGINT) AS n_units FROM base)
+    SELECT t.doc_id, t.n_units,
+           COALESCE(k.kept_units, 0) AS kept_units,
+           t.n_units - COALESCE(k.kept_units, 0) AS dropped_units,
+           k.dedup_fp AS dedup_fp
+    FROM totals t LEFT JOIN kept_agg k USING (doc_id)
+    """,
+    tags=("ext-cleaning", "dedup"),
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact corpus dedup (C4/RefinedWeb rule):
+    any {_UNIT}-token unit occurring more than once corpus-wide
+    survives only at its first (doc_id, u_idx) occurrence; docs are
+    reassembled from surviving units in order.
+
+    Scale shape: unit explode is a shuffle-free flatMap; the
+    first-occurrence resolution is a map-side-combinable MIN aggregate
+    on the unit digest (|distinct units| rows cross the wire, not
+    |occurrences|) followed by a digest-key join that AQE skew-splits
+    if one boilerplate unit dominates; per-doc totals come off the
+    token array directly (no second pass over exploded units)."""
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = default_parallelism(spark)
+    docs = d.repartition(n_parts).select("doc_id", "text")
+    units = unit_explode(docs, _UNIT)
+    kept_agg = reassemble(dedup_units_corpus_wide(units))
+    from osmart_etl_spark.ops.text import tokens
+
+    totals = docs.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0).select(
+        "doc_id",
+        (F.floor((F.size("t") - 1) / _UNIT) + 1).cast("bigint").alias("n_units"),
+    )
+    return (
+        totals.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_units",
+            F.coalesce(F.col("kept_units"), F.lit(0)).cast("bigint").alias(
+                "kept_units"
+            ),
+            (F.col("n_units") - F.coalesce(F.col("kept_units"), F.lit(0)))
+            .cast("bigint")
+            .alias("dropped_units"),
+            "dedup_fp",
+        )
+    )

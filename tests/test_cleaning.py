@@ -1,0 +1,71 @@
+"""Operator-level properties for the cleaning surface (pii_scrub,
+paragraph_dedup) — parity vs DuckDB is covered by tools/check_parity;
+these pin the *semantics* the oracle can't articulate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from osmart_etl_spark.ops.cleaning import EMAIL_RE, PHONE_RE, count_matches
+    from osmart_etl_spark.queries.cleaning import pii_scrub
+
+    res = pii_scrub(spark, SF_SMALL)
+    rows = res.collect()
+    assert rows, "corpus empty"
+    for r in rows:
+        assert r["n_emails"] == (1 if r["doc_id"] % 3 == 0 else 0)
+        assert r["n_phones"] == (1 if r["doc_id"] % 5 == 0 else 0)
+        assert r["has_pii"] == (r["doc_id"] % 3 == 0 or r["doc_id"] % 5 == 0)
+
+    # Redaction completeness: re-detecting on the redacted text finds
+    # nothing. Rebuild the redacted column (the query only ships its
+    # fingerprint) and assert zero residual matches.
+    from osmart_etl_spark.ops.cleaning import redact
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.cleaning import _aug_text
+
+    d = read_table(spark, SF_SMALL, "documents")
+    red = redact(redact(_aug_text(), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    residual = d.select(
+        (count_matches(red, EMAIL_RE) + count_matches(red, PHONE_RE)).alias("n")
+    ).agg(F.sum("n")).collect()[0][0]
+    assert residual == 0
+
+
+def test_paragraph_dedup_invariants(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.cleaning import unit_explode
+    from osmart_etl_spark.queries.cleaning import _UNIT, paragraph_dedup
+
+    res = paragraph_dedup(spark, SF_SMALL).collect()
+    assert res
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    units = unit_explode(docs, _UNIT)
+    n_distinct = units.select("u_text").distinct().count()
+    n_total = units.count()
+
+    assert sum(r["kept_units"] for r in res) == n_distinct
+    assert sum(r["n_units"] for r in res) == n_total
+    for r in res:
+        assert 0 <= r["kept_units"] <= r["n_units"]
+        assert r["dropped_units"] == r["n_units"] - r["kept_units"]
+        # a doc that kept nothing has no reassembled fingerprint
+        assert (r["dedup_fp"] is None) == (r["kept_units"] == 0)
+
+
+def test_paragraph_dedup_idempotent(spark):
+    """Dedup of an already-deduped corpus is a no-op: feed the surviving
+    units back through corpus-wide dedup and nothing further drops."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.cleaning import dedup_units_corpus_wide, unit_explode
+    from osmart_etl_spark.queries.cleaning import _UNIT
+
+    docs = read_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    kept = dedup_units_corpus_wide(unit_explode(docs, _UNIT))
+    again = dedup_units_corpus_wide(kept)
+    assert again.count() == kept.count()
