@@ -1,0 +1,133 @@
+"""Product quantization (PQ) over ``embeddings`` — the compression half
+of a planet-scale ANN index (IVF selects candidate lists,
+``pq_encode``'s codes make the lists fit in memory: 64 float32 dims →
+M subspace codes, here 4 bytes/vector vs 256).
+
+Seeding follows ``ivf_build_assign``: deterministic seed codebooks
+(the first _K vectors' sub-slices) keep the build engine-reproducible
+so a DuckDB oracle can replay it exactly; Lloyd refinement would slot
+in per round exactly as in ops/similarity.lloyd_refine.
+
+Bit-determinism: squared-L2 distances are strict left-folds over
+double-cast slices (Spark ``F.aggregate`` ↔ DuckDB ``list_reduce``),
+argmin is a single partial-aggregated ``max(struct(-d, -seed))`` per
+(vector, subspace), and the reconstruction error sums the M per-
+subspace minima ROW-WISE in fixed subspace order — never through a
+shuffle whose arrival order could vary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import query
+
+_DIM = 64
+_M = 4  # subspaces
+_SUB = _DIM // _M  # dims per subspace
+_K = 8  # codebook entries per subspace
+
+# DuckDB strict-left-fold squared L2 between double lists.
+_L2SQ = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " p -> (p[1] - p[2]) * (p[1] - p[2]))), (acc, x) -> acc + x)"
+)
+
+
+def _l2sq(a, b):
+    """Spark twin of ``_L2SQ``: zip_with then left-fold — same order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+_CODE_COLS = ", ".join(
+    f"MAX(CASE WHEN m = {m} THEN seed_id END) AS code_{m}" for m in range(_M)
+)
+_ERR_SUM = " + ".join(f"MAX(CASE WHEN m = {m} THEN d END)" for m in range(_M))
+
+
+@query(
+    "pq_encode",
+    oracle=f"""
+    WITH subs AS (SELECT UNNEST(generate_series(0, {_M - 1})) AS m),
+    seeds AS (
+      SELECT s.m, e.vec_id AS seed_id,
+             CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}] AS s_vec
+      FROM embeddings e CROSS JOIN subs s
+      WHERE e.vec_id < {_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, s.m, s.seed_id,
+             {_L2SQ.format(a=f"CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}]", b="s.s_vec")} AS d
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, m, seed_id, d,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m ORDER BY d ASC, seed_id ASC) AS rn
+      FROM scored
+    )
+    SELECT vec_id, {_CODE_COLS}, {_ERR_SUM} AS recon_err
+    FROM ranked WHERE rn = 1
+    GROUP BY vec_id
+    """,
+    tags=("ext-sim", "pq"),
+)
+def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode: per subspace, assign each vector's slice to its
+    nearest codebook entry (squared L2, ties to the lower seed id);
+    emit the M codes plus the total reconstruction error.
+
+    Scale shape: the codebook (M×K sub-vectors — always tiny, a few KB
+    even at K=256) broadcasts; scoring is map-side over one corpus
+    scan; the only shuffle is ONE partial-aggregated groupBy(vec_id)
+    carrying M structs per vector. Nothing anywhere is
+    O(|corpus|×|corpus|) — cost is |corpus| × M × K multiply-adds,
+    exactly the PQ build cost on any engine.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding").cast("array<double>")
+    subs = spark.range(_M).select(F.col("id").cast("int").alias("m"))
+    seeds = (
+        emb.filter(F.col("vec_id") < _K)
+        .crossJoin(F.broadcast(subs))
+        .select(
+            "m",
+            F.col("vec_id").alias("seed_id"),
+            F.slice(vec, F.col("m") * _SUB + 1, _SUB).alias("s_vec"),
+        )
+    )
+    scored = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "m",
+        "seed_id",
+        _l2sq(F.slice(vec, F.col("m") * _SUB + 1, _SUB), F.col("s_vec")).alias("d"),
+    )
+    # argmin per (vec, subspace) folded into the same shuffle that
+    # collects the subspaces per vector: M conditional struct-maxes.
+    aggs = [
+        F.max(
+            F.when(
+                F.col("m") == m,
+                F.struct((-F.col("d")).alias("nd"), (-F.col("seed_id")).alias("ns")),
+            )
+        ).alias(f"b{m}")
+        for m in range(_M)
+    ]
+    best = scored.groupBy("vec_id").agg(*aggs)
+    err = F.lit(0.0)
+    for m in range(_M):
+        err = err + (-F.col(f"b{m}.nd"))
+    return best.select(
+        "vec_id",
+        *[
+            (-F.col(f"b{m}.ns")).cast("bigint").alias(f"code_{m}")
+            for m in range(_M)
+        ],
+        err.alias("recon_err"),
+    )
