@@ -91,9 +91,14 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the PQ build cost on any engine.
     """
     emb = read_table(spark, sf_dir, "embeddings")
+    return _encode(spark, emb)
+
+
+def _codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(m, seed_id, s_vec): the M×K seed codebooks — always tiny."""
     vec = F.col("embedding").cast("array<double>")
     subs = spark.range(_M).select(F.col("id").cast("int").alias("m"))
-    seeds = (
+    return (
         emb.filter(F.col("vec_id") < _K)
         .crossJoin(F.broadcast(subs))
         .select(
@@ -102,6 +107,12 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(vec, F.col("m") * _SUB + 1, _SUB).alias("s_vec"),
         )
     )
+
+
+def _encode(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """Core PQ encode: (vec_id, code_0.._{M-1}, recon_err)."""
+    vec = F.col("embedding").cast("array<double>")
+    seeds = _codebooks(spark, emb)
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "m",
@@ -130,4 +141,89 @@ def pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_M)
         ],
         err.alias("recon_err"),
+    )
+
+
+_ADC_SUM = " + ".join(
+    f"MAX(CASE WHEN r.m = {m} THEN dt.dq END)" for m in range(_M)
+)
+
+
+@query(
+    "pq_adc_topk",
+    oracle=f"""
+    WITH subs AS (SELECT UNNEST(generate_series(0, {_M - 1})) AS m),
+    seeds AS (
+      SELECT s.m, e.vec_id AS seed_id,
+             CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}] AS s_vec
+      FROM embeddings e CROSS JOIN subs s
+      WHERE e.vec_id < {_K}
+    ),
+    q AS (
+      SELECT s.m, CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}] AS q_vec
+      FROM embeddings e CROSS JOIN subs s
+      WHERE e.vec_id = 0
+    ),
+    dt AS (
+      SELECT s.m, s.seed_id, {_L2SQ.format(a="q.q_vec", b="s.s_vec")} AS dq
+      FROM seeds s JOIN q ON q.m = s.m
+    ),
+    scored AS (
+      SELECT e.vec_id, s.m, s.seed_id,
+             {_L2SQ.format(a=f"CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}]", b="s.s_vec")} AS d
+      FROM embeddings e CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, m, seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m ORDER BY d ASC, seed_id ASC) AS rn
+      FROM scored
+    ),
+    tot AS (
+      SELECT r.vec_id, {_ADC_SUM} AS adc_dist
+      FROM ranked r JOIN dt ON dt.m = r.m AND dt.seed_id = r.seed_id
+      WHERE r.rn = 1
+      GROUP BY r.vec_id
+    )
+    SELECT vec_id, adc_dist FROM tot ORDER BY adc_dist ASC, vec_id ASC LIMIT 10
+    """,
+    tags=("ext-sim", "pq-adc"),
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k: the query vector
+    stays exact, the corpus is represented only by its PQ codes, and
+    each candidate's distance is the sum of M table lookups —
+    d(q) ≈ Σ_m dtable[m][code_m]. This is how a PQ index serves search:
+    at 100 TB the scan reads the 4-byte code column instead of the
+    256-byte vector column (64× less I/O), the M×K distance table is
+    computed once per query and broadcast, and the top-k is a
+    TakeOrderedAndProject (partition-local heads, never a global sort).
+
+    The lookup join is M broadcast hash joins on the code columns (the
+    dtable is M×K rows — bytes); the row-wise fixed-order sum keeps the
+    total bit-deterministic for the oracle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    codes = _encode(spark, emb)
+    vec = F.col("embedding").cast("array<double>")
+    subs = spark.range(_M).select(F.col("id").cast("int").alias("m"))
+    qsub = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(subs))
+        .select("m", F.slice(vec, F.col("m") * _SUB + 1, _SUB).alias("q_vec"))
+    )
+    dt = _codebooks(spark, emb).join(F.broadcast(qsub), "m").select(
+        "m", "seed_id", _l2sq(F.col("q_vec"), F.col("s_vec")).alias("dq")
+    )
+    out = codes
+    total = F.lit(0.0)
+    for m in range(_M):
+        dt_m = dt.filter(F.col("m") == m).select(
+            F.col("seed_id").alias(f"code_{m}"), F.col("dq").alias(f"dq_{m}")
+        )
+        out = out.join(F.broadcast(dt_m), f"code_{m}")
+        total = total + F.col(f"dq_{m}")
+    return (
+        out.select("vec_id", total.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
     )
