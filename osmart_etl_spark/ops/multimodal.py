@@ -3,10 +3,19 @@
 Design: image/audio/video payloads are opaque ``binary`` columns with
 typed metadata alongside (media_type, width/height/duration, codec).
 The Spark-side contract — schema, partitioning, Arrow batch shape, UDF
-signatures — is real and tested; the actual codec work is stubbed
-behind ``DECODERS`` because media libraries aren't available in this
-container (each stub either raises NotImplementedError or produces a
-deterministic fake, clearly marked).
+signatures — is real and tested.
+
+Two tiers of codec honesty:
+
+- RAW formats are implemented FOR REAL in pure numpy: ``raw-image``
+  payloads (row-major uint8 H×W×C) decode, nearest-neighbor resize,
+  and featurize; ``raw-video`` (concatenated raw frames) frame-samples
+  — see ``decode_raw_image`` / ``resize_nearest`` / ``sample_frames``
+  and the ``resize_raw_images`` operator.
+- COMPRESSED formats (jpeg/png/mp3/h264…) need PIL/libsndfile/ffmpeg,
+  absent from this container — those paths are stubbed behind
+  ``DECODERS`` (each stub either raises NotImplementedError or
+  produces a deterministic fake, clearly marked).
 
 Scale notes: decode/resize/feature-extract run as ``mapInPandas`` —
 Arrow-batched, one Python worker per partition, no shuffle; the binary
@@ -59,6 +68,56 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def decode_raw_image(
+    payload: bytes, width: int, height: int, channels: int = 1
+) -> np.ndarray:
+    """REAL decode for the raw uint8 format: row-major H×W×C bytes
+    (the layout of PPM/PGM sans header, or any framebuffer dump)."""
+    expected = width * height * channels
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    if arr.size < expected:
+        raise ValueError(
+            f"raw image payload too short: {arr.size} < {expected} "
+            f"({height}x{width}x{channels})"
+        )
+    return arr[:expected].reshape(height, width, channels)
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """REAL nearest-neighbor resize via index gather — pure numpy, no
+    interpolation library needed; deterministic (floor sampling grid)."""
+    h, w = img.shape[0], img.shape[1]
+    rows = (np.arange(out_h) * h) // out_h
+    cols = (np.arange(out_w) * w) // out_w
+    return img[rows][:, cols]
+
+
+def sample_frames(
+    payload: bytes, frame_bytes: int, every_k: int
+) -> list[bytes]:
+    """REAL frame sampling for raw video = concatenated raw frames:
+    every k-th complete frame, trailing partial bytes dropped."""
+    n = len(payload) // frame_bytes
+    return [
+        payload[i * frame_bytes : (i + 1) * frame_bytes]
+        for i in range(0, n, every_k)
+    ]
+
+
+def _decode_raw_image_feature(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL featurizer for raw images: per-quadrant means (2×2 grid
+    pooled over a nearest-resized 8×8), normalized to [0,1]."""
+    img = decode_raw_image(
+        payload, meta["width"], meta["height"], meta.get("channels", 1)
+    )
+    small = resize_nearest(img, 8, 8).astype(np.float64).mean(axis=2)
+    quads = [
+        small[:4, :4].mean(), small[:4, 4:].mean(),
+        small[4:, :4].mean(), small[4:, 4:].mean(),
+    ]
+    return np.array(quads, dtype=np.float32) / 255.0
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake decoder: a real implementation calls
     PIL/opencv here. The fake derives an 8-dim feature from payload
@@ -85,6 +144,86 @@ DECODERS = {
 }
 
 
+def resize_raw_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
+    """REAL resize operator over ``mapInPandas``: raw-image payloads are
+    decoded (uint8 H×W×C), nearest-neighbor resized, and re-emitted as
+    raw payloads with updated metadata; every other media_type passes
+    through untouched with status 'passthrough'. Arrow-batched, one
+    Python worker pass per partition, no shuffle; undecodable rows are
+    captured into ``resize_status`` instead of failing the job."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType(), False),
+            StructField("media_type", StringType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("n_bytes", LongType(), True),
+            StructField("meta_width", IntegerType(), True),
+            StructField("meta_height", IntegerType(), True),
+            StructField("resize_status", StringType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "media_type", "payload", "n_bytes",
+                    "meta_width", "meta_height", "resize_status")}
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                out["media_type"].append(row["media_type"])
+                if row["media_type"] != "raw-image" or row["payload"] is None:
+                    out["payload"].append(row["payload"])
+                    out["n_bytes"].append(row["n_bytes"])
+                    out["meta_width"].append(row["meta_width"])
+                    out["meta_height"].append(row["meta_height"])
+                    out["resize_status"].append("passthrough")
+                    continue
+                try:
+                    img = decode_raw_image(
+                        bytes(row["payload"]),
+                        int(row["meta_width"]),
+                        int(row["meta_height"]),
+                    )
+                    resized = resize_nearest(img, out_h, out_w)
+                    pay = resized.tobytes()
+                    out["payload"].append(pay)
+                    out["n_bytes"].append(len(pay))
+                    out["meta_width"].append(out_w)
+                    out["meta_height"].append(out_h)
+                    out["resize_status"].append("ok")
+                except ValueError:
+                    out["payload"].append(None)
+                    out["n_bytes"].append(None)
+                    out["meta_width"].append(row["meta_width"])
+                    out["meta_height"].append(row["meta_height"])
+                    out["resize_status"].append("decode_error")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def make_synthetic_raw_media(spark, n: int = 24) -> DataFrame:
+    """Raw-format synthetic media: raw-image rows carry genuine
+    row-major uint8 payloads (16×12 deterministic gradients), raw-video
+    rows concatenate 10 raw 4×4 frames. Decodable FOR REAL by the
+    numpy raw codecs above — no stub in this path."""
+    rows = []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = 16, 12
+            img = np.add.outer(
+                np.arange(h, dtype=np.uint16) * 3 + i,
+                np.arange(w, dtype=np.uint16) * 5,
+            ) % 256
+            payload = img.astype(np.uint8).tobytes()
+            rows.append((i, "raw-image", payload, len(payload), w, h, None))
+        else:
+            frame = bytes(((i * 11 + j) % 256 for j in range(16)))
+            payload = frame * 10
+            rows.append((i, "raw-video", payload, len(payload), 4, 4, 400))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
     """Decode + feature-extract over ``mapInPandas``.
 
@@ -97,6 +236,26 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
         for pdf in batches:
             feats, statuses = [], []
             for _, row in pdf.iterrows():
+                # REAL path: raw images featurize via the numpy codec
+                if (
+                    row["media_type"] == "raw-image"
+                    and row["payload"] is not None
+                    and row["meta_width"] is not None
+                ):
+                    try:
+                        f = _decode_raw_image_feature(
+                            bytes(row["payload"]),
+                            {
+                                "width": int(row["meta_width"]),
+                                "height": int(row["meta_height"]),
+                            },
+                        )
+                        feats.append([float(x) for x in f])
+                        statuses.append("ok")
+                    except ValueError:
+                        feats.append(None)
+                        statuses.append("decode_error")
+                    continue
                 decoder = DECODERS.get(row["media_type"])
                 if decoder is None or row["payload"] is None:
                     feats.append(None)
