@@ -180,3 +180,127 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dedup_fp",
         )
     )
+
+
+_CHUNK = 50  # tokens per training chunk
+
+
+@query(
+    "corpus_training_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source, text,
+             list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM toks
+      WHERE len(t) >= 20 AND len(t) <= 1000
+        AND len(list_distinct(t)) / len(t) >= 0.3
+    ),
+    h AS (SELECT *, md5(text) AS fp FROM q),
+    firsts AS (SELECT fp, min(doc_id) AS keep_id FROM h GROUP BY fp),
+    kept AS (
+      SELECT h.doc_id, h.lang, h.source, h.text
+      FROM h JOIN firsts f ON h.fp = f.fp AND h.doc_id = f.keep_id
+    ),
+    red AS (
+      SELECT doc_id, lang, source,
+        regexp_replace(regexp_replace(
+          text
+          || CASE WHEN doc_id % 3 = 0
+                  THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END
+          || CASE WHEN doc_id % 5 = 0
+                  THEN ' call 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' today'
+                  ELSE '' END,
+          '{EMAIL_RE}', '<EMAIL>', 'g'), '{PHONE_RE}', '<PHONE>', 'g') AS rtext
+      FROM kept
+    ),
+    rtoks AS (
+      SELECT doc_id, lang, source,
+             list_filter(string_split(rtext, ' '), x -> x != '') AS rt
+      FROM red
+    ),
+    chunks AS (
+      SELECT doc_id, lang, source, i AS chunk_idx,
+             rt[i*{_CHUNK}+1 : i*{_CHUNK}+{_CHUNK}] AS ct
+      FROM rtoks
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(0, CAST((len(rt) - 1) // {_CHUNK} AS INT))) AS i
+      ) g
+      WHERE len(rt) > 0
+    )
+    SELECT doc_id, lang, source, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(ct) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(ct, ' ')) AS chunk_fp
+    FROM chunks
+    """,
+    tags=("ext-cleaning", "pipeline"),
+)
+def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed preprocessing DELIVERABLE: quality filter → exact
+    corpus dedup (first doc per content hash) → PII redaction → fixed-
+    window chunking, emitted as training-ready chunk records — the
+    end-to-end path a pretraining-data user actually runs, as ONE
+    Catalyst DAG.
+
+    Scale shape: everything except the dedup resolution is a fused
+    per-row stage over one scan (quality predicates, regex redaction,
+    token chunking all pipeline inside the same codegen stage); the
+    dedup is the paragraph_dedup pattern at doc granularity — a
+    map-side-combinable MIN per content digest plus one digest-keyed
+    join — so the whole pipeline costs one scan + one small shuffle
+    pair, not a pass per stage. Filters run BEFORE dedup so undeduped
+    low-quality text never reaches the hash shuffle."""
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = default_parallelism(spark)
+    t = tokens(F.col("text"))
+    q = (
+        d.repartition(n_parts)
+        .withColumn("__nt", F.size(t))
+        .filter(
+            (F.col("__nt") >= 20)
+            & (F.col("__nt") <= 1000)
+            & (
+                F.size(F.array_distinct(t)).cast("double")
+                / F.col("__nt").cast("double")
+                >= 0.3
+            )
+        )
+        .withColumn("__fp", F.md5("text"))
+    )
+    firsts = q.groupBy("__fp").agg(F.min("doc_id").alias("__keep_id"))
+    kept = (
+        q.join(firsts, "__fp")
+        .filter(F.col("doc_id") == F.col("__keep_id"))
+        .select("doc_id", "lang", "source", "text")
+    )
+    red = kept.select(
+        "doc_id",
+        "lang",
+        "source",
+        redact(
+            redact(_aug_text(), EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ).alias("rtext"),
+    )
+    rt = tokens(F.col("rtext"))
+    base = red.select("doc_id", "lang", "source", rt.alias("rt")).filter(
+        F.size("rt") > 0
+    )
+    idx = F.sequence(F.lit(0), F.floor((F.size("rt") - 1) / _CHUNK).cast("int"))
+    chunked = base.select(
+        "doc_id", "lang", "source", "rt", F.explode(idx).alias("chunk_idx")
+    )
+    sl = F.slice(F.col("rt"), F.col("chunk_idx") * _CHUNK + 1, _CHUNK)
+    return chunked.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+        F.md5(F.array_join(sl, " ")).alias("chunk_fp"),
+    )
