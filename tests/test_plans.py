@@ -111,3 +111,36 @@ def test_replay_chunked_bounded_partitions(spark):
         spec_cols, part, _order = m.groups()
         if "event_id" in _order or "event_id" in spec_cols:
             assert "__chunk" in part, f"row-stream window missing chunk: {m.group(0)}"
+
+
+def test_pii_scrub_zero_shuffle(spark):
+    """The cheapest-possible shape claimed in SCALE.md: one projection
+    over one scan — no exchange of any kind, no join."""
+    from osmart_etl_spark.queries.cleaning import pii_scrub
+
+    plan = _formatted_plan(pii_scrub(spark, SF_SMALL))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_paragraph_dedup_bounded_exchanges(spark):
+    """First-occurrence resolution must stay aggregate-then-join: one
+    digest MIN aggregate + the join-back + per-doc reassembly — never a
+    window over all occurrences, and never more than 3 hash exchanges
+    regardless of how the stages are recomposed."""
+    from osmart_etl_spark.queries.cleaning import paragraph_dedup
+
+    plan = _formatted_plan(paragraph_dedup(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+    assert "Window" not in plan, plan
+
+
+def test_training_pipeline_single_shuffle_pair(spark):
+    """The composed pipeline's whole per-row work (quality filter,
+    redaction, chunking) fuses around ONE dedup shuffle pair — a pass
+    per stage would show up here as extra exchanges."""
+    from osmart_etl_spark.queries.cleaning import corpus_training_pipeline
+
+    plan = _formatted_plan(corpus_training_pipeline(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" not in plan, plan
