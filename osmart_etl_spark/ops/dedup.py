@@ -239,7 +239,17 @@ def jaccard_verify_hybrid(
     shape. |A∩B| via the codegen'd row-explode hash join (pairs side
     broadcast); |A| and |B| read straight off ``size(__sh)`` — a pure
     projection instead of a corpus-sized groupBy — and joined broadcast
-    (one row per doc). Output: (id_a, id_b, jaccard)."""
+    (one row per doc). Output: (id_a, id_b, jaccard).
+
+    Scale crossover, MEASURED: this form explodes the full corpus on
+    the id_b side, which is |corpus|-proportional — the right trade
+    only while the corpus explode is cheaper than extra broadcast
+    barriers (sf0.1: 3.9 s here vs 7.9 s for a candidate-id-pruned
+    variant whose two extra broadcast exchanges + distinct dominate at
+    5k docs). Past the point where corpus shingles dwarf candidate
+    shingles — any real web corpus — use ``jaccard_verify_sets``,
+    whose bare-id broadcast semi-join prunes the corpus BEFORE any
+    explode and whose cost scales with |candidates| only."""
     sa = doc_sets.select(F.col(id_col).alias("id_a"), F.explode("__sh").alias("shingle"))
     sb = doc_sets.select(F.col(id_col).alias("id_b"), F.explode("__sh").alias("shingle"))
     inter = (
