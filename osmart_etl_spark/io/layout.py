@@ -85,3 +85,60 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def file_stats(spark, path: str, cols: list[str]) -> DataFrame:
+    """Per-file row counts and min/max per column — the observable form
+    of the parquet footer stats that data skipping prunes on. Grouped
+    on ``input_file_name()`` so it works on any filesystem without
+    touching footers directly; one scan, one small aggregate (rows =
+    |files|). Use it to VERIFY a layout does what it claims: after
+    ``write_zordered`` the per-file min/max spans should be narrow in
+    every clustered dimension; after ``compact`` the per-file row
+    counts should sit near the target."""
+    df = spark.read.parquet(path)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"min_{c}"))
+        aggs.append(F.max(c).alias(f"max_{c}"))
+    return df.groupBy(F.input_file_name().alias("file")).agg(*aggs)
+
+
+def compact(
+    spark,
+    path: str,
+    target_rows_per_file: int,
+    *,
+    sort_within: list[str] | None = None,
+) -> dict:
+    """Small-files compaction — the maintenance job every long-running
+    ingest needs: streaming/incremental sinks accrete thousands of tiny
+    files whose per-file open/footer overhead eventually dominates scan
+    time. Rewrites the directory into ⌈rows/target⌉ files, optionally
+    re-sorting within partitions (pass the Z-order/cluster columns to
+    preserve data-skipping locality through the rewrite).
+
+    Self-overwrite discipline: the rewritten data is localCheckpointed
+    (fully materialized) BEFORE the overwrite, the same barrier
+    merge_upsert_partitioned uses — never overwrite a directory a live
+    lazy plan still reads from. Returns {files_before, files_after,
+    n_rows} so callers (and tests) can assert the layout contract.
+    """
+    import math
+
+    df = spark.read.parquet(path)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_rows = df.count()
+    n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    files_after = (
+        spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+    }
