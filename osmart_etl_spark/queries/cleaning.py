@@ -304,3 +304,134 @@ def corpus_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sl).cast("bigint").alias("n_chunk_tokens"),
         F.md5(F.array_join(sl, " ")).alias("chunk_fp"),
     )
+
+
+_SUBS_T = 0.001  # word2vec subsampling threshold
+_HASH28 = 268_435_456  # 2^28 — 7-hex-char md5 gate space
+
+
+@query(
+    "token_freq_subsample",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+      FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, i - 1 AS pos, t[i] AS token
+      FROM toks
+      CROSS JOIN LATERAL (SELECT UNNEST(generate_series(1, len(t))) AS i) g
+      WHERE len(t) > 0
+    ),
+    freq AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+    tot AS (SELECT count(*) AS n FROM occ),
+    hot AS (
+      SELECT token,
+             CAST(floor(least(1.0, sqrt({_SUBS_T} * n / cnt)) * {_HASH28})
+                  AS BIGINT) AS thr
+      FROM freq CROSS JOIN tot
+      WHERE cnt > {_SUBS_T} * n
+    ),
+    kept AS (
+      SELECT o.doc_id, o.pos, o.token
+      FROM occ o LEFT JOIN hot h ON o.token = h.token
+      WHERE h.thr IS NULL
+         OR ('0x' || substr(md5(o.token || ':' || CAST(o.doc_id AS VARCHAR)
+                                 || ':' || CAST(o.pos AS VARCHAR)), 1, 7))::BIGINT
+            < h.thr
+    ),
+    tot_doc AS (
+      SELECT doc_id, CAST(len(t) AS BIGINT) AS n_before
+      FROM toks WHERE len(t) > 0
+    ),
+    kept_agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_after,
+             md5(string_agg(token, ' ' ORDER BY pos)) AS kept_fp
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_before,
+           COALESCE(k.n_after, 0) AS n_after,
+           k.kept_fp AS kept_fp
+    FROM tot_doc d LEFT JOIN kept_agg k USING (doc_id)
+    """,
+    tags=("ext-cleaning", "subsample"),
+)
+def token_freq_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word2vec-style frequency subsampling: each OCCURRENCE of token t
+    survives with p = min(1, sqrt(threshold / f(t))) — frequent filler
+    tokens thin out, rare content tokens always survive. The coin flip
+    is a content-addressed md5 gate over (token, doc_id, position), so
+    the subsample is identical on every run, engine, and partitioning.
+
+    The scale insight: only tokens with f > threshold have p < 1, and
+    there can be at most 1/threshold = {int(1/_SUBS_T)} of them AT ANY
+    CORPUS SIZE (frequencies sum to 1) — so the per-token threshold
+    table is provably broadcastable forever; every other token
+    left-joins to nothing and short-circuits to keep. Shuffles: the
+    frequency count (map-side combined to |vocab| per partition), the
+    1-row total, and the per-doc reassembly — the occurrence stream
+    itself never shuffles by token, so token skew cannot matter."""
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = default_parallelism(spark)
+    base = (
+        d.repartition(n_parts)
+        .select("doc_id", tokens(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    occ = base.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    )
+    freq = occ.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = occ.agg(F.count(F.lit(1)).alias("n"))
+    hot = (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") > F.lit(_SUBS_T) * F.col("n"))
+        .select(
+            "token",
+            F.floor(
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(F.lit(_SUBS_T) * F.col("n") / F.col("cnt")),
+                )
+                * _HASH28
+            )
+            .cast("bigint")
+            .alias("thr"),
+        )
+    )
+    gate = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("token"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            7,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    kept = occ.join(F.broadcast(hot), "token", "left").filter(
+        F.col("thr").isNull() | (gate < F.col("thr"))
+    )
+    ordered = F.array_sort(F.collect_list(F.struct("pos", "token")))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_after"),
+        F.md5(F.array_join(F.transform(ordered, lambda s: s["token"]), " ")).alias(
+            "kept_fp"
+        ),
+    )
+    totals = base.select("doc_id", F.size("t").cast("bigint").alias("n_before"))
+    return totals.join(kept_agg, "doc_id", "left").select(
+        "doc_id",
+        "n_before",
+        F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
+        "kept_fp",
+    )
