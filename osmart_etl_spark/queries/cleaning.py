@@ -435,3 +435,65 @@ def token_freq_subsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_after"), F.lit(0)).cast("bigint").alias("n_after"),
         "kept_fp",
     )
+
+
+_URL_RE = r"https?://([a-z0-9.-]+)/[a-z0-9/._-]*"
+_BLOCKLIST = ("spam0.example", "spam2.example", "spam4.example")
+_BLOCK_SQL = ", ".join(f"'{d}'" for d in _BLOCKLIST)
+
+
+@query(
+    "url_domain_filter",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, lang, source,
+        text || CASE WHEN doc_id % 4 = 0
+                     THEN ' see https://spam' || CAST(doc_id % 7 AS VARCHAR)
+                          || '.example/page' || CAST(doc_id AS VARCHAR) || ' ok'
+                     ELSE '' END AS a
+      FROM documents
+    )
+    SELECT doc_id, lang, source,
+      regexp_extract(a, '{_URL_RE}', 1) AS domain,
+      (regexp_extract(a, '{_URL_RE}', 1) IN ({_BLOCK_SQL})) AS is_blocked
+    FROM aug
+    """,
+    tags=("ext-cleaning", "url-filter"),
+)
+def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain extraction + blocklist verdict — the URL-level filter
+    every web-corpus pipeline runs before content-level scoring. Like
+    ``pii_scrub``, the synthetic corpus carries no URLs, so a
+    deterministic doc_id-gated URL is injected by identical string
+    algebra on both engines; the OPERATOR under test is the regex
+    netloc extraction + broadcastable blocklist membership.
+
+    Zero shuffle: regexp_extract group capture and the IN-list are
+    per-row codegen. At 100 TB the blocklist is a broadcast join
+    against a domains table instead of an IN literal — same shape, the
+    list just stops being a compile-time constant. regexp_extract
+    returns '' on no match in BOTH engines (Spark and DuckDB agree),
+    so the no-URL rows compare exactly."""
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" see https://spam"),
+                (did % 7).cast("string"),
+                F.lit(".example/page"),
+                did.cast("string"),
+                F.lit(" ok"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    domain = F.regexp_extract(aug, _URL_RE, 1)
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        domain.alias("domain"),
+        domain.isin(*_BLOCKLIST).alias("is_blocked"),
+    )

@@ -109,10 +109,19 @@ def _codebooks(spark: SparkSession, emb: DataFrame) -> DataFrame:
     )
 
 
-def _encode(spark: SparkSession, emb: DataFrame) -> DataFrame:
-    """Core PQ encode: (vec_id, code_0.._{M-1}, recon_err)."""
+def _encode(
+    spark: SparkSession, emb: DataFrame, targets: DataFrame | None = None
+) -> DataFrame:
+    """Core PQ encode: (vec_id, code_0.._{M-1}, recon_err).
+
+    ``targets`` optionally restricts WHICH vectors get encoded (e.g.
+    just the IVF candidates) while the codebooks always come from the
+    full ``emb`` — encode is per-vector deterministic, so encoding a
+    subset equals slicing the corpus-wide code table."""
     vec = F.col("embedding").cast("array<double>")
     seeds = _codebooks(spark, emb)
+    if targets is not None:
+        emb = emb.join(F.broadcast(targets.select("vec_id")), "vec_id")
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "m",
@@ -224,6 +233,172 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         total = total + F.col(f"dq_{m}")
     return (
         out.select("vec_id", total.alias("adc_dist"))
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+_NPROBE = 2
+
+# DuckDB strict-left-fold cosine between double lists (same fold order
+# as ops/similarity.cosine — proven bit-identical by the similarity
+# query family).
+_DOT = (
+    "list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}),"
+    " p -> p[1] * p[2])), (acc, x) -> acc + x)"
+)
+_NORM = (
+    "sqrt(list_reduce(list_prepend(0.0, list_transform({a}, x -> x * x)),"
+    " (acc, x) -> acc + x))"
+)
+
+
+def _cos(a: str, b: str) -> str:
+    return f"({_DOT.format(a=a, b=b)} / ({_NORM.format(a=a)} * {_NORM.format(a=b)}))"
+
+
+@query(
+    "ivfpq_search",
+    oracle=f"""
+    WITH subs AS (SELECT UNNEST(generate_series(0, {_M - 1})) AS m),
+    full_seeds AS (
+      SELECT vec_id AS seed_id, CAST(embedding AS DOUBLE[]) AS s_full
+      FROM embeddings WHERE vec_id < {_K}
+    ),
+    q_full AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0
+    ),
+    qsel AS (
+      SELECT seed_id FROM full_seeds, q_full
+      ORDER BY {_cos("s_full", "q_vec")} DESC, seed_id ASC
+      LIMIT {_NPROBE}
+    ),
+    assign_scored AS (
+      SELECT e.vec_id, s.seed_id,
+             {_cos("CAST(e.embedding AS DOUBLE[])", "s.s_full")} AS cs
+      FROM embeddings e CROSS JOIN full_seeds s
+    ),
+    assign AS (
+      SELECT vec_id, seed_id AS cluster_id
+      FROM (SELECT vec_id, seed_id, cs,
+              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, seed_id ASC) AS rn
+            FROM assign_scored)
+      WHERE rn = 1
+    ),
+    cand AS (
+      SELECT a.vec_id, a.cluster_id FROM assign a JOIN qsel s ON a.cluster_id = s.seed_id
+    ),
+    pq_seeds AS (
+      SELECT s.m, e.vec_id AS seed_id,
+             CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}] AS s_vec
+      FROM embeddings e CROSS JOIN subs s
+      WHERE e.vec_id < {_K}
+    ),
+    qsub AS (
+      SELECT s.m, CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}] AS q_vec
+      FROM embeddings e CROSS JOIN subs s
+      WHERE e.vec_id = 0
+    ),
+    dt AS (
+      SELECT s.m, s.seed_id, {_L2SQ.format(a="q.q_vec", b="s.s_vec")} AS dq
+      FROM pq_seeds s JOIN qsub q ON q.m = s.m
+    ),
+    cand_scored AS (
+      SELECT e.vec_id, s.m, s.seed_id,
+             {_L2SQ.format(a=f"CAST(e.embedding AS DOUBLE[])[s.m*{_SUB}+1 : s.m*{_SUB}+{_SUB}]", b="s.s_vec")} AS d
+      FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+      CROSS JOIN pq_seeds s
+    ),
+    cand_ranked AS (
+      SELECT vec_id, m, seed_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY vec_id, m ORDER BY d ASC, seed_id ASC) AS rn
+      FROM cand_scored
+    ),
+    tot AS (
+      SELECT r.vec_id, {_ADC_SUM} AS adc_dist
+      FROM cand_ranked r JOIN dt ON dt.m = r.m AND dt.seed_id = r.seed_id
+      WHERE r.rn = 1
+      GROUP BY r.vec_id
+    )
+    SELECT t.vec_id, c.cluster_id, t.adc_dist
+    FROM tot t JOIN cand c ON t.vec_id = c.vec_id
+    ORDER BY t.adc_dist ASC, t.vec_id ASC LIMIT 10
+    """,
+    tags=("ext-sim", "ivfpq"),
+)
+def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the production ANN architecture (FAISS's default at
+    scale), composed from the repo's own build blocks: the coarse
+    quantizer selects _NPROBE candidate lists at |seeds| cost, PQ codes
+    rank ONLY those candidates via broadcast-table ADC lookups. At
+    100 TB the scan cost is nprobe/K of the corpus × the 4-byte code
+    column — the multiplicative combination of IVF's candidate pruning
+    and PQ's payload compression. (Here the same seed family serves as
+    both coarse centroids and PQ codebooks; production systems train
+    them separately — residual encoding slots into ``_encode`` without
+    changing any shape.)
+
+    Shapes: seed tables and the ADC distance table broadcast; the
+    assignment argmax is the ivf_build_assign partial-agg shuffle over
+    candidates only; the final top-k is a TakeOrderedAndProject."""
+    from osmart_etl_spark.ops.similarity import as_double_array, cosine
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    full_seeds = emb.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("seed_id"),
+        as_double_array(F.col("embedding")).alias("s_full"),
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("q_vec")
+    )
+    qsel = (
+        full_seeds.crossJoin(F.broadcast(qv))
+        .select("seed_id", cosine(F.col("s_full"), F.col("q_vec")).alias("qc"))
+        .orderBy(F.col("qc").desc(), F.col("seed_id").asc())
+        .limit(_NPROBE)
+        .select("seed_id")
+    )
+    assign_scored = emb.crossJoin(F.broadcast(full_seeds)).select(
+        "vec_id",
+        "seed_id",
+        cosine(as_double_array(F.col("embedding")), F.col("s_full")).alias("cs"),
+    )
+    assign = (
+        assign_scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("cs"), (-F.col("seed_id")).alias("ns"))
+            ).alias("b")
+        )
+        .select("vec_id", (-F.col("b.ns")).cast("bigint").alias("cluster_id"))
+    )
+    cand = assign.join(
+        F.broadcast(qsel), assign.cluster_id == F.col("seed_id")
+    ).select("vec_id", "cluster_id")
+    codes = _encode(spark, emb, targets=cand)
+    vec = F.col("embedding").cast("array<double>")
+    subs = spark.range(_M).select(F.col("id").cast("int").alias("m"))
+    qsub = (
+        emb.filter(F.col("vec_id") == 0)
+        .crossJoin(F.broadcast(subs))
+        .select("m", F.slice(vec, F.col("m") * _SUB + 1, _SUB).alias("q_sub"))
+    )
+    dt = _codebooks(spark, emb).join(F.broadcast(qsub), "m").select(
+        "m", "seed_id", _l2sq(F.col("q_sub"), F.col("s_vec")).alias("dq")
+    )
+    out = codes
+    total = F.lit(0.0)
+    for m in range(_M):
+        dt_m = dt.filter(F.col("m") == m).select(
+            F.col("seed_id").alias(f"code_{m}"), F.col("dq").alias(f"dq_{m}")
+        )
+        out = out.join(F.broadcast(dt_m), f"code_{m}")
+        total = total + F.col(f"dq_{m}")
+    return (
+        out.select("vec_id", total.alias("adc_dist"))
+        .join(cand, "vec_id")
+        .select("vec_id", "cluster_id", "adc_dist")
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
