@@ -69,3 +69,52 @@ def test_paragraph_dedup_idempotent(spark):
     kept = dedup_units_corpus_wide(unit_explode(docs, _UNIT))
     again = dedup_units_corpus_wide(kept)
     assert again.count() == kept.count()
+
+
+def test_url_domain_filter_verdicts(spark):
+    from osmart_etl_spark.queries.cleaning import _BLOCKLIST, url_domain_filter
+
+    rows = url_domain_filter(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        if r["doc_id"] % 4 == 0:
+            assert r["domain"] == f"spam{r['doc_id'] % 7}.example"
+            assert r["is_blocked"] == (r["domain"] in _BLOCKLIST)
+        else:
+            assert r["domain"] == ""  # regexp_extract no-match contract
+            assert r["is_blocked"] is False
+
+
+def test_token_freq_subsample_invariants(spark):
+    from osmart_etl_spark.queries.cleaning import token_freq_subsample
+
+    a = token_freq_subsample(spark, SF_SMALL).collect()
+    assert a
+    total_before = sum(r["n_before"] for r in a)
+    total_after = sum(r["n_after"] for r in a)
+    assert 0 < total_after < total_before  # thinning actually happened
+    for r in a:
+        assert 0 <= r["n_after"] <= r["n_before"]
+        assert (r["kept_fp"] is None) == (r["n_after"] == 0)
+    # content-addressed gate → rerun-identical
+    b = token_freq_subsample(spark, SF_SMALL).collect()
+    key = lambda rows: sorted((r["doc_id"], r["n_after"], r["kept_fp"]) for r in rows)  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_training_pipeline_chunks_consistent(spark):
+    from osmart_etl_spark.queries.cleaning import _CHUNK, corpus_training_pipeline
+
+    rows = corpus_training_pipeline(spark, SF_SMALL).collect()
+    assert rows
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in by_doc.items():
+        idxs = sorted(c["chunk_idx"] for c in chunks)
+        assert idxs == list(range(len(chunks)))  # contiguous from 0
+        for c in chunks:
+            assert 1 <= c["n_chunk_tokens"] <= _CHUNK
+            # only the last chunk may be short
+            if c["chunk_idx"] < len(chunks) - 1:
+                assert c["n_chunk_tokens"] == _CHUNK
