@@ -11,6 +11,7 @@ plans as broadcast dims over one fact-fact shuffle pair.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
 from osmart_etl_spark.queries.base import query
@@ -70,3 +71,50 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         ORDER BY revenue DESC, n.n_name
     """)
+
+
+@query(
+    "topk_per_group",
+    oracle="""
+    SELECT event_type, user_id, total, rnk FROM (
+      SELECT event_type, user_id,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        ROW_NUMBER() OVER (
+          PARTITION BY event_type
+          ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id ASC
+        ) AS rnk
+      FROM events
+      GROUP BY event_type, user_id
+    ) WHERE rnk <= 3
+    """,
+    tags=("extras-topk",),
+)
+def topk_per_group(spark, sf_dir):
+    """Top-3 users by total value within each event type — the grouped
+    counterpart of ``topk_orders``' global TakeOrderedAndProject.
+
+    Scale shape: the aggregate shuffles once on (event_type, user_id)
+    with map-side combine; the rank window re-shuffles only the
+    aggregated table (|groups| rows, not |events|) on event_type. With
+    K event types that second exchange has K hot keys by construction —
+    harmless here because its input is already collapsed to one row per
+    (type, user); ranking over the RAW events this way would be the
+    skew trap. Decimal-cast totals keep rank order (and hence the
+    row_number itself) identical across engines; user_id breaks ties.
+    """
+    from pyspark.sql import Window
+
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    ev = read_table(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type", "user_id").agg(
+        dbl(F.sum(dec(F.col("value")))).alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("total").desc(), F.col("user_id").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("event_type", "user_id", "total", F.col("rnk").cast("bigint").alias("rnk"))
+    )
