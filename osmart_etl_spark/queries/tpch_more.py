@@ -118,3 +118,59 @@ def topk_per_group(spark, sf_dir):
         .filter(F.col("rnk") <= 3)
         .select("event_type", "user_id", "total", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+        MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_users,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+      CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     AND t_purchase > t_click
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM firsts
+    """,
+    tags=("extras-funnel",),
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered funnel (view → click → purchase): a user advances a
+    stage only if the NEXT stage's first occurrence is strictly after
+    the previous stage's first occurrence — the standard product-
+    analytics conversion metric.
+
+    Scale shape: ONE conditional-MIN aggregate per user (map-side
+    combined, the events table shuffles once on user_id carrying 3
+    timestamps per user), then a single global roll-up row. No window,
+    no self-join — the naive N-way self-join formulation of funnels is
+    the thing this shape exists to avoid. NULL semantics carry the
+    stage logic: `t_click > t_view` is NULL-safe false when either
+    stage never happened, identically in both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    as_int = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    return firsts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(as_int(stage1)).cast("bigint").alias("n_view"),
+        F.sum(as_int(stage2)).cast("bigint").alias("n_view_click"),
+        F.sum(as_int(stage3)).cast("bigint").alias("n_view_click_purchase"),
+    )
