@@ -174,3 +174,94 @@ def funnel_conversion(spark, sf_dir):
         F.sum(as_int(stage2)).cast("bigint").alias("n_view_click"),
         F.sum(as_int(stage3)).cast("bigint").alias("n_view_click_purchase"),
     )
+
+
+@query(
+    "locf_forward_fill",
+    oracle="""
+    SELECT event_id, user_id,
+      last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_value
+    FROM events
+    """,
+    tags=("extras-locf",),
+)
+def locf_forward_fill(spark, sf_dir):
+    """Last-observation-carried-forward: every event carries the most
+    recent purchase value seen for its user (NULL until the first one)
+    — the standard sparse-series densification (sensor readings, price
+    marks) done with `last(..., ignorenulls)` over an ordered per-key
+    frame; DuckDB's `IGNORE NULLS` window modifier is the exact twin.
+
+    Scale shape: one exchange on user_id + one ordered pass — the same
+    single-shuffle profile as the W2 replay; the growing frame is O(1)
+    per row because `last` only tracks one value. Tiebreak on event_id
+    keeps frame contents (hence results) deterministic."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sparse = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(sparse, ignorenulls=True).over(w).alias("last_purchase_value"),
+    )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+      (CAST(epoch_us(a.active_week) AS BIGINT)
+       - CAST(epoch_us(f.cohort_week) AS BIGINT)) // 604800000000 AS week_offset,
+      CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+    FROM firsts f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+    tags=("extras-cohort",),
+)
+def cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: users bucketed by first-seen week, then
+    distinct-active counts per (cohort, week offset) — the classic
+    retention triangle.
+
+    Scale shape: two aggregates over the same user_id exchange (first-
+    seen MIN, then the distinct activity pairs) and one join that reuses
+    that partitioning; the final count-distinct re-aggregates the small
+    (cohort, offset, user) table. Week offsets computed in exact
+    integer microseconds (unix_micros ↔ epoch_us, the engine-type
+    lesson from the session_windows fix) — under the UTC session every
+    truncated week is an exact multiple of 604,800,000,000 µs apart,
+    so the integer division is drift-free on both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    joined = firsts.join(activity, "user_id").select(
+        "user_id",
+        "cohort_week",
+        F.expr(
+            "(unix_micros(active_week) - unix_micros(cohort_week))"
+            " div 604800000000"
+        ).alias("week_offset"),
+    )
+    return joined.groupBy("cohort_week", "week_offset").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_active")
+    )
