@@ -265,3 +265,102 @@ def cohort_retention(spark, sf_dir):
     return joined.groupBy("cohort_week", "week_offset").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_active")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("extras-markov",),
+)
+def event_transition_matrix(spark, sf_dir):
+    """First-order behavior transitions: for each user's time-ordered
+    stream, count (event_type → next event_type) pairs — the input to
+    Markov funnel models and next-action predictors.
+
+    Scale shape: one user_id exchange for the LEAD window (tiebroken on
+    event_id for determinism), then the count re-aggregates the |types|²
+    pair space — at most 25 rows here, bounded by the type vocabulary
+    regardless of corpus size, so the second shuffle is trivially small
+    and the first is the same single exchange every per-user ordered
+    pass in this engine shares."""
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+        MAX(ts) AS last_ts,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+      CAST(NTILE(4) OVER (ORDER BY last_ts DESC, user_id ASC) AS BIGINT) AS r_q,
+      CAST(NTILE(4) OVER (ORDER BY freq DESC, user_id ASC) AS BIGINT) AS f_q,
+      CAST(NTILE(4) OVER (ORDER BY monetary DESC, user_id ASC) AS BIGINT) AS m_q
+    FROM base
+    """,
+    tags=("extras-rfm",),
+)
+def rfm_segmentation(spark, sf_dir):
+    """RFM customer segmentation: per-user recency/frequency/monetary
+    quartiles (1 = best), the staple marketing-analytics derivation.
+
+    Scale shape: one user_id aggregate, then three NTILE windows over
+    the |users| table. The windows are single-partition GLOBAL sorts —
+    fine at |users| scale but the one shape in this engine that does
+    not shuffle-parallelize; at 10⁹ users replace NTILE with quantile
+    thresholds from percentile_approx (one pass, no global sort) at
+    the cost of exact equal-size buckets. Both engines split n rows
+    into k buckets identically (first n mod k buckets one larger)
+    given the same total order, which the user_id tiebreak pins."""
+    from pyspark.sql import Window
+
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        dbl(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+        ).alias("monetary"),
+    )
+    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
+    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+    return base.select(
+        "user_id",
+        F.ntile(4).over(wr).cast("bigint").alias("r_q"),
+        F.ntile(4).over(wf).cast("bigint").alias("f_q"),
+        F.ntile(4).over(wm).cast("bigint").alias("m_q"),
+    )
