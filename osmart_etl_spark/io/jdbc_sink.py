@@ -1,0 +1,251 @@
+"""JDBC write-back upsert sink (SURVEY.md §2.1 S7/S8, relational target).
+
+The reference lands results in MySQL two ways:
+
+- row-batched ``INSERT ... ON DUPLICATE KEY UPDATE`` on the composite
+  natural PK (etl_sales/db/db_helpers.py:25-40);
+- bulk upsert via a temp staging table that is loaded fast and then
+  merged set-wise into the target (etl_inventory/seed_stock_points.py:
+  155-175, update_stock_points.py:237-256).
+
+Spark-first, the second shape is the right one and subsumes the first:
+
+1. dedupe the batch keep-latest per key IN SPARK (one window over the
+   batch — same semantics as applying the row-ordered upserts one by
+   one, but computed distributed);
+2. land the batch into a staging table with the parallel JDBC writer —
+   executors stream rows straight into the database, N connections wide
+   (``numPartitions``), never through the driver;
+3. one set-based ``MERGE INTO target USING staging`` statement executed
+   driver-side — a single SQL round-trip regardless of batch size, with
+   a ``staging.order >= target.order`` refinement so replayed/stale rows
+   never clobber newer data (the reference gets the same effect from
+   re-running whole idempotent day-batches).
+
+The only driver-side work is issuing two short DDL/DML strings; all row
+movement is executor-parallel. At 100 TB-of-source scale the batch that
+reaches a relational sink is the *aggregated* result (the reference's
+``ventas_limpias`` rollups), so the staging write is O(result), and the
+MERGE is the database's own set-based plan — this is exactly how
+warehouse loads are done on 1000-executor clusters.
+
+Streaming: ``jdbc_upsert_sink`` returns a ``foreachBatch``-compatible
+callable, making every micro-batch an idempotent MERGE (T6 — redelivery
+of a batch is a no-op because of the order refinement).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+
+def _q(ident: str) -> str:
+    """Quote a column identifier the way Spark's JDBC writer created it
+    (case-exact double quotes for Derby/ANSI; MySQL uses backticks but
+    accepts ANSI quotes with ANSI_QUOTES — the mysql dialect below emits
+    backticks)."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def build_merge_sql(
+    target: str,
+    staging: str,
+    keys: list[str],
+    cols: list[str],
+    order_col: str,
+    *,
+    dialect: str = "ansi",
+) -> str:
+    """Render the set-based upsert statement for one staged batch.
+
+    ``ansi`` renders ``MERGE INTO`` (Derby 10.11+, Postgres 15+, SQL
+    Server, Oracle). ``mysql`` renders the reference's own idiom,
+    ``INSERT ... SELECT ... AS new ON DUPLICATE KEY UPDATE`` with an
+    ``IF(new.order >= old.order)`` guard per column
+    (db_helpers.py:25-40). Pure string builder — unit-testable without a
+    live server.
+    """
+    upd_cols = [c for c in cols if c not in keys]
+    if dialect == "mysql":
+        bq = lambda c: "`" + c.replace("`", "``") + "`"  # noqa: E731
+        col_list = ", ".join(bq(c) for c in cols)
+        assigns = ", ".join(
+            f"{bq(c)} = IF(new.{bq(order_col)} >= {bq(target)}.{bq(order_col)}, "
+            f"new.{bq(c)}, {bq(target)}.{bq(c)})"
+            for c in upd_cols
+        )
+        return (
+            f"INSERT INTO {bq(target)} ({col_list}) "
+            f"SELECT {col_list} FROM {bq(staging)} AS new "
+            f"ON DUPLICATE KEY UPDATE {assigns}"
+        )
+    if dialect != "ansi":
+        raise ValueError(f"unknown dialect {dialect!r} (expected 'ansi' or 'mysql')")
+    on = " AND ".join(f"t.{_q(k)} = s.{_q(k)}" for k in keys)
+    sets = ", ".join(f"{_q(c)} = s.{_q(c)}" for c in upd_cols)
+    col_list = ", ".join(_q(c) for c in cols)
+    src_list = ", ".join(f"s.{_q(c)}" for c in cols)
+    return (
+        f"MERGE INTO {target} t USING {staging} s ON {on} "
+        f"WHEN MATCHED AND s.{_q(order_col)} >= t.{_q(order_col)} "
+        f"THEN UPDATE SET {sets} "
+        f"WHEN NOT MATCHED THEN INSERT ({col_list}) VALUES ({src_list})"
+    )
+
+
+def _execute_sql(spark: SparkSession, url: str, sql: str, *, driver: str | None) -> int:
+    """Run one statement on the JDBC source through the JVM gateway
+    (driver-side — used ONLY for short DDL/MERGE strings, never rows)."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        stmt = conn.createStatement()
+        try:
+            return stmt.executeUpdate(sql)
+        finally:
+            stmt.close()
+    finally:
+        conn.close()
+
+
+def _table_exists(spark: SparkSession, url: str, table: str, *, driver: str | None) -> bool:
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # Unquoted DDL identifiers case-fold per-database (Derby: upper);
+        # probe the metadata catalog with the folded name and the literal.
+        meta = conn.getMetaData()
+        for probe in (table.upper(), table, table.lower()):
+            rs = meta.getTables(None, None, probe, None)
+            try:
+                if rs.next():
+                    return True
+            finally:
+                rs.close()
+        return False
+    finally:
+        conn.close()
+
+
+def jdbc_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    url: str,
+    target_table: str,
+    keys: list[str],
+    order_col: str,
+    *,
+    driver: str | None = None,
+    staging_table: str | None = None,
+    num_partitions: int | None = None,
+    dialect: str = "ansi",
+    batch_size: int = 10_000,
+    varchar_len: int = 1024,
+) -> None:
+    """Upsert one batch into a live JDBC table (S7/S8 relational sink).
+
+    Semantics match :func:`osmart_etl_spark.io.sinks.upsert_keep_latest`
+    on the composite PK ``keys``: per key, the row with the greatest
+    ``order_col`` wins; stale redeliveries are ignored; replaying the
+    same batch is a no-op (T6 idempotence).
+    """
+    cols = batch.columns
+    for c in [*keys, order_col]:
+        if c not in cols:
+            raise ValueError(f"column {c!r} not in batch columns {cols}")
+    staging = staging_table or f"{target_table}_staging"
+
+    # Spark's default Derby/ANSI mapping renders StringType as CLOB/TEXT,
+    # which cannot be compared in a MERGE ON clause (and cannot be a PK on
+    # most engines). Key/value strings in an upsert target are natural
+    # keys — map them to a comparable VARCHAR via createTableColumnTypes.
+    str_cols = [f.name for f in batch.schema.fields if f.dataType.typeName() == "string"]
+    col_types = ", ".join(f"{c} VARCHAR({varchar_len})" for c in str_cols)
+
+    # 1. Batch-internal keep-latest (ON DUPLICATE KEY applies row-ordered
+    #    inserts; a set-based MERGE rejects duplicate source keys, so the
+    #    window collapse is required, not cosmetic).
+    deduped = upsert_keep_latest(None, batch, keys, order_col)
+
+    # 2. Parallel staging load (executor-side row movement; one DB
+    #    connection per partition — num_partitions caps the fan-in).
+    staged = deduped.repartition(num_partitions) if num_partitions else deduped
+    writer = (
+        staged.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", staging)
+        .option("batchsize", str(batch_size))
+        .mode("overwrite")
+    )
+    if col_types:
+        writer = writer.option("createTableColumnTypes", col_types)
+    if driver:
+        writer = writer.option("driver", driver)
+    writer.save()
+
+    try:
+        # 3. First load bootstraps the target with the staged schema
+        #    (append-mode JDBC write of an empty frame creates the table
+        #    without moving rows); the merge then applies uniformly.
+        if not _table_exists(spark, url, target_table, driver=driver):
+            empty_writer = (
+                deduped.limit(0)
+                .write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", target_table)
+                .mode("append")
+            )
+            if col_types:
+                empty_writer = empty_writer.option("createTableColumnTypes", col_types)
+            if driver:
+                empty_writer = empty_writer.option("driver", driver)
+            empty_writer.save()
+        merge = build_merge_sql(
+            target_table, staging, keys, cols, order_col, dialect=dialect
+        )
+        _execute_sql(spark, url, merge, driver=driver)
+    finally:
+        try:
+            _execute_sql(spark, url, f"DROP TABLE {staging}", driver=driver)
+        except Exception:  # noqa: BLE001 - staging cleanup is best-effort
+            pass
+
+
+def jdbc_upsert_sink(
+    url: str,
+    target_table: str,
+    keys: list[str],
+    order_col: str,
+    **kwargs,
+) -> Callable[[DataFrame, int], None]:
+    """``foreachBatch`` adapter: every streaming micro-batch becomes one
+    idempotent staged MERGE (T5/T6 — keyed state lives in the database,
+    redelivered epochs are absorbed by the order refinement)::
+
+        (stream.writeStream
+               .foreachBatch(jdbc_upsert_sink(url, "stock", ["sku"], "ts"))
+               .start())
+    """
+
+    def _sink(batch: DataFrame, batch_id: int) -> None:
+        if not batch.isEmpty():
+            jdbc_upsert(
+                batch.sparkSession,
+                batch,
+                url,
+                target_table,
+                keys,
+                order_col,
+                staging_table=f"{target_table}_staging_{batch_id}",
+                **kwargs,
+            )
+
+    return _sink

@@ -118,3 +118,105 @@ def test_jdbc_multi_database_union(spark, tmp_path_factory):
     out = union_databases(frames)
     assert out.count() == 100
     assert out.groupBy("source_db").count().count() == 2
+
+
+# ---------------------------------------------------------------------------
+# JDBC write-back upsert (S7/S8 relational sink) — staged MERGE into a live
+# table, semantics == upsert_keep_latest on the composite PK.
+# Ref: etl_sales/db/db_helpers.py:25-40 (ON DUPLICATE KEY UPDATE),
+# etl_inventory/seed_stock_points.py:155-175 + update_stock_points.py:237-256
+# (temp-staging bulk upsert).
+
+
+def test_build_merge_sql_dialects():
+    from osmart_etl_spark.io.jdbc_sink import build_merge_sql
+
+    ansi = build_merge_sql("tgt", "stg", ["k1", "k2"], ["k1", "k2", "v", "ts"], "ts")
+    assert ansi.startswith("MERGE INTO tgt t USING stg s ON ")
+    assert 't."k1" = s."k1" AND t."k2" = s."k2"' in ansi
+    assert 'WHEN MATCHED AND s."ts" >= t."ts" THEN UPDATE SET "v" = s."v", "ts" = s."ts"' in ansi
+    assert 'WHEN NOT MATCHED THEN INSERT ("k1", "k2", "v", "ts") VALUES' in ansi
+    # keys never appear in the UPDATE SET list
+    assert '"k1" = s."k1",' not in ansi.split("UPDATE SET")[1]
+
+    my = build_merge_sql("tgt", "stg", ["k"], ["k", "v", "ts"], "ts", dialect="mysql")
+    assert my.startswith("INSERT INTO `tgt` (`k`, `v`, `ts`) SELECT")
+    assert "ON DUPLICATE KEY UPDATE" in my
+    assert "`v` = IF(new.`ts` >= `tgt`.`ts`, new.`v`, `tgt`.`v`)" in my
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_merge_sql("t", "s", ["k"], ["k", "ts"], "ts", dialect="oracle9i")
+
+
+def _upsert_state(spark, derby_url, table):
+    from osmart_etl_spark.io.sources import jdbc_scan
+
+    return {
+        (r["store_id"], r["sku"]): (r["qty"], r["updated_at"])
+        for r in jdbc_scan(spark, derby_url, table, driver=DRIVER).collect()
+    }
+
+
+def test_jdbc_upsert_roundtrip(spark, derby_url):
+    """write → upsert → re-read equals upsert_keep_latest on the composite
+    PK: newer rows win, stale redeliveries are ignored, new keys insert,
+    and replaying the same batch is a no-op (T6)."""
+    from osmart_etl_spark.io.jdbc_sink import jdbc_upsert
+    from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+    cols = ["store_id", "sku", "qty", "updated_at"]
+    base = spark.createDataFrame(
+        [(1, "a", 10.0, 100), (1, "b", 20.0, 100), (2, "a", 30.0, 100)], cols
+    )
+    jdbc_upsert(spark, base, derby_url, "stock_upsert", ["store_id", "sku"],
+                "updated_at", driver=DRIVER)
+    assert _upsert_state(spark, derby_url, "stock_upsert") == {
+        (1, "a"): (10.0, 100), (1, "b"): (20.0, 100), (2, "a"): (30.0, 100)}
+
+    batch = spark.createDataFrame(
+        [
+            (1, "a", 11.0, 200),   # newer -> wins
+            (1, "b", 99.0, 50),    # stale redelivery -> ignored
+            (3, "c", 40.0, 150),   # new key -> insert
+            (2, "a", 31.0, 120),   # duplicate key in batch, older
+            (2, "a", 32.0, 130),   # duplicate key in batch, newest -> wins
+        ],
+        cols,
+    )
+    jdbc_upsert(spark, batch, derby_url, "stock_upsert", ["store_id", "sku"],
+                "updated_at", driver=DRIVER)
+    got = _upsert_state(spark, derby_url, "stock_upsert")
+
+    expected_df = upsert_keep_latest(base, batch, ["store_id", "sku"], "updated_at")
+    expected = {(r["store_id"], r["sku"]): (r["qty"], r["updated_at"])
+                for r in expected_df.collect()}
+    assert got == expected == {
+        (1, "a"): (11.0, 200), (1, "b"): (20.0, 100),
+        (2, "a"): (32.0, 130), (3, "c"): (40.0, 150)}
+
+    # idempotence: replaying the identical batch changes nothing
+    jdbc_upsert(spark, batch, derby_url, "stock_upsert", ["store_id", "sku"],
+                "updated_at", driver=DRIVER)
+    assert _upsert_state(spark, derby_url, "stock_upsert") == expected
+
+    # staging table is dropped afterwards
+    from osmart_etl_spark.io.jdbc_sink import _table_exists
+
+    assert not _table_exists(spark, derby_url, "stock_upsert_staging", driver=DRIVER)
+
+
+def test_jdbc_upsert_foreach_batch(spark, derby_url):
+    """The foreachBatch adapter applies micro-batches in sequence with
+    keep-latest semantics across batches (T5/T6 streaming sink shape)."""
+    from osmart_etl_spark.io.jdbc_sink import jdbc_upsert_sink
+
+    cols = ["store_id", "sku", "qty", "updated_at"]
+    sink = jdbc_upsert_sink(derby_url, "stock_stream", ["store_id", "sku"],
+                            "updated_at", driver=DRIVER)
+    sink(spark.createDataFrame([(1, "a", 1.0, 10)], cols), 0)
+    sink(spark.createDataFrame([(1, "a", 2.0, 20), (1, "b", 5.0, 15)], cols), 1)
+    sink(spark.createDataFrame([], schema=spark.createDataFrame([(1, "a", 1.0, 10)], cols).schema), 2)
+    assert _upsert_state(spark, derby_url, "stock_stream") == {
+        (1, "a"): (2.0, 20), (1, "b"): (5.0, 15)}
