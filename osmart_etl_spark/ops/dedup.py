@@ -318,6 +318,115 @@ def jaccard_verify_sets(
     )
 
 
+def choose_jaccard_verify(
+    n_docs: int,
+    n_corpus_shingles: int,
+    n_candidate_docs: int,
+    *,
+    density_crossover: float = 0.5,
+    corpus_floor: int = 10_000_000,
+) -> str:
+    """Pick the exact-verify physical shape from runtime stats (pure —
+    the decision rule, unit-testable without a cluster).
+
+    Cost model, anchored on the sf0.1 measurement (5 000 docs,
+    1.02 M corpus shingles, 4 368/5 000 docs in some candidate pair =
+    87 % density: hybrid 3.9 s vs sets 7.9 s):
+
+    - ``hybrid`` explodes ALL corpus shingles → cost ∝ |corpus
+      shingles|, no pre-prune barriers;
+    - ``sets`` first semi-joins the corpus down to candidate docs →
+      cost ∝ density × |corpus shingles| + a fixed pre-prune overhead
+      (two broadcast exchanges + a distinct; ≈ the whole 4 s gap at
+      sf0.1 scale).
+
+    So ``sets`` wins exactly when the pruning pays: candidate density
+    below ``density_crossover`` AND a corpus big enough
+    (``corpus_floor``, ≈5× the sf0.1 volume) that the fixed overhead
+    amortizes. Any real web corpus sits deep in that region (density
+    ≪ 1 %, shingles ≫ 10⁹); the dense-tiny regime of the test SFs
+    stays on ``hybrid``.
+    """
+    density = n_candidate_docs / max(n_docs, 1)
+    if density < density_crossover and n_corpus_shingles > corpus_floor:
+        return "sets"
+    return "hybrid"
+
+
+def estimate_corpus_shingles(docs: DataFrame, text_col: str, k: int = 5):
+    """(n_docs, raw-shingle upper bound) from ONE cheap projection over
+    the raw documents — ``Σ max(len(norm)−k+1, 1)``, i.e. the k-gram
+    count BEFORE per-doc dedup, an upper bound on distinct shingles.
+
+    Deliberately an independent lineage: callers persist the shingle
+    table for the verify, and MEASURED at sf0.1, any pre-verify action
+    that materializes that cache makes the fused explode-verify read
+    its big array column back from columnar cache storage — 3× slower
+    (~5.5 s → ~16.7 s) than recomputing it inside the verify's own
+    whole-stage-codegen pass. The estimate must therefore never touch
+    the persisted lineage.
+    """
+    norm = normalized_text(F.col(text_col))
+    row = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(F.length(norm) - (k - 1), F.lit(1)).cast("bigint")
+        ).alias("n_sh"),
+    ).collect()[0]
+    return row["n_docs"] or 0, row["n_sh"] or 0
+
+
+def jaccard_verify_auto(
+    doc_sets: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+    *,
+    n_docs: int,
+    n_corpus_shingles: int,
+    density_crossover: float = 0.5,
+    corpus_floor: int = 10_000_000,
+) -> DataFrame:
+    """Size-dispatched exact-Jaccard verify — AQE in spirit: runtime
+    stats pick the physical plan; both shapes compute identical
+    (id_a, id_b, jaccard) rows, so the dispatch never changes results.
+
+    Stats are gathered LAZILY, cheapest-first:
+
+    1. ``n_docs`` / ``n_corpus_shingles`` come from the caller (use
+       :func:`estimate_corpus_shingles` — an independent lineage; see
+       its docstring for why it must not touch the persisted shingle
+       cache). Below ``corpus_floor`` the answer is already ``hybrid``
+       and the candidate side is never evaluated early — the verify
+       stays the single fused job.
+    2. Only above the floor (a corpus big enough that one extra LSH
+       evaluation is noise) is the candidate density measured: pairs is
+       persisted and counted, and the candidate-doc count is bounded by
+       min(n_docs, 2·|pairs|). The bound over-estimates density, i.e.
+       errs toward ``hybrid``; in the sparse web-corpus regime where
+       ``sets`` matters, 2·|pairs| ≪ n_docs by orders of magnitude, so
+       the proxy never flips that decision.
+
+    ``corpus_floor`` is against the RAW k-gram upper bound (≈2-3× the
+    distinct count); 10M raw ≈ several× the sf0.1 corpus, past which the
+    sets-path's fixed pre-prune barriers (measured ≈4 s at sf0.1)
+    amortize.
+    """
+    if n_corpus_shingles <= corpus_floor:
+        return jaccard_verify_hybrid(doc_sets, pairs, id_col, threshold)
+    pairs = pairs.persist()
+    n_cand_docs = min(n_docs, 2 * pairs.count())
+    shape = choose_jaccard_verify(
+        n_docs,
+        n_corpus_shingles,
+        n_cand_docs,
+        density_crossover=density_crossover,
+        corpus_floor=corpus_floor,
+    )
+    fn = jaccard_verify_sets if shape == "sets" else jaccard_verify_hybrid
+    return fn(doc_sets, pairs, id_col, threshold)
+
+
 def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """60-bit SimHash over whitespace tokens.
 

@@ -312,14 +312,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: the per-doc shingle SET (array form, persisted — shingling
     runs once) feeds the single-shuffle minhash/band path; verify is
-    the row-explode hash-join form, which stays inside whole-stage
-    codegen. (An array_intersect verify was measured 5× slower here:
-    interpreted set-builds per pair lose to codegen'd joins when
-    candidates are dense.)
+    size-dispatched (ops/dedup.jaccard_verify_auto) on measured runtime
+    stats: the dense-tiny regime of the test SFs (87 % of docs are
+    candidates at sf0.1) keeps the codegen'd corpus-explode hash-join,
+    while a sparse-candidate big corpus — any real web crawl — gets the
+    candidate-pruned array_intersect form whose cost scales with
+    |candidates| only. Both shapes return identical rows.
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        jaccard_verify_hybrid,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
         minhash_band_keys,
         shingle_sets,
     )
@@ -328,7 +331,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    return jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    # Stats on an independent lineage — must not materialize the `sets`
+    # cache before the verify (see estimate_corpus_shingles docstring).
+    n_docs, n_sh = estimate_corpus_shingles(
+        read_table(spark, sf_dir, "documents"), "text", k=5
+    )
+    return jaccard_verify_auto(
+        sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
+    )
 
 
 @query(

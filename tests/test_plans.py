@@ -144,3 +144,65 @@ def test_training_pipeline_single_shuffle_pair(spark):
     plan = _formatted_plan(corpus_training_pipeline(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Window" not in plan, plan
+
+
+def test_jaccard_verify_dispatch(spark):
+    """Size dispatch for the exact-verify stage (VERDICT r3 #4): sparse
+    candidates over a big corpus must take the candidate-pruned
+    array_intersect shape (cost ∝ |candidates|); the dense-tiny regime
+    keeps the corpus-explode hash-join. The decision rule is pure and
+    pinned here; the plan-lock asserts the candidate-id semi-join is
+    broadcast above the crossover. Both shapes must return identical
+    rows."""
+    from osmart_etl_spark.ops.dedup import (
+        choose_jaccard_verify,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
+        jaccard_verify_hybrid,
+        jaccard_verify_sets,
+        shingle_sets,
+    )
+
+    # decision table, anchored on the sf0.1 measurement (87% density,
+    # 1.02M shingles -> hybrid) and the web-corpus regime (sparse+huge
+    # -> sets)
+    assert choose_jaccard_verify(5_000, 1_021_477, 4_368) == "hybrid"
+    assert choose_jaccard_verify(10_000_000, 2_000_000_000, 40_000) == "sets"
+    # sparse but tiny corpus: pre-prune overhead not amortized
+    assert choose_jaccard_verify(5_000, 1_021_477, 100) == "hybrid"
+    # huge but dense: pruning buys nothing
+    assert choose_jaccard_verify(10_000_000, 2_000_000_000, 9_000_000) == "hybrid"
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(60)],
+        ["doc_id", "text"],
+    )
+    n_docs, n_sh = estimate_corpus_shingles(docs, "text", k=5)
+    assert n_docs == 60 and n_sh > 0
+    sets = shingle_sets(docs, "doc_id", "text", k=5).persist()
+    pairs = spark.createDataFrame([(0, 7), (3, 10)], ["id_a", "id_b"])
+
+    # above the crossover (force via corpus_floor=0): sets shape, with
+    # the broadcast candidate-id prune BEFORE any explode
+    sparse = jaccard_verify_auto(
+        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh, corpus_floor=0
+    )
+    plan = _formatted_plan(sparse)
+    assert "array_intersect" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "explode" not in plan.lower(), plan
+
+    # below the crossover: hybrid (corpus-explode) shape
+    dense = jaccard_verify_auto(
+        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh
+    )
+    dplan = _formatted_plan(dense)
+    assert "array_intersect" not in dplan, dplan
+
+    rows = lambda df: sorted(  # noqa: E731
+        (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect()
+    )
+    direct_sets = jaccard_verify_sets(sets, pairs, "doc_id")
+    direct_hybrid = jaccard_verify_hybrid(sets, pairs, "doc_id")
+    assert rows(sparse) == rows(dense) == rows(direct_sets) == rows(direct_hybrid)
+    sets.unpersist()
