@@ -364,3 +364,99 @@ def rfm_segmentation(spark, sf_dir):
         F.ntile(4).over(wf).cast("bigint").alias("f_q"),
         F.ntile(4).over(wm).cast("bigint").alias("m_q"),
     )
+
+
+def _q_thresholds_sql(src: str, col: str) -> str:
+    """Order-statistic quartile thresholds at rank ceil(p*n) — the rule
+    Spark's percentile_approx follows in its exact regime (verified
+    empirically for n in {7,8,100,101}); expressed portably as a
+    ROW_NUMBER scan so the oracle never depends on DuckDB's own
+    quantile_disc rank convention (which differs: floor(p*(n-1)))."""
+    return f"""
+    (SELECT
+       MAX(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS t25,
+       MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT) THEN v END) AS t50,
+       MAX(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS t75
+     FROM (SELECT {col} AS v, ROW_NUMBER() OVER (ORDER BY {col}) AS r FROM {src}),
+          (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {src}))
+    """
+
+
+@query(
+    "rfm_segmentation_scalable",
+    oracle=f"""
+    WITH base AS (
+      SELECT user_id,
+        epoch_us(MAX(ts)) AS rec,
+        CAST(COUNT(*) AS BIGINT) AS freq,
+        CAST(SUM(CASE WHEN event_type = 'purchase'
+                 THEN CAST(value AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END)
+             AS DOUBLE) AS monetary
+      FROM events GROUP BY user_id
+    ),
+    rthr AS {_q_thresholds_sql('base', 'rec')},
+    fthr AS {_q_thresholds_sql('base', 'freq')},
+    mthr AS {_q_thresholds_sql('base', 'monetary')}
+    SELECT b.user_id,
+      CAST(CASE WHEN b.rec >= rthr.t75 THEN 1 WHEN b.rec >= rthr.t50 THEN 2
+                WHEN b.rec >= rthr.t25 THEN 3 ELSE 4 END AS BIGINT) AS r_q,
+      CAST(CASE WHEN b.freq >= fthr.t75 THEN 1 WHEN b.freq >= fthr.t50 THEN 2
+                WHEN b.freq >= fthr.t25 THEN 3 ELSE 4 END AS BIGINT) AS f_q,
+      CAST(CASE WHEN b.monetary >= mthr.t75 THEN 1 WHEN b.monetary >= mthr.t50 THEN 2
+                WHEN b.monetary >= mthr.t25 THEN 3 ELSE 4 END AS BIGINT) AS m_q
+    FROM base b, rthr, fthr, mthr
+    """,
+    tags=("extras-rfm", "scale-shape"),
+)
+def rfm_segmentation_scalable(spark, sf_dir):
+    """RFM segmentation, quantile-THRESHOLD form — the 10⁹-user shape
+    promised in ``rfm_segmentation``'s docstring (VERDICT r3 #5): no
+    global NTILE sort anywhere. One user_id aggregate (the only
+    shuffle), one 1-row percentile_approx pass for the nine quartile
+    thresholds, broadcast back over the user table as a projection.
+
+    Tradeoff vs NTILE: equal-valued users land in the same bucket, so
+    buckets are only approximately equal-sized — the standard price of
+    threshold segmentation. Parity: percentile_approx with accuracy
+    10⁷ ≫ |users| is in its exact regime and returns the order
+    statistic at rank ceil(p·n); the oracle reproduces that rank rule
+    explicitly. Beyond the exact regime (|users| > accuracy) thresholds
+    drift within the documented ε = 1/accuracy rank error — exactly the
+    approximation this variant exists to buy.
+    """
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    ev = read_table(spark, sf_dir, "events")
+    base = ev.groupBy("user_id").agg(
+        F.unix_micros(F.max("ts")).alias("rec"),
+        F.count(F.lit(1)).cast("bigint").alias("freq"),
+        dbl(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", dec(F.col("value"))).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+        ).alias("monetary"),
+    )
+    ps = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    acc = F.lit(10_000_000)
+    thr = base.agg(
+        F.percentile_approx("rec", ps, acc).alias("rq"),
+        F.percentile_approx("freq", ps, acc).alias("fq"),
+        F.percentile_approx("monetary", ps, acc).alias("mq"),
+    )
+
+    def bucket(v, q):
+        return (
+            F.when(v >= q[2], 1).when(v >= q[1], 2).when(v >= q[0], 3).otherwise(4)
+        ).cast("bigint")
+
+    return (
+        base.crossJoin(F.broadcast(thr))
+        .select(
+            "user_id",
+            bucket(F.col("rec"), F.col("rq")).alias("r_q"),
+            bucket(F.col("freq"), F.col("fq")).alias("f_q"),
+            bucket(F.col("monetary"), F.col("mq")).alias("m_q"),
+        )
+    )

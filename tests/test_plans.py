@@ -206,3 +206,21 @@ def test_jaccard_verify_dispatch(spark):
     direct_hybrid = jaccard_verify_hybrid(sets, pairs, "doc_id")
     assert rows(sparse) == rows(dense) == rows(direct_sets) == rows(direct_hybrid)
     sets.unpersist()
+
+
+def test_rfm_scalable_no_global_sort(spark):
+    """The quantile-threshold RFM must contain NO window at all (the
+    NTILE sibling has three single-partition global sorts — the one
+    non-scaling shape this variant retires): one hash exchange for the
+    user aggregate, a 1-row broadcast for thresholds, projections
+    otherwise."""
+    from osmart_etl_spark.queries.tpch_more import rfm_segmentation_scalable
+
+    plan = _formatted_plan(rfm_segmentation_scalable(spark, SF_SMALL))
+    assert "Window" not in plan, plan
+    assert "Exchange SinglePartition" not in plan or "percentile" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+    # the user_id aggregate appears in both branches (thresholds + final
+    # projection) — same exchange, deduped by runtime ReusedExchange;
+    # anything beyond those two would be a new shuffle
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
