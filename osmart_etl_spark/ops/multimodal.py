@@ -12,8 +12,11 @@ Two tiers of codec honesty:
   and featurize; ``raw-video`` (concatenated raw frames) frame-samples
   — see ``decode_raw_image`` / ``resize_nearest`` / ``sample_frames``
   and the ``resize_raw_images`` operator.
-- COMPRESSED formats (jpeg/png/mp3/h264…) need PIL/libsndfile/ffmpeg,
-  absent from this container — those paths are stubbed behind
+- PNG is implemented FOR REAL in pure stdlib+numpy (``decode_png`` /
+  ``encode_png``: chunk parse, zlib inflate, the five scanline filters)
+  — 8-bit non-interlaced grey/RGB/grey-alpha/RGBA.
+- Remaining COMPRESSED formats (jpeg/mp3/h264…) need PIL/libsndfile/
+  ffmpeg, absent from this container — those paths are stubbed behind
   ``DECODERS`` (each stub either raises NotImplementedError or
   produces a deterministic fake, clearly marked).
 
@@ -68,19 +71,40 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def infer_channels(n_bytes: int, width: int, height: int) -> int:
+    """Channel count implied by an exact raw payload size — 1 (gray),
+    2 (gray+alpha), 3 (RGB) or 4 (RGBA). Anything that does not divide
+    exactly is a malformed payload, not a guess to be made silently."""
+    pixels = width * height
+    if pixels <= 0 or n_bytes % pixels != 0 or not 1 <= n_bytes // pixels <= 4:
+        raise ValueError(
+            f"payload of {n_bytes} bytes is not an exact 1-4 channel "
+            f"{height}x{width} raw image"
+        )
+    return n_bytes // pixels
+
+
 def decode_raw_image(
-    payload: bytes, width: int, height: int, channels: int = 1
+    payload: bytes, width: int, height: int, channels: int | None = None
 ) -> np.ndarray:
     """REAL decode for the raw uint8 format: row-major H×W×C bytes
-    (the layout of PPM/PGM sans header, or any framebuffer dump)."""
-    expected = width * height * channels
+    (the layout of PPM/PGM sans header, or any framebuffer dump).
+
+    ``channels=None`` infers C from the payload size; either way the
+    size must match H×W×C EXACTLY — a 3-channel payload arriving where
+    1 channel is assumed is an error surfaced to ``decode_status``,
+    never a silent grayscale reinterpretation of the first H·W bytes.
+    """
     arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size < expected:
+    if channels is None:
+        channels = infer_channels(arr.size, width, height)
+    expected = width * height * channels
+    if arr.size != expected:
         raise ValueError(
-            f"raw image payload too short: {arr.size} < {expected} "
+            f"raw image payload size mismatch: {arr.size} != {expected} "
             f"({height}x{width}x{channels})"
         )
-    return arr[:expected].reshape(height, width, channels)
+    return arr.reshape(height, width, channels)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
@@ -104,12 +128,9 @@ def sample_frames(
     ]
 
 
-def _decode_raw_image_feature(payload: bytes, meta: dict) -> np.ndarray:
-    """REAL featurizer for raw images: per-quadrant means (2×2 grid
-    pooled over a nearest-resized 8×8), normalized to [0,1]."""
-    img = decode_raw_image(
-        payload, meta["width"], meta["height"], meta.get("channels", 1)
-    )
+def _quadrant_feature(img: np.ndarray) -> np.ndarray:
+    """Per-quadrant means (2×2 grid pooled over a nearest-resized 8×8),
+    channel-averaged, normalized to [0,1]."""
     small = resize_nearest(img, 8, 8).astype(np.float64).mean(axis=2)
     quads = [
         small[:4, :4].mean(), small[:4, 4:].mean(),
@@ -118,10 +139,179 @@ def _decode_raw_image_feature(payload: bytes, meta: dict) -> np.ndarray:
     return np.array(quads, dtype=np.float32) / 255.0
 
 
+def _decode_raw_image_feature(payload: bytes, meta: dict) -> np.ndarray:
+    """REAL featurizer for raw images (any 1-4 channel layout — the
+    channel count is inferred from the exact payload size)."""
+    img = decode_raw_image(payload, meta["width"], meta["height"])
+    return _quadrant_feature(img)
+
+
+# ---------------------------------------------------------------------------
+# PNG — REAL pure-stdlib codec (zlib inflate + scanline unfiltering in
+# numpy). No PIL/libpng needed: the container lacks image libraries, but
+# PNG's critical path is just DEFLATE + five byte-filters (RFC 2083).
+# Supported: 8-bit depth, greyscale/RGB/grey-alpha/RGBA color types,
+# non-interlaced — the overwhelming majority of real-world PNGs.
+# Unsupported shapes (16-bit, palette, Adam7) raise ValueError, which the
+# mapInPandas operators surface as a decode_status, never a job failure.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode: parse chunks, inflate IDAT with zlib, reverse
+    the per-scanline filters (None/Sub/Up/Average/Paeth), return
+    H×W×C uint8."""
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload (bad signature)")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG missing IHDR")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise ValueError(
+            f"unsupported PNG shape: depth={bit_depth} color_type={color_type} "
+            f"interlace={interlace} (8-bit non-interlaced 0/2/4/6 only)"
+        )
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError(
+            f"PNG scanline data length {len(raw)} != {height * (stride + 1)}"
+        )
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        ft, cur = line[0], bytearray(line[1:])
+        if ft == 0:
+            rec = np.frombuffer(bytes(cur), dtype=np.uint8).astype(np.int32)
+        elif ft == 2:  # Up — fully vectorized
+            rec = (np.frombuffer(bytes(cur), dtype=np.uint8) + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            rec_b = bytearray(stride)
+            for i in range(stride):
+                a = rec_b[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec_b[i] = (cur[i] + pred) & 0xFF
+            rec = np.frombuffer(bytes(rec_b), dtype=np.uint8).astype(np.int32)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out.reshape(height, width, channels)
+
+
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """REAL PNG encode (the sink-side twin; also how tests produce
+    genuine PNG payloads). Applies the forward scanline filter
+    ``filter_type`` (0-4) uniformly, so every decoder unfilter path is
+    exercisable; real encoders pick per-line, which decode_png handles
+    identically."""
+    import zlib
+
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    img = img.astype(np.uint8)
+    bpp, stride = c, w * c
+    flat = img.reshape(h, stride).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 2:
+            filt = (cur - prev) % 256
+        else:
+            filt_b = bytearray(stride)
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                cc = int(prev[i - bpp]) if i >= bpp else 0
+                if filter_type == 1:
+                    pred = a
+                elif filter_type == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, cc)
+                filt_b[i] = (int(cur[i]) - pred) & 0xFF
+            filt = np.frombuffer(bytes(filt_b), dtype=np.uint8).astype(np.int32)
+        lines.append(filter_type)
+        lines += bytes(bytearray(int(v) & 0xFF for v in filt))
+        prev = cur
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            len(data).to_bytes(4, "big")
+            + typ
+            + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([8, color_type, 0, 0, 0])
+    )
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Image feature dispatch: PNG payloads decode FOR REAL via the
+    pure-stdlib codec above and featurize like raw images; other
+    compressed formats (jpeg/webp) fall through to the deterministic
+    fake until their libraries exist in the container."""
+    if payload[:8] == _PNG_MAGIC:
+        return _quadrant_feature(decode_png(payload))
+    return _fake_decode_image(payload)
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder: a real implementation calls
-    PIL/opencv here. The fake derives an 8-dim feature from payload
-    bytes so the plumbing (batching, schema, determinism) is testable."""
+    """STUB — deterministic fake decoder for non-PNG compressed images:
+    a real implementation calls PIL/opencv here. The fake derives an
+    8-dim feature from payload bytes so the plumbing (batching, schema,
+    determinism) is testable."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return arr.reshape(8, 8).mean(axis=1) / 255.0
 
@@ -138,7 +328,7 @@ def _decode_video(payload: bytes) -> np.ndarray:
 
 
 DECODERS = {
-    "image": _fake_decode_image,
+    "image": _decode_image,
     "audio": _fake_decode_audio,
     "video": _decode_video,
 }
@@ -267,6 +457,11 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 except NotImplementedError:
                     feats.append(None)
                     statuses.append("stub_not_implemented")
+                except ValueError:
+                    # real codecs (PNG) reject malformed payloads — a
+                    # corrupt row is data, not a job failure
+                    feats.append(None)
+                    statuses.append("decode_error")
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
