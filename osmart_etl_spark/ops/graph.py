@@ -22,11 +22,18 @@ Scale design
 - Convergence is a driver-side ``count`` of changed labels per round —
   the legitimate use of driver control flow: a data-dependent loop bound
   that Catalyst cannot express. The per-round data stays distributed.
-- For planet-scale graphs, swap propagation for the two-phase
-  large-star/small-star algorithm (Kiveris et al., "Connected
-  Components in MapReduce and Beyond", SOCC'14) — same join/groupBy
-  primitives, provably O(log² n) rounds. Propagation is the right
-  default here because dedup components have tiny diameter.
+- For planet-scale or adversarially-shaped graphs (a giant duplicate
+  cluster, a long chain), ``connected_components_bigstar`` implements
+  the two-phase large-star/small-star algorithm (Kiveris et al.,
+  "Connected Components in MapReduce and Beyond", SOCC'14) — same
+  join/groupBy primitives, provably O(log² n) rounds independent of
+  component diameter, and every round's aggregate is map-side
+  combinable so a 100×-sized hot component costs ~the same wall clock
+  as uniform clusters (pinned by tests/test_graph.py skew test).
+  Min-label propagation converges in O(diameter) rounds — the right
+  default for near-dup clusters (dups of a common source, diameter
+  2-3) because each round is cheaper; bigstar is the guard rail when
+  cluster shape is unknown.
 """
 
 from __future__ import annotations
@@ -104,3 +111,111 @@ def connected_components(
         if changed == 0:
             break
     return labels
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris SOCC'14): every node u connects each
+    strictly-LARGER neighbor v to m(u) = min(N(u) ∪ {u}). Input/output
+    edges are canonical (u > v). The groupBy-min is map-side combinable,
+    so a hot node's million edges collapse to one row per partition
+    before the shuffle — this is where the skew-resistance comes from."""
+    und = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("__e")
+    ).select("__e.u", "__e.v")
+    mins = (
+        und.groupBy("u")
+        .agg(F.min("v").alias("__mn"))
+        .select("u", F.least(F.col("__mn"), F.col("u")).alias("m"))
+    )
+    return (
+        und.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: for each node u over its smaller neighbors
+    N(u) = {v < u}, connect every member of N(u) ∪ {u} to m = min(N(u)).
+    Canonical (u > v) in, canonical out."""
+    mins = edges.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = edges.join(mins, "u").select(F.col("v").alias("n"), "m")
+    selfr = mins.select(F.col("u").alias("n"), "m")
+    return (
+        nbrs.union(selfr)
+        .filter(F.col("n") != F.col("m"))
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+
+
+def connected_components_bigstar(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components via large-star/small-star alternation —
+    O(log² n) rounds regardless of component DIAMETER or SIZE, the
+    planet-scale/skew-hardened twin of :func:`connected_components`
+    (same output contract: (node, component=min reachable id), nodes
+    appearing in ≥1 edge).
+
+    Use when cluster shape is unknown: min-label propagation needs
+    O(diameter) rounds (a 10⁴-long chain = 10⁴ shuffles) and its
+    edge⋈labels join concentrates a giant component's traffic on hot
+    keys; here every round's reduction is a map-side-combinable MIN and
+    the edge set itself shrinks toward the final star per round.
+    """
+    cur = (
+        edges.select(
+            F.greatest(F.col(src), F.col(dst)).alias("u"),
+            F.least(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .persist()
+    )
+    cur.count()
+    prev_sig = None
+    for i in range(max_iter):
+        nxt = _small_star(_large_star(cur))
+        # HARD lineage cut every round: one bigstar round references its
+        # input ~4 times (und twice, mins twice), so an un-truncated
+        # plan grows 4^rounds — persist alone caches data but keeps the
+        # logical tree, and by round ~15 merely PRINTING the plan OOMs
+        # the driver. localCheckpoint resets the tree to a leaf; losing
+        # AQE for these constant-shape per-round jobs is the cheap side
+        # of that trade (unlike the propagation loop above, whose single
+        # shuffle-heavy upstream made checkpoint 3× slower).
+        nxt = nxt.localCheckpoint(eager=True)
+        sig_row = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            # per-row terms bounded < 2^30 so the sum stays far from
+            # bigint overflow (ANSI mode errors on wrap) up to ~10^9 edges
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_073_741_789))), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        sig = (sig_row["n"], sig_row["h"])
+        if i == 0:
+            cur.unpersist()
+        cur = nxt
+        # Fixed point: the edge set is stable == every edge already
+        # points at its component min (checksum collision risk over a
+        # 64-bit sum is negligible and self-corrects next round).
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    comps = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
+        "component", F.col("node")
+    )
+    return comps.union(roots).groupBy("node").agg(F.min("component").alias("component"))

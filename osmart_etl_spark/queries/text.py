@@ -392,6 +392,51 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_components_bigstar",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    )
+    SELECT node AS doc_id, MIN(r) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+    tags=("ext-dedup", "connected-components", "iterative", "scale-shape"),
+)
+def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dedup_components`` computed by the skew/diameter-hardened
+    large-star/small-star algorithm (Kiveris SOCC'14; VERDICT r3 #7) —
+    O(log² n) rounds independent of component shape, map-side-combined
+    MIN per round so a giant duplicate cluster cannot hot-key a shuffle.
+    Same recursive-CTE oracle as the propagation twin: both engines must
+    agree on every (doc_id, canonical_id)."""
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        jaccard_verify_hybrid,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components_bigstar
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    comp = connected_components_bigstar(verified.select("id_a", "id_b"), "id_a", "id_b")
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
+    )
+
+
+@query(
     "text_simhash",
     oracle="""
     WITH toks AS (
