@@ -118,11 +118,18 @@ def compact(
     re-sorting within partitions (pass the Z-order/cluster columns to
     preserve data-skipping locality through the rewrite).
 
-    Self-overwrite discipline: the rewritten data is localCheckpointed
-    (fully materialized) BEFORE the overwrite, the same barrier
-    merge_upsert_partitioned uses — never overwrite a directory a live
-    lazy plan still reads from. Returns {files_before, files_after,
-    n_rows} so callers (and tests) can assert the layout contract.
+    Crash-safety discipline: the rewrite lands in a SIBLING temp
+    directory first, then swaps in via two metadata renames
+    (path→backup, tmp→path) and drops the backup. A failure during the
+    (long) rewrite leaves the original untouched; a failure between the
+    renames leaves the full dataset intact in the backup directory for
+    manual recovery — versus the previous in-place overwrite whose
+    delete-then-write window could lose the dataset outright, and whose
+    localCheckpoint barrier pinned every row in executor memory (gone on
+    executor loss). True single-rename atomicity needs a table format
+    (Delta/Iceberg); this is the strongest contract plain directories
+    offer. Returns {files_before, files_after, n_rows} so callers (and
+    tests) can assert the layout contract.
     """
     import math
 
@@ -133,7 +140,25 @@ def compact(
     out = df.repartition(n_out)
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
-    out.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    base = path.rstrip("/")
+    tmp, bak = base + "__compact_tmp", base + "__compact_bak"
+    out.write.mode("overwrite").parquet(tmp)
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(base)
+    fs = hpath.getFileSystem(hconf)
+    p_tmp = jvm.org.apache.hadoop.fs.Path(tmp)
+    p_bak = jvm.org.apache.hadoop.fs.Path(bak)
+    fs.delete(p_bak, True)
+    if not fs.rename(hpath, p_bak):
+        raise IOError(f"compact: could not move {base} aside to {bak}")
+    if not fs.rename(p_tmp, hpath):
+        fs.rename(p_bak, hpath)  # roll back; original data intact
+        raise IOError(f"compact: could not move {tmp} into place; rolled back")
+    fs.delete(p_bak, True)
+
     files_after = (
         spark.read.parquet(path).select(F.input_file_name()).distinct().count()
     )

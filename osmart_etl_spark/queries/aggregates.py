@@ -405,16 +405,21 @@ def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     commutative, hence deterministic under any partitioning.
 
     The exact-percentile audit runs only on a deterministic hash-gated
-    subset of groups (crc32(key) % 4 == 0): the sketch is the product,
-    the exact sort-based quantile is the *auditor*, and at 100 TB you
-    sample the audit — full exact quantiles would cost more than the
-    sketches they certify. Rotating the modulus residue across runs
-    covers every group over time; unsampled groups are vacuously ok.
-    The exact distinct count stays global because it is a deliverable
-    column, not an audit.
+    subset of groups (crc32(key) % 4 == residue): the sketch is the
+    product, the exact sort-based quantile is the *auditor*, and at
+    100 TB you sample the audit — full exact quantiles would cost more
+    than the sketches they certify. The residue is the rotation knob: a
+    scheduler passes its run counter via
+    ``spark.conf.set("spark.osmart.audit.residue", run_no % 4)`` so
+    four consecutive runs cover every group; unsampled groups are
+    vacuously ok. The registered parity run pins the default residue 0
+    (the oracle hard-codes the same), auditing that fixed deterministic
+    quarter of groups. The exact distinct count stays global because it
+    is a deliverable column, not an audit.
     """
     ev = read_table(spark, sf_dir, "events")
-    sampled = "crc32(cast(event_type as string)) % 4 = 0"
+    residue = int(spark.conf.get("spark.osmart.audit.residue", "0")) % 4
+    sampled = f"crc32(cast(event_type as string)) % 4 = {residue}"
     agg = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_distinct_users"),
         F.approx_count_distinct("user_id").alias("__approx_users"),

@@ -65,10 +65,14 @@ _K = 16  # minhash components
     joined AS (
       SELECT e.id_a, e.id_b,
              CAST(e.n_match AS DOUBLE) / {_K} AS est_jaccard,
-             CAST(i.n_inter AS DOUBLE)
-               / CAST(na.n + nb.n - i.n_inter AS DOUBLE) AS exact_jaccard
+             CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / CAST(na.n + nb.n - COALESCE(i.n_inter, 0) AS DOUBLE) AS exact_jaccard
       FROM est e
-      JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      -- LEFT: an LSH band collision without a single shared shingle is
+      -- improbable (28-bit collisions) but possible; Spark computes
+      -- size(array_intersect)=0 for such a pair, so the oracle must
+      -- keep it too instead of dropping it through an inner join
+      LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
       JOIN sizes na ON na.doc_id = e.id_a
       JOIN sizes nb ON nb.doc_id = e.id_b
     )

@@ -68,3 +68,17 @@ def test_approx_sketches_bounded(spark):
         assert r["p50_ok"] is True
         assert r["n_distinct_users"] == exact[k]["n"]
         assert r["n"] == exact[k]["cnt"]
+
+
+def test_approx_sketches_residue_rotation(spark):
+    """The audit-residue knob rotates which group quarter gets the exact
+    percentile audit; any residue must keep every verdict TRUE (audited
+    groups pass, unaudited are vacuous)."""
+    from osmart_etl_spark.queries.aggregates import approx_sketches
+
+    spark.conf.set("spark.osmart.audit.residue", "1")
+    try:
+        rows = approx_sketches(spark, SF_SMALL).collect()
+        assert rows and all(r["p50_ok"] and r["approx_users_ok"] for r in rows)
+    finally:
+        spark.conf.unset("spark.osmart.audit.residue")
