@@ -300,3 +300,53 @@ def ivf_probe_topk_centroids(
         "q_id", id_col, cosine(v, as_double_array(F.col("q_vec")), dim).alias("cos_sim")
     )
     return _topk_per_query(scored, k, id_col)
+
+
+def srp_planes(n_planes: int = 32, dim: int = 64) -> list[list[float]]:
+    """Deterministic signed-random-projection hyperplanes: md5-derived
+    uniforms in [-1, 1), generated at plan-build time so the SAME
+    constants embed into the Spark plan and the oracle SQL — no RNG, no
+    engine-specific randomness. (Charikar STOC'02: P[sign match] =
+    1 - angle/π, so sign-bit agreement is an unbiased cosine proxy.)"""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"srp:{p}:{i}".encode()).hexdigest()[:7], 16)
+            / float(1 << 28)
+            * 2.0
+            - 1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_band_signatures(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    rows_per_band: int = 8,
+) -> DataFrame:
+    """(id, band, band_sig) — banded SRP-LSH keys, one zero-shuffle
+    projection. Each band's signature packs ``rows_per_band`` sign bits
+    of deterministic hyperplane dot products; two vectors become
+    candidates if ANY band signature collides (same OR-amplification as
+    MinHash banding). All bands come from ONE explode over a computed
+    struct array, so the vector column is read once per row."""
+    n_bands = len(planes) // rows_per_band
+    bands = []
+    for b in range(n_bands):
+        sig = F.lit(0)
+        for r in range(rows_per_band):
+            plane = F.array(
+                *[F.lit(v) for v in planes[b * rows_per_band + r]]
+            )
+            sig = sig + F.when(
+                dot(F.col(vec_col), plane) >= 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+        bands.append(F.struct(F.lit(b).alias("band"), sig.alias("band_sig")))
+    return vectors.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("__b")
+    ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))

@@ -210,3 +210,84 @@ def ivf_build_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.neg_seed")).cast("bigint").alias("cluster_id"),
         F.col("b.cos_sim").alias("cos_sim"),
     )
+
+
+def _srp_oracle_sql(tau: float = 0.35, rows_per_band: int = 8, n_bands: int = 4) -> str:
+    """Oracle twin of embedding_srp_neardup: the SAME md5-derived
+    hyperplane constants (srp_planes) rendered as double literals, the
+    same left-fold dots, the same banding — engines must agree on every
+    candidate pair and cosine bit."""
+    from osmart_etl_spark.ops.similarity import srp_planes
+
+    planes = srp_planes(n_bands * rows_per_band, 64)
+    band_selects = []
+    for b in range(n_bands):
+        terms = []
+        for r in range(rows_per_band):
+            lit = "[" + ", ".join(repr(x) for x in planes[b * rows_per_band + r]) + "]"
+            d = _DOT.format(a="v", b=lit)
+            terms.append(f"(CASE WHEN {d} >= 0 THEN {1 << r} ELSE 0 END)")
+        band_selects.append(
+            f"SELECT vec_id, {b} AS band, ({' + '.join(terms)}) AS band_sig FROM v"
+        )
+    sig_union = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    sig AS ({sig_union}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.band_sig = b.band_sig AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT c.id_a, c.id_b, {_cos_sql("va.v", "vb.v")} AS cos_sim
+      FROM cand c JOIN v va ON va.vec_id = c.id_a JOIN v vb ON vb.vec_id = c.id_b
+    )
+    SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= {tau}
+    """
+
+
+@query(
+    "embedding_srp_neardup",
+    oracle=_srp_oracle_sql(),
+    tags=("ext-sim", "srp-lsh", "scale-shape"),
+)
+def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via signed-random-projection LSH
+    (Charikar STOC'02) — the hyperplane-sign sibling of the MinHash
+    banding used for text, and a second independent blocking scheme
+    next to the IVF-cluster-blocked ``embedding_neardup_pairs``:
+    4 bands × 8 sign bits, candidates = any-band collision, then exact
+    cosine ≥ 0.35 verification on candidates only (threshold calibrated
+    to the synthetic corpus like the IVF sibling: max pairwise cosine
+    there is ~0.51, so a web-scale 0.9 threshold would be vacuous).
+
+    Scale shape: signatures are ONE zero-shuffle projection (the
+    deterministic plane constants are plan literals — nothing joins in);
+    candidate generation is one exchange keyed on (band, band_sig);
+    verification is two broadcast-pairs joins, |candidates|-
+    proportional. Never O(n²). At web scale, widen rows_per_band to
+    keep Σ bucket² bounded (16-bit bands → 65k buckets/band) — the
+    knob trades recall for bucket sharpness exactly like MinHash R.
+    """
+    from osmart_etl_spark.ops.similarity import srp_band_signatures, srp_planes
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+    sig = srp_band_signatures(vecs, "vec_id", "v", srp_planes(32, 64), rows_per_band=8)
+    a = sig.select(F.col("vec_id").alias("id_a"), "band", "band_sig")
+    b = sig.select(F.col("vec_id").alias("id_b"), "band", "band_sig")
+    cand = (
+        a.join(b, ["band", "band_sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        va.join(F.broadcast(cand), "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.35)
+    )

@@ -224,3 +224,17 @@ def test_rfm_scalable_no_global_sort(spark):
     # projection) — same exchange, deduped by runtime ReusedExchange;
     # anything beyond those two would be a new shuffle
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_srp_neardup_bounded_plan(spark):
+    """SRP-LSH near-dup must stay candidate-blocked: no cartesian
+    product anywhere, no window, broadcast verification joins, and a
+    bounded number of hash exchanges (candidate distinct + at most the
+    band self-join pair at real scale)."""
+    from osmart_etl_spark.queries.similarity import embedding_srp_neardup
+
+    plan = _formatted_plan(embedding_srp_neardup(spark, SF_SMALL))
+    assert "Cartesian" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan

