@@ -497,3 +497,95 @@ def url_domain_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain.alias("domain"),
         domain.isin(*_BLOCKLIST).alias("is_blocked"),
     )
+
+
+_C4_AUG_SQL = """
+      substr(text, 1, 80) || '.'
+      || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'ok go.' ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN chr(10) || 'this page uses javascript heavily.' ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+              THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+              THEN chr(10) || 'config { debug: true }' ELSE '' END
+      || chr(10) || substr(text, 81, 60) || ' and so the run ends here!'
+      || chr(10) || 'Read more about spark joins here?'
+"""
+
+_C4_LINE_KEEP_SQL = (
+    "regexp_matches(l, '[.!?\"]$') AND len(string_split(l, ' ')) >= 3"
+    " AND NOT contains(lower(l), 'javascript')"
+)
+
+
+def _c4_aug() -> F.Column:
+    """Deterministic multi-line construction (Spark twin of
+    ``_C4_AUG_SQL``): the synthetic corpus is single-line prose, so the
+    C4 rules would be vacuous on it raw — inject, per doc_id residue,
+    lines that each rule must catch."""
+    did = F.col("doc_id")
+    nl = F.lit("\n")
+    return F.concat(
+        F.substring(F.col("text"), 1, 80), F.lit("."),
+        F.when(did % 2 == 0, F.concat(nl, F.lit("ok go."))).otherwise(F.lit("")),
+        F.when(did % 3 == 0, F.concat(nl, F.lit("this page uses javascript heavily."))).otherwise(F.lit("")),
+        F.when(did % 7 == 0, F.concat(nl, F.lit("lorem ipsum dolor sit amet."))).otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.concat(nl, F.lit("config { debug: true }"))).otherwise(F.lit("")),
+        nl, F.substring(F.col("text"), 81, 60), F.lit(" and so the run ends here!"),
+        nl, F.lit("Read more about spark joins here?"),
+    )
+
+
+@query(
+    "c4_line_filter",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_C4_AUG_SQL} AS a FROM documents),
+    lines AS (
+      SELECT doc_id, a,
+        string_split(a, chr(10)) AS ls,
+        list_filter(string_split(a, chr(10)), l -> {_C4_LINE_KEEP_SQL}) AS kept
+      FROM aug
+    )
+    SELECT doc_id,
+      CAST(len(kept) AS BIGINT) AS n_kept,
+      CAST(len(ls) - len(kept) AS BIGINT) AS n_dropped,
+      (NOT contains(lower(a), 'lorem ipsum') AND NOT contains(a, '{{')
+       AND len(kept) >= 3) AS doc_kept,
+      array_to_string(kept, chr(10)) AS cleaned
+    FROM lines
+    """,
+    tags=("ext-clean", "c4"),
+)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line+document cleaning (Raffel et al. 2020 §2.2, the
+    public rule set): keep lines ending in terminal punctuation with ≥3
+    words and no 'javascript'; drop whole documents containing 'lorem
+    ipsum' or '{{' or with fewer than 3 surviving lines. (C4 uses ≥5
+    words and a curly-brace rule for code; the word bound is a
+    parameter here — the rule STRUCTURE is what's verified.)
+
+    Scale shape: one projection over one scan — the line split, lambda
+    filter, and rejoin all run inside codegen on the executors; zero
+    shuffle, zero UDF, same cost class as pii_scrub. Composes into
+    corpus_training_pipeline's single-pass stage if wired upstream.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    aug = _c4_aug()
+    lines = F.split(aug, "\n")
+    keep = lambda line: (  # noqa: E731
+        line.rlike('[.!?"]$')
+        & (F.size(F.split(line, " ")) >= 3)
+        & ~F.lower(line).contains("javascript")
+    )
+    kept = F.filter(lines, keep)
+    return d.select(
+        "doc_id",
+        F.size(kept).cast("bigint").alias("n_kept"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_dropped"),
+        (
+            ~F.lower(aug).contains("lorem ipsum")
+            & ~aug.contains("{")
+            & (F.size(kept) >= 3)
+        ).alias("doc_kept"),
+        F.array_join(kept, "\n").alias("cleaned"),
+    )

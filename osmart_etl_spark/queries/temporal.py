@@ -737,3 +737,94 @@ def scd2_dimension_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         "is_current",
     )
+
+
+@query(
+    "linear_interpolation_fill",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN event_type = 'purchase' THEN CAST(value AS DOUBLE) END AS pv
+      FROM events
+    ),
+    w AS (
+      SELECT event_id, user_id, ts,
+        last_value(pv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_val,
+        last_value(CASE WHEN pv IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_ts,
+        first_value(pv IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_val,
+        first_value(CASE WHEN pv IS NOT NULL THEN ts END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_ts
+      FROM base
+    )
+    SELECT event_id, user_id,
+      CASE
+        WHEN prev_val IS NULL OR next_val IS NULL THEN NULL
+        WHEN epoch_us(next_ts) = epoch_us(prev_ts) THEN prev_val
+        ELSE prev_val
+          + (CAST(epoch_us(ts) - epoch_us(prev_ts) AS DOUBLE)
+             / CAST(epoch_us(next_ts) - epoch_us(prev_ts) AS DOUBLE))
+            * (next_val - prev_val)
+      END AS interp_value
+    FROM w
+    """,
+    tags=("extras-interp",),
+)
+def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation between sparse observations — the two-sided
+    sibling of ``locf_forward_fill``: every event carries the
+    time-fraction interpolation between its user's previous and next
+    purchase values (NULL outside the observed span; exact observation
+    rows reproduce their own value because the backward frame is
+    CURRENT ROW-inclusive). The standard sensor/price densification.
+
+    Scale shape: ONE exchange on user_id, then four ignore-nulls frame
+    scans over the same sort — Spark stacks all four in two Window
+    nodes over one partitioning, so cost is one shuffle + two ordered
+    passes; every frame tracks O(1) state per row. Bit-determinism: the
+    fraction arithmetic is the same double expression tree on both
+    engines over exact bigint micros.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    pv = F.when(F.col("event_type") == "purchase", F.col("value").cast("double"))
+    pts = F.when(pv.isNotNull(), F.col("ts"))
+    back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(pv, ignorenulls=True).over(back).alias("prev_val"),
+        F.last(pts, ignorenulls=True).over(back).alias("prev_ts"),
+        F.first(pv, ignorenulls=True).over(fwd).alias("next_val"),
+        F.first(pts, ignorenulls=True).over(fwd).alias("next_ts"),
+    )
+    span = F.unix_micros(F.col("next_ts")) - F.unix_micros(F.col("prev_ts"))
+    frac = (
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("prev_ts"))).cast("double")
+        / span.cast("double")
+    )
+    return w.select(
+        "event_id",
+        "user_id",
+        F.when(F.col("prev_val").isNull() | F.col("next_val").isNull(), F.lit(None).cast("double"))
+        .when(span == 0, F.col("prev_val"))
+        .otherwise(F.col("prev_val") + frac * (F.col("next_val") - F.col("prev_val")))
+        .alias("interp_value"),
+    )

@@ -994,3 +994,60 @@ def doc_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         d, "doc_id", F.size(tokens(F.col("text"))), capacity=100, n_shards=8
     )
+
+
+@query(
+    "weighted_sample_pps",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+        CAST(('0x' || substr(md5('pps:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+             AS DOUBLE) / 268435456.0 AS u
+      FROM documents
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tw FROM w)
+    SELECT doc_id, n_tokens,
+      least(1.0, 100.0 * CAST(n_tokens AS DOUBLE) / tw) AS incl_prob
+    FROM w, tot
+    WHERE u < least(1.0, 100.0 * CAST(n_tokens AS DOUBLE) / tw)
+    """,
+    tags=("ext-mixing", "weighted-sample"),
+)
+def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling, probability proportional to size (token
+    count) with expected sample size 100 — how a training mix
+    over-samples long/high-value documents without a shuffle or an
+    RNG: include doc iff md5-uniform(doc) < k·w/Σw. The gate is a
+    content-addressed dyadic rational (h/2²⁸ is IEEE-exact) and the
+    threshold is the same double expression tree on both engines, so
+    the subset is bit-stable across runs, engines, and partitionings —
+    the property Poisson/priority sampling with random() cannot give.
+
+    Scale shape: one 1-row total-weight aggregate broadcast back over
+    the scan, then a pure filter — same cost class as
+    ``deterministic_sample`` plus one tiny barrier. (For EXACT-k
+    weighted sampling use Efraimidis-Spirakis priorities u^(1/w) +
+    top-k; that transform needs pow(), whose last-ulp behavior differs
+    across libm builds — expected-k keeps the oracle bit-exact.)
+    """
+    d = read_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("bigint")
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pps:"), F.col("doc_id").cast("string"))), 1, 7),
+            16,
+            10,
+        ).cast("bigint")
+        .cast("double")
+        / F.lit(268435456.0)
+    )
+    w = d.select(F.col("doc_id"), n_tok.alias("n_tokens"), u.alias("u"))
+    tot = w.agg(F.sum("n_tokens").cast("double").alias("tw"))
+    prob = F.least(
+        F.lit(1.0), F.lit(100.0) * F.col("n_tokens").cast("double") / F.col("tw")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter(F.col("u") < prob)
+        .select("doc_id", "n_tokens", prob.alias("incl_prob"))
+    )

@@ -460,3 +460,66 @@ def rfm_segmentation_scalable(spark, sf_dir):
             bucket(F.col("monetary"), F.col("mq")).alias("m_q"),
         )
     )
+
+
+@query(
+    "tpch_q18_large_volume",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+    tags=("tpch", "q18"),
+)
+def tpch_q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 (large-volume customers): orders whose summed line
+    quantity exceeds a threshold, joined back to customer detail —
+    the aggregate-filtered-IN-subquery shape (threshold 250 ≈ the
+    99th percentile of this generator, vs the spec's 300 at SF1).
+
+    Scale shape: the HAVING subquery is one map-side-combined aggregate
+    over lineitem; its surviving keys (~1% of orders) re-enter as a
+    broadcastable semi-join filter BEFORE the three-way join, so the
+    expensive customer⋈orders⋈lineitem join runs on the filtered slice
+    only. Catalyst plans the IN as a left-semi; quantities aggregate as
+    DECIMAL for cross-engine exactness and surface as DOUBLE.
+    Ref parity: the reference's extract SQL uses the same
+    filter-before-join discipline (extract_stock_movements.sql:36-37).
+    """
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).alias("__q"))
+        .filter(F.col("__q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .join(
+            big.withColumnRenamed("l_orderkey", "__bk"),
+            orders["o_orderkey"] == F.col("__bk"),
+            "left_semi",
+        )
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dbl(F.sum(dec(F.col("l_quantity")))).alias("total_qty"))
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
