@@ -147,3 +147,65 @@ def reconcile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mismatch_keys"),
         dbl(F.max(F.abs(F.col("sim_balance") - F.col("prod_balance")))).alias("max_abs_diff"),
     )
+
+
+@query(
+    "dq_outliers_iqr",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, event_type, CAST(value AS DOUBLE) AS v
+      FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_type, v,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS r,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM base
+    ),
+    thr AS (
+      SELECT event_type,
+        MAX(CASE WHEN r = CAST(CEIL(0.25 * n) AS BIGINT) THEN v END) AS q1,
+        MAX(CASE WHEN r = CAST(CEIL(0.75 * n) AS BIGINT) THEN v END) AS q3
+      FROM ranked GROUP BY event_type
+    )
+    SELECT b.event_id, b.event_type, b.v AS value,
+      (t.q1 - 1.5 * (t.q3 - t.q1)) AS lo,
+      (t.q3 + 1.5 * (t.q3 - t.q1)) AS hi
+    FROM base b JOIN thr t ON b.event_type = t.event_type
+    WHERE b.v < t.q1 - 1.5 * (t.q3 - t.q1)
+       OR b.v > t.q3 + 1.5 * (t.q3 - t.q1)
+    """,
+    tags=("dq", "outliers", "scale-shape"),
+)
+def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per event_type: rows outside
+    [q1 − 1.5·IQR, q3 + 1.5·IQR] — the threshold-free companion to
+    ``dq_bounds_offenders`` (whose bounds are hand-configured).
+
+    Scale shape: per-group quartiles via grouped percentile_approx
+    (one map-side-combined aggregate — groups are few, so the sketch
+    table broadcasts back over the scan; no per-row window, no global
+    sort). Parity uses the exact-regime rank rule (order statistic at
+    ceil(p·n), accuracy 10⁷ ≫ group size) with the oracle reproducing
+    the rank explicitly — same contract as rfm_segmentation_scalable.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select("event_id", "event_type", F.col("value").cast("double").alias("v"))
+    ps = F.array(F.lit(0.25), F.lit(0.75))
+    thr = base.groupBy("event_type").agg(
+        F.percentile_approx("v", ps, F.lit(10_000_000)).alias("q")
+    )
+    q1, q3 = F.col("q")[0], F.col("q")[1]
+    lo = q1 - 1.5 * (q3 - q1)
+    hi = q3 + 1.5 * (q3 - q1)
+    return (
+        base.join(F.broadcast(thr), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            F.col("v").alias("value"),
+            lo.alias("lo"),
+            hi.alias("hi"),
+        )
+        .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+    )

@@ -291,3 +291,48 @@ def embedding_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.35)
     )
+
+
+@query(
+    "knn_batch_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+      FROM embeddings WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+        {_cos_sql("CAST(e.embedding AS DOUBLE[])", "q.q_vec")} AS cos_sim
+      FROM embeddings e, q
+      WHERE e.vec_id >= 5
+    ),
+    ranked AS (
+      SELECT q_id, vec_id, cos_sim,
+        ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY cos_sim DESC, vec_id ASC) AS r
+      FROM scored
+    )
+    SELECT q_id, vec_id, cos_sim FROM ranked WHERE r <= 5
+    """,
+    tags=("ext-sim", "knn", "batch"),
+)
+def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched exact KNN: top-5 cosine neighbors for EACH of 5 query
+    vectors in one pass — the realistic retrieval workload (queries
+    arrive in batches, not singly). The whole query batch broadcasts;
+    the corpus is scanned once and never shuffles full rows: per-query
+    top-k reduces through the two-phase partial-heap shape in
+    ops/similarity (per-partition top-k, then final k per q_id), so
+    the exchange carries ≤ k·partitions rows per query, not the corpus.
+    At 10⁹ vectors × 10³-query batches the same plan holds — broadcast
+    the batch, partial top-k per partition, tiny final merge.
+    """
+    from osmart_etl_spark.ops.similarity import brute_force_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"),
+        as_double_array(F.col("embedding")).alias("q_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    return brute_force_topk(corpus, queries, "vec_id", "embedding", k=5)
