@@ -220,3 +220,56 @@ def test_jdbc_upsert_foreach_batch(spark, derby_url):
     sink(spark.createDataFrame([], schema=spark.createDataFrame([(1, "a", 1.0, 10)], cols).schema), 2)
     assert _upsert_state(spark, derby_url, "stock_stream") == {
         (1, "a"): (2.0, 20), (1, "b"): (5.0, 15)}
+
+
+def test_jdbc_upsert_real_writestream(spark, derby_url, tmp_path):
+    """End-to-end Structured Streaming: a file-source stream drained
+    with availableNow through writeStream.foreachBatch into the Derby
+    upsert — the T5/T6 sink running under the real streaming engine,
+    not a hand-called adapter."""
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from osmart_etl_spark.io.jdbc_sink import jdbc_upsert_sink
+
+    schema = StructType(
+        [
+            StructField("store_id", LongType()),
+            StructField("sku", StringType()),
+            StructField("qty", DoubleType()),
+            StructField("updated_at", LongType()),
+        ]
+    )
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    cols = ["store_id", "sku", "qty", "updated_at"]
+    spark.createDataFrame(
+        [(1, "a", 1.0, 10), (1, "b", 2.0, 10)], cols
+    ).coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(
+        [(1, "a", 5.0, 20), (2, "c", 7.0, 15), (1, "b", 9.9, 5)], cols
+    ).coalesce(1).write.mode("append").parquet(str(src))
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(str(src))
+        .writeStream.foreachBatch(
+            jdbc_upsert_sink(
+                derby_url, "stock_ws", ["store_id", "sku"], "updated_at", driver=DRIVER
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _upsert_state(spark, derby_url, "stock_ws") == {
+        (1, "a"): (5.0, 20),   # newest wins across files
+        (1, "b"): (2.0, 10),   # stale 5-ts row ignored
+        (2, "c"): (7.0, 15),
+    }
