@@ -186,7 +186,20 @@ def connected_components_bigstar(
     cur.count()
     prev_sig = None
     for i in range(max_iter):
-        nxt = _small_star(_large_star(cur))
+        # ONE alternation pair per materialization. Fusing two pairs
+        # (LSLS) per job was tried and REVERTED: Spark does not dedupe
+        # identical subplans inside a job, so the un-checkpointed inner
+        # round recomputed once per reference (~4×) — measured 8.3 s →
+        # 16.7 s at sf0.1. Exchange reuse only kicks in at runtime for
+        # byte-identical exchanges; the groupBy/join mix here does not
+        # qualify. Job-count reduction must come from reuse-safe
+        # structures, not deeper lineage.
+        # Cache the large-star intermediate within the round: small-star
+        # references it three times (mins build, mins join, self rows),
+        # and each reference would otherwise recompute the full
+        # explode+agg+join+distinct pipeline.
+        mid = _large_star(cur).persist()
+        nxt = _small_star(mid)
         # HARD lineage cut every round: one bigstar round references its
         # input ~4 times (und twice, mins twice), so an un-truncated
         # plan grows 4^rounds — persist alone caches data but keeps the
@@ -194,8 +207,11 @@ def connected_components_bigstar(
         # the driver. localCheckpoint resets the tree to a leaf; losing
         # AQE for these constant-shape per-round jobs is the cheap side
         # of that trade (unlike the propagation loop above, whose single
-        # shuffle-heavy upstream made checkpoint 3× slower).
-        nxt = nxt.localCheckpoint(eager=True)
+        # shuffle-heavy upstream made checkpoint 3× slower). LAZY
+        # checkpoint: materialization happens inside the signature job
+        # below — one job per round, not a checkpoint job + a sig job
+        # (measured ~2× on the per-round latency floor).
+        nxt = nxt.localCheckpoint(eager=False)
         sig_row = nxt.agg(
             F.count(F.lit(1)).alias("n"),
             # per-row terms bounded < 2^30 so the sum stays far from
@@ -205,6 +221,7 @@ def connected_components_bigstar(
             ).alias("h"),
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
+        mid.unpersist()
         if i == 0:
             cur.unpersist()
         cur = nxt
