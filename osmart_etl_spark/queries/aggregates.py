@@ -539,3 +539,191 @@ def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+_CMS_D, _CMS_W = 4, 64
+
+
+@query(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH sketch AS (
+      SELECT j, CAST(('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':'
+                     || CAST(user_id AS VARCHAR)), 1, 7))::BIGINT % {_CMS_W} AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events CROSS JOIN (SELECT UNNEST(generate_series(0, {_CMS_D - 1})) AS j) js
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+    exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+      FROM events GROUP BY user_id
+      ORDER BY exact_n DESC, user_id ASC LIMIT 20
+    ),
+    est AS (
+      SELECT e.user_id, e.exact_n, MIN(s.cnt) AS cms_est
+      FROM exact e
+      JOIN sketch s
+        ON s.bucket = ('0x' || substr(md5('cms' || CAST(s.j AS VARCHAR) || ':'
+                       || CAST(e.user_id AS VARCHAR)), 1, 7))::BIGINT % {_CMS_W}
+      GROUP BY e.user_id, e.exact_n
+    )
+    SELECT user_id, exact_n, cms_est,
+      cms_est >= exact_n AS no_undercount,
+      cms_est <= exact_n + 4 * ((SELECT n FROM tot) // {_CMS_W}) AS bound_ok
+    FROM est
+    """,
+    tags=("sketch", "cms", "scale-shape"),
+)
+def cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch (Cormode-Muthukrishnan '05) built relationally,
+    with its guarantee VERIFIED: a 4×64 counter grid over user event
+    counts, point-queried for the 20 exact heaviest users.
+    `no_undercount` (CMS never underestimates) must be TRUE by
+    construction; `bound_ok` checks the ε-overcount bound with 4×N/w
+    slack. Hashing is md5-derived on both engines, so sketch, probes,
+    and booleans are bit-identical — the same verifiable-sketch
+    contract as approx_sketches, but for a sketch Spark doesn't ship.
+
+    Scale shape: the sketch build is ONE groupBy over a 4×-exploded
+    scan that map-side-combines to ≤ d·w rows per partition — the
+    whole sketch is 256 counters regardless of input size (this is the
+    point of CMS: mergeable, bounded memory, one shuffle of ≤ d·w
+    rows per partition). The probe side is a broadcast of 20 rows.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+
+    def bucket(j, col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cms{j}:"), col.cast("string"))), 1, 7
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _CMS_W
+        )
+
+    rows = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        bucket(j, F.col("user_id")).alias("bucket"),
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("__s")
+    ).select("__s.j", "__s.bucket")
+    sketch = rows.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    tot = ev.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        *[bucket(j, F.col("user_id")).alias(f"b{j}") for j in range(_CMS_D)],
+    )
+    from functools import reduce
+
+    probe_hit = reduce(
+        lambda a, b: a | b,
+        [
+            (F.col("j") == j) & (F.col("bucket") == F.col(f"b{j}"))
+            for j in range(_CMS_D)
+        ],
+    )
+    joined = sketch.join(F.broadcast(probes), probe_hit)
+    est = joined.groupBy("user_id", "exact_n").agg(F.min("cnt").alias("cms_est"))
+    return est.crossJoin(F.broadcast(tot)).select(
+        "user_id",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_n")).alias("no_undercount"),
+        (
+            F.col("cms_est")
+            <= F.col("exact_n") + 4 * (F.col("n") / F.lit(_CMS_W)).cast("bigint")
+        ).alias("bound_ok"),
+    )
+
+
+@query(
+    "equidepth_histogram",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(value AS DOUBLE) AS v FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS r,
+             COUNT(*) OVER () AS n
+      FROM base
+    ),
+    cuts AS (
+      SELECT
+        MAX(CASE WHEN r = CAST(CEIL(0.1 * n) AS BIGINT) THEN v END) AS c1,
+        MAX(CASE WHEN r = CAST(CEIL(0.2 * n) AS BIGINT) THEN v END) AS c2,
+        MAX(CASE WHEN r = CAST(CEIL(0.3 * n) AS BIGINT) THEN v END) AS c3,
+        MAX(CASE WHEN r = CAST(CEIL(0.4 * n) AS BIGINT) THEN v END) AS c4,
+        MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT) THEN v END) AS c5,
+        MAX(CASE WHEN r = CAST(CEIL(0.6 * n) AS BIGINT) THEN v END) AS c6,
+        MAX(CASE WHEN r = CAST(CEIL(0.7 * n) AS BIGINT) THEN v END) AS c7,
+        MAX(CASE WHEN r = CAST(CEIL(0.8 * n) AS BIGINT) THEN v END) AS c8,
+        MAX(CASE WHEN r = CAST(CEIL(0.9 * n) AS BIGINT) THEN v END) AS c9
+      FROM ranked
+    )
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(v) AS lo, MAX(v) AS hi
+    FROM (
+      SELECT v,
+        CAST(CASE
+          WHEN v <= c1 THEN 0 WHEN v <= c2 THEN 1 WHEN v <= c3 THEN 2
+          WHEN v <= c4 THEN 3 WHEN v <= c5 THEN 4 WHEN v <= c6 THEN 5
+          WHEN v <= c7 THEN 6 WHEN v <= c8 THEN 7 WHEN v <= c9 THEN 8
+          ELSE 9 END AS BIGINT) AS bucket
+      FROM base, cuts
+    )
+    GROUP BY bucket
+    """,
+    tags=("extras-histogram", "scale-shape"),
+)
+def equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-count) histogram of event values, 10 buckets —
+    the data profile a query optimizer or drift monitor wants (the
+    equi-WIDTH sibling is ``value_histogram``). Cut points are decile
+    order statistics; rows land in the first bucket whose cut they do
+    not exceed, so ties share a bucket (counts are only approximately
+    n/10 under heavy ties — the standard equi-depth caveat).
+
+    Scale shape: one 1-row percentile_approx pass for all nine cuts
+    (exact regime ⇒ the oracle's explicit ceil(p·n) rank rule), the cut
+    row broadcast back, then one map-side-combined groupBy over 10
+    bucket keys. No window over the data, no global sort. Same contract
+    as rfm_segmentation_scalable / dq_outliers_iqr.
+    """
+    ev = read_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    base = ev.select(F.col("value").cast("double").alias("v"))
+    ps = F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+    cuts = base.agg(F.percentile_approx("v", ps, F.lit(10_000_000)).alias("c"))
+    bucket = F.lit(9)
+    for i in range(8, -1, -1):
+        bucket = F.when(F.col("v") <= F.col("c")[i], F.lit(i)).otherwise(bucket)
+    return (
+        base.crossJoin(F.broadcast(cuts))
+        .select("v", bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+    )
