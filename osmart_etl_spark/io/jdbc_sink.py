@@ -165,9 +165,19 @@ def jdbc_upsert(
 
     # Spark's default Derby/ANSI mapping renders StringType as CLOB/TEXT,
     # which cannot be compared in a MERGE ON clause (and cannot be a PK on
-    # most engines). Key/value strings in an upsert target are natural
-    # keys — map them to a comparable VARCHAR via createTableColumnTypes.
-    str_cols = [f.name for f in batch.schema.fields if f.dataType.typeName() == "string"]
+    # most engines) — so KEY string columns (and a string order column)
+    # are mapped to comparable VARCHAR via createTableColumnTypes. ONLY
+    # those: the writer sets NULL string values with the dialect's CLOB
+    # type code, which Derby rejects against a VARCHAR column (ERROR
+    # 22005) — nullable payload strings must therefore stay CLOB, which
+    # the MERGE never compares, only assigns. Keys are non-null by
+    # upsert definition (a NULL natural key is invalid input).
+    cmp_cols = set(keys) | {order_col}
+    str_cols = [
+        f.name
+        for f in batch.schema.fields
+        if f.dataType.typeName() == "string" and f.name in cmp_cols
+    ]
     col_types = ", ".join(f"{c} VARCHAR({varchar_len})" for c in str_cols)
 
     # 1. Batch-internal keep-latest (ON DUPLICATE KEY applies row-ordered

@@ -79,8 +79,18 @@ def run_sales_incremental(
     sink_path: str,
     watermark_path: str,
     tienda: str = "tienda_01",
+    jdbc: dict | None = None,
 ) -> int | None:
-    """One EP1 incremental run; returns the new watermark (max event_id)."""
+    """One EP1 incremental run; returns the new watermark (max event_id).
+
+    ``jdbc`` (optional) = {"url": ..., "table": ..., "driver": ...}:
+    ALSO land the batch into a live relational table via the staged
+    MERGE sink (io/jdbc_sink) — the reference's actual destination
+    (``ventas_limpias`` in MySQL, update_clean_data.py:95-102). The
+    parquet sink stays the lake copy; the JDBC upsert shares the same
+    composite PK and keep-latest semantics, so both stay consistent
+    under re-runs.
+    """
     store = WatermarkStore(spark, watermark_path)
 
     def extract(spark_, last):
@@ -96,6 +106,18 @@ def run_sales_incremental(
             keys=["user_id", "tienda", "source_system"],
             order_col="extracted_at",
         )
+        if jdbc:
+            from osmart_etl_spark.io.jdbc_sink import jdbc_upsert
+
+            jdbc_upsert(
+                spark,
+                batch,
+                jdbc["url"],
+                jdbc["table"],
+                keys=["user_id", "tienda", "source_system"],
+                order_col="extracted_at",
+                driver=jdbc.get("driver"),
+            )
 
     def wm(batch: DataFrame):
         row = batch.agg(F.max("last_event_id").alias("m")).first()

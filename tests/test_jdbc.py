@@ -273,3 +273,45 @@ def test_jdbc_upsert_real_writestream(spark, derby_url, tmp_path):
         (1, "b"): (2.0, 10),   # stale 5-ts row ignored
         (2, "c"): (7.0, 15),
     }
+
+
+def test_sales_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
+    """EP1 with the reference's REAL sink shape: the incremental sales
+    pipeline lands each batch in a live relational table (staged MERGE)
+    alongside the parquet lake copy; after two runs + a delta, the DB
+    table must exactly equal the parquet sink."""
+    import datetime as dt
+
+    from osmart_etl_spark.io.sources import jdbc_scan, read_table
+    from osmart_etl_spark.pipelines.sales import run_sales_incremental
+    from tests.conftest import SF_SMALL
+
+    events_path = str(tmp_path / "events")
+    read_table(spark, SF_SMALL, "events").write.parquet(events_path)
+    sink = str(tmp_path / "ventas")
+    wmp = str(tmp_path / "wm")
+    jdbc = {"url": derby_url, "table": "ventas_limpias", "driver": DRIVER}
+
+    wm1 = run_sales_incremental(
+        spark, events_path=events_path, sink_path=sink, watermark_path=wmp, jdbc=jdbc
+    )
+    assert wm1 is not None
+    new = spark.createDataFrame(
+        [
+            (wm1 + 1, dt.datetime(2025, 1, 1, 10), 1, "purchase", 10.0, "{}"),
+            (wm1 + 2, dt.datetime(2025, 1, 1, 11), 1, "click", 5.0, "{}"),
+        ],
+        spark.read.parquet(events_path).schema,
+    )
+    new.write.mode("append").parquet(events_path)
+    wm3 = run_sales_incremental(
+        spark, events_path=events_path, sink_path=sink, watermark_path=wmp, jdbc=jdbc
+    )
+    assert wm3 == wm1 + 2
+
+    lake = spark.read.parquet(sink)
+    db = jdbc_scan(spark, derby_url, "ventas_limpias", driver=DRIVER)
+    key = lambda r: (r["user_id"], r["tienda"], r["source_system"])  # noqa: E731
+    lake_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in lake.collect()}
+    db_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in db.collect()}
+    assert db_rows == lake_rows and len(db_rows) > 0
