@@ -589,3 +589,66 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("doc_kept"),
         F.array_join(kept, "\n").alias("cleaned"),
     )
+
+
+@query(
+    "temperature_mixing_rates",
+    oracle="""
+    WITH g AS (
+      SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+      FROM documents GROUP BY lang, source
+    ),
+    tot AS (
+      SELECT list_reduce(
+               list_prepend(0.0, list_transform(
+                 list_sort(list({'lang': lang, 'source': source, 'w': w})), r -> r.w)),
+               (a, b) -> a + b) AS tw,
+             CAST(SUM(n_docs) AS BIGINT) AS total_docs
+      FROM g
+    )
+    SELECT g.lang, g.source, g.n_docs,
+      g.w / tot.tw AS mix_rate,
+      g.w / tot.tw * tot.total_docs AS expected_docs
+    FROM g, tot
+    """,
+    tags=("ext-mixing", "temperature"),
+)
+def temperature_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights over (lang, source) strata —
+    the T5/multilingual recipe r_s ∝ n_s^(1/T) that up-weights
+    low-resource strata, at T = 2 (i.e. sqrt): the ONE temperature whose
+    transform is IEEE-exact on every engine (sqrt is correctly rounded;
+    pow(x, 0.3) is libm-dependent in the last ulp and would break the
+    value-hash contract).
+
+    Determinism discipline: the normalizing Σ√n runs as a FOLD over the
+    strata ordered by (lang, source) — a plain SUM over doubles is
+    reduction-order-dependent and flaps between engines/partitionings.
+    Strata are few (the 1-row aggregate broadcasts back), so the ordered
+    fold costs nothing at any scale; the expensive part stays the one
+    map-side-combined groupBy over the corpus.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    g = d.groupBy("lang", "source").agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    g = g.withColumn("w", F.sqrt(F.col("n_docs").cast("double")))
+    tot = g.agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("lang", "source", "w"))
+                ),
+                lambda r: r["w"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("tw"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        (F.col("w") / F.col("tw")).alias("mix_rate"),
+        (F.col("w") / F.col("tw") * F.col("total_docs")).alias("expected_docs"),
+    )
