@@ -368,3 +368,49 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("frac", F.col("n").cast("double") / F.col("__total"))
         .drop("__total")
     )
+
+
+@query(
+    "ansi_try_arithmetic",
+    oracle="""
+    SELECT event_id,
+      CASE WHEN user_id % 7 = 0 THEN NULL
+           ELSE CAST(value AS DOUBLE) / CAST(user_id % 7 AS DOUBLE) END AS safe_ratio,
+      CASE WHEN user_id % 2 = 1 AND user_id > 100 THEN NULL
+           ELSE (user_id % 2) * 9223372036854775707 + user_id END AS ovf_add,
+      CASE WHEN user_id > 1 THEN NULL
+           ELSE user_id * 4611686018427387904 END AS ovf_mul,
+      TRY_CAST(CASE WHEN user_id % 3 = 0 THEN '2024-13-01'
+                    ELSE '2024-03-0' || CAST(user_id % 9 + 1 AS VARCHAR) END
+               AS TIMESTAMP) AS parsed_ts
+    FROM events
+    """,
+    tags=("functions", "ansi-try"),
+)
+def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANSI-mode safety valves (§2.8 null/coercion family, Spark 4
+    defaults ANSI on): try_divide / try_add / try_multiply /
+    try_to_timestamp return NULL where strict evaluation would kill the
+    job — division by zero, bigint overflow, unparseable datetimes. At
+    100 TB these are the difference between quarantining a bad row and
+    losing a 6-hour job at row 3 billion; the oracle proves the NULL
+    boundary sits exactly where arithmetic overflows (not one row
+    earlier or later) by reproducing each guard as an explicit CASE.
+
+    Pure projection, zero shuffle; all four surfaces mix NULL and
+    non-NULL rows on this generator so the boundary is actually tested.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    uid = F.col("user_id")
+    ts_str = F.when(uid % 3 == 0, F.lit("2024-13-01")).otherwise(
+        F.concat(F.lit("2024-03-0"), (uid % 9 + 1).cast("string"))
+    )
+    return ev.select(
+        "event_id",
+        F.try_divide(F.col("value").cast("double"), (uid % 7).cast("double")).alias(
+            "safe_ratio"
+        ),
+        F.try_add((uid % 2) * F.lit(9223372036854775707), uid).alias("ovf_add"),
+        F.try_multiply(uid, F.lit(4611686018427387904)).alias("ovf_mul"),
+        F.try_to_timestamp(ts_str).alias("parsed_ts"),
+    )

@@ -523,3 +523,151 @@ def tpch_q18_large_volume(spark, sf_dir):
         )
         .limit(100)
     )
+
+
+@query(
+    "tpch_q7_nation_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+      CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    WHERE ns.n_nationkey != nc.n_nationkey
+    GROUP BY ns.n_name, nc.n_name, CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT)
+    """,
+    tags=("tpch", "q7"),
+)
+def tpch_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping between nation pairs by year):
+    the double-role dimension join — nation joins TWICE under different
+    roles (supplier's vs customer's), with a cross-nation inequality.
+
+    Scale shape: both nation sides and supplier/customer broadcast; the
+    only shuffle pair is orders⋈lineitem; the year extraction and the
+    decimal revenue product fold into the scan-side projection. (The
+    spec's two-nation literal filter is widened to all unequal pairs so
+    the result exercises the full pair matrix on this generator.)
+    """
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    s = read_table(spark, sf_dir, "supplier")
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
+    rev = dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount")))
+    return (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(F.col("ns_key") != F.col("nc_key"))
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("bigint").alias("l_year")
+        )
+        .agg(dbl(F.sum(rev)).alias("revenue"))
+    )
+
+
+@query(
+    "tpch_q10_returned_items",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON n.n_nationkey = c.c_nationkey
+    WHERE l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+    tags=("tpch", "q10"),
+)
+def tpch_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape (top returned-revenue customers): selective fact
+    filter (returnflag pushed to the lineitem scan) → join → grouped
+    revenue → top-20 via TakeOrderedAndProject, revenue-desc with
+    custkey tiebreak. The returns-analysis staple."""
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = read_table(spark, sf_dir, "nation")
+    rev = dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount")))
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dbl(F.sum(rev)).alias("revenue"), F.count(F.lit(1)).cast("bigint").alias("n_items"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+        MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS best_price
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    part_min AS (
+      SELECT l_partkey, MIN(best_price) AS min_price
+      FROM costs GROUP BY l_partkey
+    )
+    SELECT c.l_partkey AS partkey, c.l_suppkey AS suppkey,
+      CAST(c.best_price AS DOUBLE) AS best_price
+    FROM costs c
+    JOIN part_min m
+      ON m.l_partkey = c.l_partkey AND c.best_price = m.min_price
+    """,
+    tags=("tpch", "q2-shape"),
+)
+def min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2's core shape on this schema (no partsupp table in the
+    generator, so lineitem plays its role): for every part, the
+    supplier(s) achieving the minimum price — the correlated-MIN
+    subquery, rewritten as aggregate + self-equijoin on (key, min),
+    which is how Catalyst decorrelates it anyway.
+
+    Scale shape: both aggregates are map-side combinable and hash on
+    l_partkey, so AQE reuses one exchange across the agg pair and the
+    join — no broadcast needed, no window, ties kept (all min-price
+    suppliers survive, the Q2 semantics)."""
+    from osmart_etl_spark.queries.base import dbl, dec
+
+    li = read_table(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec(F.col("l_extendedprice"))).alias("best_price")
+    )
+    part_min = costs.groupBy("l_partkey").agg(F.min("best_price").alias("min_price")).select(
+        F.col("l_partkey").alias("pm_partkey"), "min_price"
+    )
+    return (
+        costs.join(
+            part_min,
+            (F.col("l_partkey") == F.col("pm_partkey"))
+            & (F.col("best_price") == F.col("min_price")),
+        )
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            dbl(F.col("best_price")).alias("best_price"),
+        )
+    )
