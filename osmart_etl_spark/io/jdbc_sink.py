@@ -39,6 +39,7 @@ from __future__ import annotations
 from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sinks import upsert_keep_latest
 
@@ -97,6 +98,20 @@ def build_merge_sql(
     )
 
 
+def build_unique_index_sql(target: str, keys: list[str]) -> str:
+    """DDL adding the unique key the mysql upsert idiom depends on
+    (``INSERT … ON DUPLICATE KEY UPDATE`` only updates when an insert
+    violates a UNIQUE/PRIMARY constraint). Issued once at first-load
+    bootstrap; key string columns are VARCHAR by construction (see
+    ``createTableColumnTypes`` handling), so the index is valid."""
+    bq = lambda c: "`" + c.replace("`", "``") + "`"  # noqa: E731
+    cols = ", ".join(bq(k) for k in keys)
+    return (
+        f"ALTER TABLE {bq(target)} ADD CONSTRAINT "
+        f"{bq(target + '_upsert_uk')} UNIQUE ({cols})"
+    )
+
+
 def _execute_sql(spark: SparkSession, url: str, sql: str, *, driver: str | None) -> int:
     """Run one statement on the JDBC source through the JVM gateway
     (driver-side — used ONLY for short DDL/MERGE strings, never rows)."""
@@ -122,8 +137,18 @@ def _table_exists(spark: SparkSession, url: str, table: str, *, driver: str | No
     try:
         # Unquoted DDL identifiers case-fold per-database (Derby: upper);
         # probe the metadata catalog with the folded name and the literal.
+        # getTables treats the name as a LIKE pattern where '_' matches
+        # any character — every snake_case table name is a wildcard, so
+        # escape with the driver's search-string escape or a false
+        # positive ('ventasXlimpias') would skip the target bootstrap.
         meta = conn.getMetaData()
-        for probe in (table.upper(), table, table.lower()):
+        esc = meta.getSearchStringEscape() or "\\"
+        escaped = (
+            table.replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+        )
+        for probe in (escaped.upper(), escaped, escaped.lower()):
             rs = meta.getTables(None, None, probe, None)
             try:
                 if rs.next():
@@ -185,6 +210,21 @@ def jdbc_upsert(
     #    window collapse is required, not cosmetic).
     deduped = upsert_keep_latest(None, batch, keys, order_col)
 
+    # NULL natural keys are invalid input and are REJECTED, not absorbed:
+    # `t.k = s.k` is never true for NULL, so such a row would take the
+    # NOT MATCHED branch on every replay and silently accumulate
+    # duplicates — the exact corruption the sink exists to prevent.
+    from functools import reduce
+
+    any_null_key = reduce(
+        lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+    )
+    if deduped.filter(any_null_key).limit(1).count() > 0:
+        raise ValueError(
+            f"jdbc_upsert: batch contains NULL in key column(s) {keys}; "
+            "NULL natural keys cannot be merged idempotently"
+        )
+
     # 2. Parallel staging load (executor-side row movement; one DB
     #    connection per partition — num_partitions caps the fan-in).
     staged = deduped.repartition(num_partitions) if num_partitions else deduped
@@ -218,6 +258,17 @@ def jdbc_upsert(
             if driver:
                 empty_writer = empty_writer.option("driver", driver)
             empty_writer.save()
+            # The mysql idiom NEEDS a duplicate-key violation to fire its
+            # UPDATE branch; Spark's CREATE TABLE emits no constraints,
+            # so without this index every upsert would blindly insert.
+            # (ANSI MERGE matches on the ON clause and needs no index.)
+            if dialect == "mysql":
+                _execute_sql(
+                    spark,
+                    url,
+                    build_unique_index_sql(target_table, keys),
+                    driver=driver,
+                )
         merge = build_merge_sql(
             target_table, staging, keys, cols, order_col, dialect=dialect
         )

@@ -155,8 +155,12 @@ def compact(
     if not fs.rename(hpath, p_bak):
         raise IOError(f"compact: could not move {base} aside to {bak}")
     if not fs.rename(p_tmp, hpath):
-        fs.rename(p_bak, hpath)  # roll back; original data intact
-        raise IOError(f"compact: could not move {tmp} into place; rolled back")
+        if fs.rename(p_bak, hpath):  # roll back; original data intact
+            raise IOError(f"compact: could not move {tmp} into place; rolled back")
+        raise IOError(
+            f"compact: could not move {tmp} into place AND rollback failed — "
+            f"dataset is intact at {bak}; restore it manually"
+        )
     fs.delete(p_bak, True)
 
     files_after = (

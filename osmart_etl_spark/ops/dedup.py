@@ -414,7 +414,12 @@ def jaccard_verify_auto(
     """
     if n_corpus_shingles <= corpus_floor:
         return jaccard_verify_hybrid(doc_sets, pairs, id_col, threshold)
-    pairs = pairs.persist()
+    # No persist on `pairs`: a cache entry here would outlive the call
+    # (the returned plan still reads it, so it could never be unpersisted
+    # inside this function) and leak per invocation. The price is one
+    # extra evaluation of the candidate pipeline for this count — above
+    # the corpus floor by definition, where one extra LSH pass is noise
+    # against the verify itself.
     n_cand_docs = min(n_docs, 2 * pairs.count())
     shape = choose_jaccard_verify(
         n_docs,

@@ -222,15 +222,28 @@ def connected_components_bigstar(
         ).collect()[0]
         sig = (sig_row["n"], sig_row["h"])
         mid.unpersist()
-        if i == 0:
-            cur.unpersist()
+        # Free the PREVIOUS round's blocks now that this round's
+        # checkpoint is materialized — without this every round's edge
+        # set stays pinned in executor storage for the whole run.
+        cur.unpersist()
         cur = nxt
         # Fixed point: the edge set is stable == every edge already
-        # points at its component min (checksum collision risk over a
-        # 64-bit sum is negligible and self-corrects next round).
+        # points at its component min. (A (count, bounded-hash-sum)
+        # collision between two DIFFERENT consecutive edge sets would end
+        # the loop one round early — ~2^-60 per round and detectable in
+        # any downstream differential check; accepted.)
         if sig == prev_sig:
             break
         prev_sig = sig
+    else:
+        # Exhausting max_iter without a fixed point means labels may be
+        # inconsistent (some nodes at intermediate minima) — that is a
+        # wrong ANSWER, not a degraded one; fail loudly.
+        raise RuntimeError(
+            f"connected_components_bigstar: no fixed point after {max_iter} "
+            "alternation rounds; raise max_iter (rounds needed grow "
+            "O(log^2 n) with graph size)"
+        )
     comps = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")

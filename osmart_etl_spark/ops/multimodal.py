@@ -198,7 +198,13 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"interlace={interlace} (8-bit non-interlaced 0/2/4/6 only)"
         )
     channels = _PNG_CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # malformed-payload errors are the codec's ValueError contract —
+        # mapInPandas operators turn that into a decode_error row, never
+        # a job failure
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     stride = width * channels
     if len(raw) != height * (stride + 1):
         raise ValueError(

@@ -101,6 +101,12 @@ def run_sales_incremental(
         )
 
     def load(batch: DataFrame) -> None:
+        if jdbc:
+            # Two sinks, ONE evaluation: without the cut the JDBC
+            # staging write would re-run the whole extract lineage, and
+            # source files landing between the two actions would reach
+            # the DB but not the lake (silent divergence).
+            batch = batch.localCheckpoint(eager=True)
         upsert_parquet(
             spark, batch, sink_path,
             keys=["user_id", "tienda", "source_system"],

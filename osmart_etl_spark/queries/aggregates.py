@@ -591,8 +591,6 @@ def cms_heavy_hitters(spark, sf_dir):
     point of CMS: mergeable, bounded memory, one shuffle of ≤ d·w
     rows per partition). The probe side is a broadcast of 20 rows.
     """
-    from pyspark.sql import Window
-
     ev = read_table(spark, sf_dir, "events")
 
     def bucket(j, col):

@@ -315,3 +315,25 @@ def test_sales_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     lake_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in lake.collect()}
     db_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in db.collect()}
     assert db_rows == lake_rows and len(db_rows) > 0
+
+
+def test_jdbc_upsert_rejects_null_keys(spark, derby_url):
+    from osmart_etl_spark.io.jdbc_sink import jdbc_upsert
+
+    cols = ["store_id", "sku", "qty", "updated_at"]
+    bad = spark.createDataFrame([(1, None, 1.0, 10), (1, "b", 2.0, 10)], cols)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="NULL in key"):
+        jdbc_upsert(spark, bad, derby_url, "null_key_tgt", ["store_id", "sku"],
+                    "updated_at", driver=DRIVER)
+
+
+def test_build_unique_index_sql():
+    from osmart_etl_spark.io.jdbc_sink import build_unique_index_sql
+
+    sql = build_unique_index_sql("ventas_limpias", ["user_id", "tienda"])
+    assert sql == (
+        "ALTER TABLE `ventas_limpias` ADD CONSTRAINT "
+        "`ventas_limpias_upsert_uk` UNIQUE (`user_id`, `tienda`)"
+    )

@@ -204,3 +204,29 @@ def test_raw_image_multichannel_and_size_mismatch(spark):
     out = {r["media_id"]: r for r in resize_raw_images(media, 2, 2).collect()}
     assert out[1]["resize_status"] == "ok" and out[1]["n_bytes"] == 2 * 2 * 3
     assert out[2]["resize_status"] == "decode_error"
+
+
+def test_png_corrupt_idat_is_decode_error_row(spark):
+    """A PNG with valid magic+IHDR but corrupt IDAT must surface as a
+    decode_error row, never a job failure (zlib errors are wrapped into
+    the codec's ValueError contract)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from osmart_etl_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        extract_features,
+    )
+
+    good = bytearray(encode_png(np.arange(64, dtype=np.uint8).reshape(8, 8, 1)))
+    # flip bytes inside the IDAT payload (after magic+IHDR chunk = 8+25)
+    bad = bytes(good[:45]) + bytes([b ^ 0xFF for b in good[45:53]]) + bytes(good[53:])
+    with _pytest.raises(ValueError):
+        decode_png(bad)
+    media = spark.createDataFrame(
+        [(1, "image", bad, len(bad), 8, 8, None)], MEDIA_SCHEMA
+    )
+    rows = extract_features(media).collect()
+    assert rows[0]["decode_status"] == "decode_error"
