@@ -198,12 +198,21 @@ def jdbc_upsert(
     # the MERGE never compares, only assigns. Keys are non-null by
     # upsert definition (a NULL natural key is invalid input).
     cmp_cols = set(keys) | {order_col}
-    str_cols = [
-        f.name
-        for f in batch.schema.fields
-        if f.dataType.typeName() == "string" and f.name in cmp_cols
-    ]
-    col_types = ", ".join(f"{c} VARCHAR({varchar_len})" for c in str_cols)
+    type_specs = []
+    for f in batch.schema.fields:
+        if f.dataType.typeName() == "string" and f.name in cmp_cols:
+            type_specs.append(f"{f.name} VARCHAR({varchar_len})")
+        elif f.dataType.typeName() == "decimal" and f.dataType.precision > 31:
+            # Spark decimal arithmetic widens to (38, s), beyond Derby's
+            # 31-digit max; the dialect's silent remap DROPS THE SCALE
+            # (342.59 landed as 342 — measured). Pin DECIMAL(31, s)
+            # explicitly: precision shrinks (31 digits is far beyond any
+            # money aggregate), scale — the part that carries meaning —
+            # survives. Applied to staging AND target via the shared
+            # createTableColumnTypes.
+            scale = min(f.dataType.scale, 31)
+            type_specs.append(f"{f.name} DECIMAL(31, {scale})")
+    col_types = ", ".join(type_specs)
 
     # 1. Batch-internal keep-latest (ON DUPLICATE KEY applies row-ordered
     #    inserts; a set-based MERGE rejects duplicate source keys, so the

@@ -169,9 +169,16 @@ def run_stock_points_incremental(
     watermark_path: str,
     store_name: str = "tienda_01",
     complete_days_before: dt.date | None = None,
+    jdbc: dict | None = None,
 ) -> str | None:
     """EP3: compute/refresh stock points from movements past the date
     watermark, upsert on (art_id, point_date).
+
+    ``jdbc`` = {"url", "table", "driver"} (optional): ALSO land the
+    refreshed points in a live relational table via the staged MERGE —
+    the reference's actual EP3 sink (temp-staging bulk upsert into
+    MySQL, update_stock_points.py:237-256). Same composite PK and
+    keep-latest order as the lake copy.
 
     ``complete_days_before`` enforces the reference's T3 rule
     ("only process complete days" — update_stock_points.py:86): only
@@ -205,10 +212,25 @@ def run_stock_points_incremental(
         return pts.withColumn("updated_at", F.current_timestamp())
 
     def load(batch: DataFrame) -> None:
+        if jdbc:
+            # one evaluation feeding both sinks (see pipelines/sales.py)
+            batch = batch.localCheckpoint(eager=True)
         upsert_parquet(
             spark, batch, points_path,
             keys=["art_id", "point_date"], order_col="updated_at",
         )
+        if jdbc:
+            from osmart_etl_spark.io.jdbc_sink import jdbc_upsert
+
+            jdbc_upsert(
+                spark,
+                batch,
+                jdbc["url"],
+                jdbc["table"],
+                keys=["art_id", "point_date"],
+                order_col="updated_at",
+                driver=jdbc.get("driver"),
+            )
 
     def wm(batch: DataFrame):
         return new_wm_holder[0]

@@ -337,3 +337,45 @@ def test_build_unique_index_sql():
         "ALTER TABLE `ventas_limpias` ADD CONSTRAINT "
         "`ventas_limpias_upsert_uk` UNIQUE (`user_id`, `tienda`)"
     )
+
+
+def test_stock_points_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
+    """EP3 with the reference's real sink shape (update_stock_points.py:
+    237-256, temp-staging bulk upsert): two incremental runs land stock
+    points in Derby; the DB table must equal the parquet points table."""
+    import datetime as dt
+
+    from osmart_etl_spark.io.sources import jdbc_scan, read_table
+    from osmart_etl_spark.pipelines.inventory import (
+        run_raw_movements_incremental,
+        run_stock_points_incremental,
+    )
+    from tests.conftest import SF_SMALL
+
+    events_path = str(tmp_path / "events")
+    read_table(spark, SF_SMALL, "events").write.parquet(events_path)
+    raw = str(tmp_path / "raw_log")
+    points = str(tmp_path / "points")
+    wmp = str(tmp_path / "wm")
+    jdbc = {"url": derby_url, "table": "stock_points_db", "driver": DRIVER}
+
+    assert run_raw_movements_incremental(
+        spark, events_path=events_path, raw_log_path=raw, watermark_path=wmp
+    ) is not None
+    assert run_stock_points_incremental(
+        spark, raw_log_path=raw, points_path=points, watermark_path=wmp, jdbc=jdbc
+    ) is not None
+    # idempotent second run: no new movements -> no-op, DB unchanged
+    assert run_stock_points_incremental(
+        spark, raw_log_path=raw, points_path=points, watermark_path=wmp, jdbc=jdbc
+    ) is None
+
+    lake = {
+        (r["art_id"], r["point_date"]): round(r["sod_stock"], 6)
+        for r in spark.read.parquet(points).collect()
+    }
+    db = {
+        (r["art_id"], r["point_date"]): round(r["sod_stock"], 6)
+        for r in jdbc_scan(spark, derby_url, "stock_points_db", driver=DRIVER).collect()
+    }
+    assert db == lake and len(db) > 0
