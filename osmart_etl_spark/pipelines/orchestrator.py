@@ -37,10 +37,17 @@ def run_etl(
     points_path: str,
     watermark_path: str,
     stores: tuple[str, ...] = ("tienda_01",),
+    jdbc_ventas: dict | None = None,
+    jdbc_points: dict | None = None,
 ) -> RunReport:
     """One full ETL tick: the reference's three-job chain, per store,
     with failure isolation — a failing store records its error and the
-    run continues (ref: try/except-continue per store)."""
+    run continues (ref: try/except-continue per store).
+
+    ``jdbc_ventas`` / ``jdbc_points`` (optional {"url","table","driver"})
+    forward to the respective pipelines' live-database landing — the
+    full reference deployment shape, where every tick upserts into
+    MySQL alongside the lake."""
     from osmart_etl_spark.pipelines.inventory import (
         run_raw_movements_incremental,
         run_stock_points_incremental,
@@ -54,6 +61,7 @@ def run_etl(
             lambda store: run_sales_incremental(
                 spark, events_path=events_path, sink_path=ventas_path,
                 watermark_path=watermark_path, tienda=store,
+                jdbc=jdbc_ventas,
             ),
         ),
         (
@@ -68,6 +76,7 @@ def run_etl(
             lambda store: run_stock_points_incremental(
                 spark, raw_log_path=raw_log_path, points_path=points_path,
                 watermark_path=watermark_path, store_name=store,
+                jdbc=jdbc_points,
             ),
         ),
     ]

@@ -379,3 +379,38 @@ def test_stock_points_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
         for r in jdbc_scan(spark, derby_url, "stock_points_db", driver=DRIVER).collect()
     }
     assert db == lake and len(db) > 0
+
+
+def test_orchestrated_tick_with_reconcile_against_db(spark, derby_url, tmp_path):
+    """The full reference deployment shape: one orchestrated tick lands
+    ventas + stock points in the live DB, then T8 reconciliation runs
+    the lake-computed points AGAINST THE PRODUCTION DB TABLE (the
+    reference diffs against articulo.existencia in MySQL,
+    stock_points_helpers.py:4-79) — zero mismatches expected."""
+    from osmart_etl_spark.dq import reconcile
+    from osmart_etl_spark.io.sources import jdbc_scan, read_table
+    from osmart_etl_spark.pipelines.orchestrator import run_etl
+    from tests.conftest import SF_SMALL
+
+    events_path = str(tmp_path / "events")
+    read_table(spark, SF_SMALL, "events").write.parquet(events_path)
+    report = run_etl(
+        spark,
+        events_path=events_path,
+        ventas_path=str(tmp_path / "ventas"),
+        raw_log_path=str(tmp_path / "raw"),
+        points_path=str(tmp_path / "points"),
+        watermark_path=str(tmp_path / "wm"),
+        jdbc_ventas={"url": derby_url, "table": "orch_ventas", "driver": DRIVER},
+        jdbc_points={"url": derby_url, "table": "orch_points", "driver": DRIVER},
+    )
+    assert not report.failed, report.failed
+    lake = spark.read.parquet(str(tmp_path / "points")).select(
+        "art_id", "point_date", F.col("sod_stock").cast("double").alias("sim")
+    )
+    prod = jdbc_scan(spark, derby_url, "orch_points", driver=DRIVER).select(
+        "art_id", "point_date", F.col("sod_stock").cast("double").alias("prod")
+    )
+    _, summary = reconcile(lake, prod, ["art_id", "point_date"], "sim", "prod")
+    row = summary.collect()[0]
+    assert row["total_keys"] > 0 and row["mismatch_keys"] == 0, row
