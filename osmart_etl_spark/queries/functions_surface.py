@@ -399,6 +399,15 @@ def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure projection, zero shuffle; all four surfaces mix NULL and
     non-NULL rows on this generator so the boundary is actually tested.
+
+    Measured cost model (sf0.1): try_divide is free (~0.1 s — the zero
+    check is a branch), but each try_add/try_multiply OVERFLOW costs a
+    caught JVM exception (~20 µs/row: 1.4 s / 1.7 s here where ~half
+    the rows overflow by construction). try_* is the right tool when
+    failures are rare data errors; a column where overflow is EXPECTED
+    should pre-guard with an explicit CASE instead — this query is
+    deliberately overflow-dense to pin the NULL boundary, and pays for
+    it.
     """
     ev = read_table(spark, sf_dir, "events")
     uid = F.col("user_id")
