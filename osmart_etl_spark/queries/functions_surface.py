@@ -423,3 +423,107 @@ def ansi_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_multiply(uid, F.lit(4611686018427387904)).alias("ovf_mul"),
         F.try_to_timestamp(ts_str).alias("parsed_ts"),
     )
+
+
+@query(
+    "array_hof_surface",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+      FROM documents
+    ),
+    n AS (SELECT doc_id, toks, LEAST(len(toks), 5) AS n5 FROM t)
+    SELECT doc_id,
+      CAST(len(list_filter(toks, x -> len(x) > 5)) AS BIGINT) AS n_long,
+      len(list_filter(toks, x -> x = 'the')) > 0 AS has_the,
+      len(list_filter(toks, x -> len(x) > 10)) = 0 AS all_short,
+      array_to_string(
+        list_transform(list_sort(list_distinct(toks))[1:3], x -> upper(x)), ','
+      ) AS first3_upper,
+      CAST(list_reduce(
+        list_prepend(0, list_transform(
+          list_zip(range(1, n5 + 1), toks[1:n5]),
+          p -> p[1] * len(p[2]))),
+        (a, b) -> a + b) AS BIGINT) AS zip_weighted_len
+    FROM n
+    """,
+    tags=("functions", "array-hof"),
+)
+def array_hof_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The higher-order array-function family (§2.8 extension): filter,
+    exists, forall, transform, slice, sort, distinct, zip_with,
+    aggregate — each pinned against a first-principles DuckDB list
+    expression. All lambda bodies run inside codegen (no Python); one
+    scan, zero shuffle — the family the dedup/similarity operators are
+    built from, verified here in isolation.
+    """
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n5 = F.least(F.size(toks), F.lit(5))
+    seq = F.when(n5 >= 1, F.sequence(F.lit(1), n5)).otherwise(
+        F.array().cast("array<int>")
+    )
+    zip_sum = F.aggregate(
+        F.zip_with(seq, F.slice(toks, 1, 5), lambda i, x: i * F.length(x)),
+        F.lit(0),
+        lambda a, b: a + b,
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("bigint").alias("n_long"),
+        F.exists(toks, lambda x: x == "the").alias("has_the"),
+        F.forall(toks, lambda x: F.length(x) <= 10).alias("all_short"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.array_distinct(toks)), 1, 3), F.upper
+            ),
+            ",",
+        ).alias("first3_upper"),
+        zip_sum.cast("bigint").alias("zip_weighted_len"),
+    )
+
+
+@query(
+    "map_functions_surface",
+    oracle="""
+    SELECT event_id,
+      CAST(3 AS BIGINT) AS n_keys,
+      'type,uid,val' AS keys_csv,
+      event_type AS type_val,
+      CAST(CASE WHEN value IS NULL THEN 2 ELSE 3 END AS BIGINT) AS n_nonnull,
+      upper(CAST(user_id AS VARCHAR)) AS uid_upper,
+      'x' AS extra_val
+    FROM events
+    """,
+    tags=("functions", "maps"),
+)
+def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map-typed column family (§2.8 extension): create_map,
+    map_keys, element_at, map_filter, transform_values, map_concat.
+    The oracle states each output from first principles over the source
+    columns — what a map round-trip must preserve — so any
+    key-ordering, null-handling, or lookup bug in the map path breaks
+    the hash. Maps stay JVM-side; one scan, zero shuffle.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+        F.lit("val"), F.col("value").cast("string"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.lit("x")))
+    return ev.select(
+        "event_id",
+        F.size(m).cast("bigint").alias("n_keys"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_csv"),
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_filter(m, lambda k, v: v.isNotNull())).cast("bigint").alias(
+            "n_nonnull"
+        ),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), "uid"
+        ).alias("uid_upper"),
+        F.element_at(m2, "extra").alias("extra_val"),
+    )
