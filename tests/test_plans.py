@@ -238,3 +238,36 @@ def test_srp_neardup_bounded_plan(spark):
     assert "Window" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_cms_plan_bounded(spark):
+    """The CMS build must stay a map-side-combined aggregate (sketch =
+    256 counters regardless of input): no window, <=3 hash exchanges
+    (sketch build, exact heavy-hitter agg, final min-merge), and the
+    only single-partition exchange is the 20-row top-k/1-row total."""
+    from osmart_etl_spark.queries.aggregates import cms_heavy_hitters
+
+    plan = _formatted_plan(cms_heavy_hitters(spark, SF_SMALL))
+    assert "Window" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") <= 3, plan
+
+
+def test_interpolation_single_exchange(spark):
+    """All four ignore-nulls frames of the interpolation must stack in
+    Window node(s) over ONE user_id exchange — a second shuffle would
+    mean the forward/backward frames stopped sharing the sort."""
+    from osmart_etl_spark.queries.temporal import linear_interpolation_fill
+
+    plan = _formatted_plan(linear_interpolation_fill(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q18_semi_join_before_final_agg(spark):
+    """Q18's HAVING subquery must reach the plan as a LeftSemi (the
+    ~1%-of-orders filter), with broadcast dims and no window."""
+    from osmart_etl_spark.queries.tpch_more import tpch_q18_large_volume
+
+    plan = _formatted_plan(tpch_q18_large_volume(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Window" not in plan, plan
