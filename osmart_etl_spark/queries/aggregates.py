@@ -725,3 +725,44 @@ def equidepth_histogram(spark, sf_dir):
             F.max("v").alias("hi"),
         )
     )
+
+
+@query(
+    "json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+      CAST(json_extract(props, '$.k') AS BIGINT) AS k_typed,
+      '{"doubled":' || CAST(2 * CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+        || ',"type":"' || event_type || '"}' AS rebuilt_json,
+      json_extract(props, '$.k') IS NOT NULL AS is_valid,
+      NOT json_valid('{broken') AS detects_broken
+    FROM events
+    """,
+    tags=("extras-json", "struct-roundtrip"),
+)
+def json_struct_roundtrip(spark, sf_dir):
+    """Typed JSON round-trip (§2.8 JSON family beyond path extraction):
+    ``from_json`` parses ``props`` into a typed struct (schema-on-read,
+    not string plucking), the struct computes, and ``to_json`` re-emits
+    a canonical document; plus validity probes via try-parse. The
+    oracle rebuilds the same document with string algebra from the
+    typed value, so field order, quoting, and numeric formatting of
+    to_json are all pinned cross-engine. One scan, zero shuffle; the
+    parse runs once per row JVM-side and feeds every downstream column.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    rebuilt = F.to_json(
+        F.struct(
+            (2 * parsed["k"]).alias("doubled"), F.col("event_type").alias("type")
+        )
+    )
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("k_typed"),
+        rebuilt.alias("rebuilt_json"),
+        # PERMISSIVE from_json yields a struct of NULL fields for broken
+        # documents (never a NULL struct) — validity is read field-level
+        parsed["k"].isNotNull().alias("is_valid"),
+        F.from_json(F.lit("{broken"), "k BIGINT")["k"].isNull().alias("detects_broken"),
+    )
