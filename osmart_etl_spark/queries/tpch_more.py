@@ -671,3 +671,88 @@ def min_cost_supplier(spark, sf_dir):
             dbl(F.col("best_price")).alias("best_price"),
         )
     )
+
+
+@query(
+    "user_behavior_similarity",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+        LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    grams AS (
+      SELECT user_id, event_type || '>' || nxt AS bigram,
+        CAST(COUNT(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL
+      GROUP BY user_id, event_type || '>' || nxt
+    ),
+    norms AS (
+      SELECT user_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm FROM grams GROUP BY user_id
+    ),
+    probe AS (SELECT bigram, c AS pc FROM grams WHERE user_id = 1),
+    dots AS (
+      SELECT g.user_id, CAST(SUM(g.c * p.pc) AS DOUBLE) AS dot
+      FROM grams g JOIN probe p ON p.bigram = g.bigram
+      WHERE g.user_id != 1
+      GROUP BY g.user_id
+    )
+    SELECT d.user_id,
+      d.dot / (n.nrm * (SELECT nrm FROM norms WHERE user_id = 1)) AS cos_sim
+    FROM dots d JOIN norms n ON n.user_id = d.user_id
+    ORDER BY cos_sim DESC, d.user_id ASC
+    LIMIT 10
+    """,
+    tags=("extras-sequence-similarity", "scale-shape"),
+)
+def user_behavior_similarity(spark, sf_dir):
+    """Behavioral-sequence similarity search (the relational core of
+    trajectory-similarity systems, cf. PAPERS.md): each user's event
+    stream becomes a transition-bigram count vector, and the query
+    returns the 10 users most cosine-similar to a probe user (id 1).
+    Counts are exact bigints, norms are IEEE-exact sqrt of integer
+    sums, so cosines are bit-deterministic without any float folds.
+
+    Scale shape: ONE user_id exchange builds bigrams (window lead +
+    map-side-combined count share the partitioning); the probe's sparse
+    vector (≤ |event_types|² rows) broadcasts into the dot-product
+    join, so corpus vectors never shuffle by bigram; top-10 is
+    TakeOrderedAndProject. This is exactly an inverted-index similarity
+    scan: at 10⁹ users the same plan stands, with the probe side staying
+    a broadcast.
+    """
+    from pyspark.sql import Window
+
+    ev = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    grams = seq.groupBy(
+        "user_id", F.concat_ws(">", "event_type", "nxt").alias("bigram")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    norms = grams.groupBy("user_id").agg(
+        F.sqrt(F.sum(F.col("c") * F.col("c")).cast("double")).alias("nrm")
+    )
+    probe = grams.filter(F.col("user_id") == 1).select(
+        "bigram", F.col("c").alias("pc")
+    )
+    probe_norm = norms.filter(F.col("user_id") == 1).select(
+        F.col("nrm").alias("pnrm")
+    )
+    dots = (
+        grams.filter(F.col("user_id") != 1)
+        .join(F.broadcast(probe), "bigram")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("pc")).cast("double").alias("dot"))
+    )
+    return (
+        dots.join(norms, "user_id")
+        .crossJoin(F.broadcast(probe_norm))
+        .select(
+            "user_id",
+            (F.col("dot") / (F.col("nrm") * F.col("pnrm"))).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
