@@ -350,3 +350,47 @@ def srp_band_signatures(
     return vectors.select(
         F.col(id_col), F.explode(F.array(*bands)).alias("__b")
     ).select(id_col, F.col("__b.band").alias("band"), F.col("__b.band_sig").alias("band_sig"))
+
+
+def topk_merge(
+    prev_topk: DataFrame | None,
+    new_scores: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental top-k maintenance (the interactive-session pattern:
+    keep per-query top-k current as new corpus vectors arrive, never
+    rescoring the old corpus). State = the previous (q_id, id, cos_sim)
+    top-k table — k rows per query, O(queries·k) total; merging a new
+    batch is union → per-query rank → keep k. Correct because cosine
+    scores are immutable per (q, id): the true top-k over (old ∪ new)
+    is always contained in (top-k(old) ∪ new)."""
+    merged = new_scores if prev_topk is None else prev_topk.unionByName(new_scores)
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        merged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def knn_incremental_update(
+    state: DataFrame | None,
+    new_vectors: DataFrame,
+    query: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """One incremental KNN tick: score ONLY the newly-arrived vectors
+    against the (broadcast) query batch and fold them into the running
+    top-k state. Cost per tick is O(|new| · |queries|), independent of
+    corpus size — the property a 100 TB interactive index needs."""
+    v = as_double_array(F.col(vec_col))
+    q = as_double_array(F.col("q_vec"))
+    scored = new_vectors.crossJoin(F.broadcast(query)).select(
+        F.col("q_id"), F.col(id_col), cosine(v, q).alias("cos_sim")
+    )
+    return topk_merge(state, scored, k=k, id_col=id_col)

@@ -143,3 +143,33 @@ def test_srp_collision_probability_tracks_cosine(spark):
     assert rows, "calibrated threshold must produce pairs at sf0.001"
     assert all(r["cos_sim"] >= 0.35 for r in rows)
     assert all(r["id_a"] < r["id_b"] for r in rows)
+
+
+def test_knn_incremental_matches_full_recompute(spark):
+    """Incremental top-k over three arrival batches must equal one-shot
+    brute force over the full corpus (the per-(q,id) score is immutable,
+    so top-k(old)∪new always contains the true top-k)."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.similarity import (
+        as_double_array,
+        brute_force_topk,
+        knn_incremental_update,
+    )
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings")
+    query = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), as_double_array(F.col("embedding")).alias("q_vec")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    state = None
+    for lo, hi in ((3, 100), (100, 300), (300, 10**9)):
+        batch = corpus.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        state = knn_incremental_update(state, batch, query, "vec_id", "embedding", k=7)
+        state = state.localCheckpoint(eager=True)  # the persisted state table
+
+    full = brute_force_topk(corpus, query, "vec_id", "embedding", k=7)
+    key = lambda df: sorted(  # noqa: E731
+        (r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in df.collect()
+    )
+    assert key(state) == key(full)
