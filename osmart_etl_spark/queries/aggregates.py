@@ -766,3 +766,83 @@ def json_struct_roundtrip(spark, sf_dir):
         parsed["k"].isNotNull().alias("is_valid"),
         F.from_json(F.lit("{broken"), "k BIGINT")["k"].isNull().alias("detects_broken"),
     )
+
+
+@query(
+    "setops_multiset",
+    oracle="""
+    SELECT user_id, 'surplus_purchase' AS side FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    UNION ALL
+    SELECT user_id, 'matched_pair' AS side FROM (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'click'
+    )
+    """,
+    tags=("extras-setops", "multiset"),
+)
+def setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — the MULTISET set-ops the distinct
+    variants (keyset_union_difference) don't cover: per user, surplus
+    purchase events beyond click count, and min(purchases, clicks)
+    matched pairs. Bag semantics matter for event-count reconciliation
+    (a user with 3 purchases and 1 click contributes 2 surplus + 1
+    matched). Both engines implement ANSI multiset semantics; Spark
+    plans them as a single count-aggregate + generate, one shuffle
+    each.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    c = ev.filter(F.col("event_type") == "click").select("user_id")
+    surplus = p.exceptAll(c).withColumn("side", F.lit("surplus_purchase"))
+    matched = p.intersectAll(c).withColumn("side", F.lit("matched_pair"))
+    return surplus.unionByName(matched)
+
+
+@query(
+    "cube_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, o.o_orderstatus AS order_status,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(GROUPING(r.r_name) * 2 + GROUPING(o.o_orderstatus) AS BIGINT) AS gid
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, o.o_orderstatus)
+    """,
+    tags=("extras-cube",),
+)
+def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE — all 2^k grouping combinations in one pass (rollup's
+    hierarchy-free sibling); GROUPING() bits disambiguate a NULL data
+    value from a NULL subtotal placeholder, pinned as an explicit gid
+    so cross-engine placeholder semantics are hash-checked. Spark plans
+    one Expand (4× row multiplier for k=2) + one aggregate — the
+    multiplier, not an extra shuffle, is the scale cost of cube."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("o_orderstatus").alias("order_status"),
+            "o_totalprice",
+        )
+    )
+    return joined.cube("region_name", "order_status").agg(
+        dbl(F.sum(dec(F.col("o_totalprice")))).alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (F.grouping("region_name") * 2 + F.grouping("order_status"))
+        .cast("bigint")
+        .alias("gid"),
+    )
