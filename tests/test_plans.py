@@ -271,3 +271,56 @@ def test_q18_semi_join_before_final_agg(spark):
     assert "LeftSemi" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_q4_semi_join_with_residual(spark):
+    """Q4's EXISTS must plan as ONE semi join carrying the cross-side
+    date comparison as a join residual — no pre-aggregation or
+    dedup of lineitem below it, and the orders date range pushed to
+    the scan."""
+    from osmart_etl_spark.queries.tpch_final import tpch_q4_order_priority
+
+    plan = _formatted_plan(tpch_q4_order_priority(spark, SF_SMALL))
+    assert "LeftSemi" in plan, plan
+    assert "INTERVAL '30' DAY" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    # the semi join consumes raw lineitem — exactly one aggregate (the
+    # final priority count) in the whole plan
+    assert plan.count("functions=[partial_count") == 1, plan
+
+
+def test_q16_broadcast_anti_exclusion(spark):
+    """Q16's NOT IN denylist must be a broadcast LEFT ANTI (map-side,
+    free) — not a shuffled join against the full supplier table."""
+    from osmart_etl_spark.queries.tpch_final import tpch_q16_supplier_cnt
+
+    plan = _formatted_plan(tpch_q16_supplier_cnt(spark, SF_SMALL))
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "count(distinct l_suppkey" in plan, plan
+
+
+def test_q19_disjunctive_pushdown(spark):
+    """Q19's OR-of-ANDs must factor per-side: the lineitem scan gets
+    the quantity-range union pushed down (NOT a full scan with a
+    post-join OR only), part broadcasts, and no cartesian appears."""
+    from osmart_etl_spark.queries.tpch_final import tpch_q19_disjunctive_join
+
+    plan = _formatted_plan(tpch_q19_disjunctive_join(spark, SF_SMALL))
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q22_anti_join_after_scalar_broadcast(spark):
+    """Q22: the scalar average must enter as a broadcast (nested-loop
+    over a 1-row build side is fine), the dormancy check as an ANTI
+    join against the date-filtered orders slice — with the date filter
+    pushed to the orders scan, not applied post-join."""
+    from osmart_etl_spark.queries.tpch_final import (
+        tpch_q22_global_sales_opportunity,
+    )
+
+    plan = _formatted_plan(tpch_q22_global_sales_opportunity(spark, SF_SMALL))
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan, plan
