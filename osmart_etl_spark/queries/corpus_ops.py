@@ -1,0 +1,215 @@
+"""Corpus-maintenance operators: the shapes a training-data pipeline
+runs REPEATEDLY as data arrives, not once — incremental near-dup
+against an existing corpus, deterministic train/val/test assignment,
+and SemDedup-style per-cluster canonical selection.
+
+Extension surface beyond the reference (its pipelines are
+full-refresh pandas scripts); the incremental probe mirrors the
+reference's watermark-incremental philosophy (etl_sales incremental
+extract) applied to LSH dedup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import query
+from osmart_etl_spark.queries.similarity import _DOT, _NORM
+from osmart_etl_spark.queries.text import _SHINGLES_SQL
+
+# Same MinHash pipeline as dedup_minhash_lsh (16 hashes, 4 bands x 4
+# rows, md5-seeded universal hashing) — the incremental query must see
+# the SAME buckets the full-corpus dedup sees, or re-processing a batch
+# would produce different candidates than the nightly full run.
+_BANDS_SQL = f"""
+    shingles AS ({_SHINGLES_SQL}),
+    hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
+    ),
+    sigs AS (
+      SELECT doc_id, k,
+        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
+      FROM hashed
+      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
+      GROUP BY doc_id, k
+    ),
+    bands AS (
+      SELECT doc_id, CAST(k // 4 AS INT) AS band,
+             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
+      FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
+    )
+"""
+
+
+@query(
+    "dedup_incremental_lsh",
+    oracle=f"""
+    WITH {_BANDS_SQL}
+    SELECT DISTINCT n.doc_id AS id_new, m.doc_id AS id_match,
+           (m.doc_id % 10 < 8) AS from_base
+    FROM bands n
+    JOIN bands m
+      ON m.band = n.band AND m.band_key = n.band_key
+    WHERE n.doc_id % 10 >= 8
+      AND (m.doc_id % 10 < 8 OR m.doc_id < n.doc_id)
+    """,
+    tags=("ext-dedup", "incremental"),
+)
+def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: a NEW batch of documents (doc_id%10>=8,
+    ~20% of the corpus) probed against the BASE corpus (the other 80%)
+    plus earlier arrivals in the same batch. Emits, per new doc, every
+    LSH band-bucket collision: (id_new, id_match, from_base).
+
+    This is the shape that matters at 100 TB: the nightly full-corpus
+    self-join is O(corpus) shuffle, but a daily 1% batch only needs the
+    NEW side's band keys — broadcast them, and the corpus-side band
+    index is probed WHERE IT SITS (map-side hash lookup, zero corpus
+    shuffle at probe time; in production the base index is a stored
+    table bucketed by band_key, so even its one construction shuffle is
+    amortized across every future batch). The self-pair half
+    (new-vs-earlier-new) rides the same broadcast.
+
+    Same hash family/banding as ``dedup_minhash_lsh`` — re-running a
+    batch or the full corpus yields consistent buckets (cf.
+    etl_sales/extract.py's idempotent incremental contract).
+    """
+    from osmart_etl_spark.ops.dedup import minhash_band_keys, shingle_sets
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5)
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4).persist()
+    new_b = bands.filter(F.col("doc_id") % 10 >= 8).select(
+        "band", "band_key", F.col("doc_id").alias("id_new")
+    )
+    corpus = bands.select("band", "band_key", F.col("doc_id").alias("id_match"))
+    hit = (F.col("id_match") % 10 < 8) | (F.col("id_match") < F.col("id_new"))
+    return (
+        corpus.join(F.broadcast(new_b), ["band", "band_key"])
+        .filter(hit)
+        .select("id_new", "id_match", (F.col("id_match") % 10 < 8).alias("from_base"))
+        .distinct()
+    )
+
+
+_HASH_SPACE = 1 << 28
+_TRAIN_THR = int(0.8 * _HASH_SPACE)  # 214748364
+_VAL_THR = int(0.9 * _HASH_SPACE)  # 241591910
+
+
+@query(
+    "stratified_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+        CASE
+          WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+               < {_TRAIN_THR} THEN 'train'
+          WHEN ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 7))::BIGINT
+               < {_VAL_THR} THEN 'val'
+          ELSE 'test'
+        END AS split
+      FROM documents
+    )
+    SELECT lang, split,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY lang, split
+    """,
+    tags=("ext-mixing", "split"),
+)
+def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment with per-stratum
+    (language) accounting. The split gate is a salted content hash
+    (md5('split:'||doc_id)) — NOT random(): stable across runs, engines
+    and partitionings, independent of the sampling gate's unsalted hash
+    (a doc's split never correlates with whether mixing sampled it),
+    and stratification is automatic because the hash is uniform within
+    every stratum. Assignment is a pure projection (pushes to the scan,
+    zero shuffle); the only exchange is the tiny (lang, split) summary
+    agg. At 100 TB the projection pattern is the whole story: no
+    global sort, no sampling pass, no state."""
+    d = read_table(spark, sf_dir, "documents")
+    gate = F.conv(
+        F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 7),
+        16,
+        10,
+    ).cast("bigint")
+    split = (
+        F.when(gate < _TRAIN_THR, "train").when(gate < _VAL_THR, "val").otherwise("test")
+    )
+    return (
+        d.select("lang", "n_chars", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+_SEM_THR = 0.35  # calibrated to the synthetic embedding space (cf. embedding_neardup_pairs)
+
+
+@query(
+    "semdedup_keep_list",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+             {_NORM.format(a="CAST(embedding AS DOUBLE[])")} AS nrm
+      FROM embeddings
+    ),
+    dom AS (
+      SELECT a.vec_id, CAST(COUNT(*) AS BIGINT) AS n_dominators
+      FROM e a JOIN e b
+        ON a.label = b.label AND b.vec_id < a.vec_id
+      WHERE ({_DOT.format(a="a.v", b="b.v")} / (a.nrm * b.nrm)) >= {_SEM_THR}
+      GROUP BY a.vec_id
+    )
+    SELECT e.vec_id, e.label,
+      COALESCE(d.n_dominators, 0) AS n_dominators,
+      (d.vec_id IS NULL) AS keep
+    FROM e LEFT JOIN dom d ON d.vec_id = e.vec_id
+    """,
+    tags=("ext-dedup", "semdedup"),
+)
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic dedup keep-list (Abbas et al. 2023):
+    within each coarse cluster (label — the IVF blocking, exactly as a
+    real SemDedup pass runs inside k-means cells), a vector is DROPPED
+    iff some lower-id cluster-mate is within cosine >= threshold; the
+    lowest id of each semantic group survives. Deterministic keeper
+    choice (id order), no iteration — unlike connected components, the
+    keep rule is a single dominator count, so one cluster-blocked join
+    + one agg. Scale shape: pair space is per-cluster (never global
+    all-pairs); norms precomputed O(n*d) before pairing; skew guard is
+    the cluster size cap upstream (ivf_build_assign balances cells)."""
+    from osmart_etl_spark.ops.similarity import as_double_array, dot, l2_norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id", "label", as_double_array(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a = e.select(F.col("vec_id"), "label", F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"), "label", F.col("v").alias("vb"), F.col("nrm").alias("nb")
+    )
+    dom = (
+        a.join(b, "label")
+        .filter(F.col("id_b") < F.col("vec_id"))
+        .filter((dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))) >= _SEM_THR)
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dominators"))
+    )
+    return (
+        e.select("vec_id", "label")
+        .join(dom.withColumnRenamed("vec_id", "d_id"), e["vec_id"] == F.col("d_id"), "left")
+        .select(
+            "vec_id",
+            "label",
+            F.coalesce(F.col("n_dominators"), F.lit(0).cast("bigint")).alias("n_dominators"),
+            F.col("d_id").isNull().alias("keep"),
+        )
+    )

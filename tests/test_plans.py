@@ -324,3 +324,24 @@ def test_q22_anti_join_after_scalar_broadcast(spark):
     plan = _formatted_plan(tpch_q22_global_sales_opportunity(spark, SF_SMALL))
     assert "LeftAnti" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in plan, plan
+
+
+def test_incremental_lsh_broadcast_probe(spark):
+    """Incremental dedup must probe the corpus band index via a
+    BROADCAST of the new batch's keys — if this ever becomes a
+    SortMergeJoin, every daily batch re-shuffles the whole corpus
+    index and the incremental path loses its reason to exist."""
+    from osmart_etl_spark.queries.corpus_ops import dedup_incremental_lsh
+
+    plan = _formatted_plan(dedup_incremental_lsh(spark, SF_SMALL))
+    assert "BroadcastHashJoin [band" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_stratified_split_single_exchange(spark):
+    """Split assignment is a pure projection: the ONLY exchange is the
+    tiny (lang, split) summary aggregate."""
+    from osmart_etl_spark.queries.corpus_ops import stratified_split_assign
+
+    plan = _formatted_plan(stratified_split_assign(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
