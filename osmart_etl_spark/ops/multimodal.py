@@ -15,6 +15,9 @@ Two tiers of codec honesty:
 - PNG is implemented FOR REAL in pure stdlib+numpy (``decode_png`` /
   ``encode_png``: chunk parse, zlib inflate, the five scanline filters)
   — 8-bit non-interlaced grey/RGB/grey-alpha/RGBA.
+- WAV (RIFF/PCM 8- and 16-bit) is implemented FOR REAL in pure
+  stdlib+numpy (``decode_wav`` / ``encode_wav``: RIFF chunk walk, PCM
+  sample decode, RMS+ZCR featurizer).
 - Remaining COMPRESSED formats (jpeg/mp3/h264…) need PIL/libsndfile/
   ffmpeg, absent from this container — those paths are stubbed behind
   ``DECODERS`` (each stub either raises NotImplementedError or
@@ -322,8 +325,118 @@ def _fake_decode_image(payload: bytes) -> np.ndarray:
     return arr.reshape(8, 8).mean(axis=1) / 255.0
 
 
+# ---------------------------------------------------------------------------
+# WAV — REAL pure-stdlib codec (RIFF chunk walk + PCM sample decode in
+# numpy). No libsndfile needed: canonical WAV is a RIFF container whose
+# critical path is two chunks ('fmt ' + 'data') and linear PCM.
+# Supported: PCM (format tag 1), 8-bit unsigned and 16-bit signed
+# little-endian, any channel count — the overwhelming majority of real
+# .wav files. Other format tags (float, ADPCM, mp3-in-wav) raise
+# ValueError, which the mapInPandas operators surface as decode_status.
+
+_WAV_MAGIC_RIFF = b"RIFF"
+_WAV_MAGIC_WAVE = b"WAVE"
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV decode: returns (samples float64 [n_frames, n_channels]
+    in [-1, 1), sample_rate). Walks RIFF chunks honoring word alignment
+    (odd-sized chunks carry a pad byte), so extra chunks (LIST, fact,
+    cue) are skipped correctly."""
+    if payload[:4] != _WAV_MAGIC_RIFF or payload[8:12] != _WAV_MAGIC_WAVE:
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or len(fmt) < 16 or data is None:
+        raise ValueError("missing fmt/data chunk")
+    format_tag = int.from_bytes(fmt[0:2], "little")
+    n_ch = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if format_tag != 1:
+        raise ValueError(f"unsupported WAV format tag {format_tag} (PCM only)")
+    if n_ch < 1:
+        raise ValueError("WAV with zero channels")
+    if bits == 16:
+        width = 2 * n_ch
+        usable = len(data) // width * width
+        x = np.frombuffer(data[:usable], dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        usable = len(data) // n_ch * n_ch
+        x = (np.frombuffer(data[:usable], dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV bit depth {bits} (8/16 only)")
+    return x.reshape(-1, n_ch), rate
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """REAL WAV encode (16-bit PCM) for tests and round-trips: int16
+    [n_frames, n_channels] → canonical RIFF/WAVE bytes."""
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    if samples.dtype != np.int16:
+        raise ValueError("encode_wav expects int16 samples")
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    block_align = 2 * n_ch
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * block_align).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + len(body).to_bytes(4, "little") + body + (b"\0" if len(body) & 1 else b"")
+
+    body = _WAV_MAGIC_WAVE + chunk(b"fmt ", fmt) + chunk(b"data", data)
+    return _WAV_MAGIC_RIFF + len(body).to_bytes(4, "little") + body
+
+
+_AUDIO_N_FRAMES = 4
+
+
+def _wav_feature(samples: np.ndarray) -> np.ndarray:
+    """REAL audio featurizer: mono mixdown → 4 equal windows → per-window
+    RMS energy + zero-crossing rate (8-dim float32). Deterministic pure
+    numpy — the classic cheap audio descriptor pair."""
+    mono = samples.mean(axis=1)
+    if mono.size == 0:
+        return np.zeros(2 * _AUDIO_N_FRAMES, dtype=np.float32)
+    windows = np.array_split(mono, _AUDIO_N_FRAMES)
+    rms = [float(np.sqrt(np.mean(w * w))) if w.size else 0.0 for w in windows]
+    zcr = [
+        float(np.mean(np.signbit(w[1:]) != np.signbit(w[:-1]))) if w.size > 1 else 0.0
+        for w in windows
+    ]
+    return np.array(rms + zcr, dtype=np.float32)
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """Audio feature dispatch: RIFF/WAVE payloads decode FOR REAL via
+    the pure-stdlib PCM codec and featurize with RMS+ZCR windows; other
+    compressed formats (mp3/ogg/flac) fall through to the deterministic
+    fake until their libraries exist in the container."""
+    if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
+        samples, _rate = decode_wav(payload)
+        return _wav_feature(samples)
+    return _fake_decode_audio(payload)
+
+
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — a real implementation calls soundfile/librosa here."""
+    """STUB — deterministic fake for non-WAV compressed audio: a real
+    implementation calls soundfile/librosa here."""
     arr = np.frombuffer(payload[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)
     return arr.reshape(4, 8).std(axis=1) / 255.0
 
@@ -335,7 +448,7 @@ def _decode_video(payload: bytes) -> np.ndarray:
 
 DECODERS = {
     "image": _decode_image,
-    "audio": _fake_decode_audio,
+    "audio": _decode_audio,
     "video": _decode_video,
 }
 

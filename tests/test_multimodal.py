@@ -230,3 +230,106 @@ def test_png_corrupt_idat_is_decode_error_row(spark):
     )
     rows = extract_features(media).collect()
     assert rows[0]["decode_status"] == "decode_error"
+
+
+def test_wav_roundtrip_mono_stereo():
+    import numpy as np
+    from osmart_etl_spark.ops.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(7)
+    for n_ch in (1, 2, 4):
+        pcm = rng.integers(-32768, 32767, size=(441, n_ch), dtype=np.int16)
+        payload = encode_wav(pcm, 16000)
+        samples, rate = decode_wav(payload)
+        assert rate == 16000
+        assert samples.shape == (441, n_ch)
+        np.testing.assert_allclose(samples, pcm.astype(np.float64) / 32768.0)
+
+
+def test_wav_decode_matches_stdlib_wave():
+    """Differential oracle: the numpy RIFF walker must agree with the
+    stdlib `wave` module on canonical 16-bit PCM files."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+    from osmart_etl_spark.ops.multimodal import decode_wav
+
+    rng = np.random.default_rng(11)
+    pcm = rng.integers(-32768, 32767, size=(800, 2), dtype=np.int16)
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(pcm.astype("<i2").tobytes())
+    samples, rate = decode_wav(buf.getvalue())
+    assert rate == 22050
+    np.testing.assert_allclose(samples, pcm.astype(np.float64) / 32768.0)
+
+
+def test_wav_8bit_and_extra_chunks():
+    import numpy as np
+    from osmart_etl_spark.ops.multimodal import decode_wav
+
+    # hand-built 8-bit mono WAV with an odd-sized LIST chunk BEFORE
+    # fmt/data — exercises the word-alignment pad skip
+    data8 = bytes([0, 64, 128, 192, 255])
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (8000).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (8).to_bytes(2, "little")
+    )
+
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (b"\0" if len(body) & 1 else b"")
+
+    body = b"WAVE" + chunk(b"LIST", b"xyz") + chunk(b"fmt ", fmt) + chunk(b"data", data8)
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    samples, rate = decode_wav(payload)
+    assert rate == 8000
+    assert samples.shape == (5, 1)
+    np.testing.assert_allclose(samples[:, 0], (np.array([0, 64, 128, 192, 255]) - 128.0) / 128.0)
+
+
+def test_wav_rejects_unsupported():
+    import numpy as np
+    import pytest
+    from osmart_etl_spark.ops.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a wav at all")
+    # float PCM (format tag 3) must be rejected, not misread
+    pcm = np.zeros((10, 1), dtype=np.int16)
+    payload = bytearray(encode_wav(pcm, 8000))
+    fmt_off = payload.index(b"fmt ") + 8
+    payload[fmt_off : fmt_off + 2] = (3).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_wav(bytes(payload))
+
+
+def test_wav_payload_features_end_to_end(spark):
+    """A real WAV payload through the mapInPandas feature path: decode
+    FOR REAL (status ok), 8-dim RMS+ZCR feature, deterministic."""
+    import numpy as np
+    from osmart_etl_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav,
+        extract_features,
+    )
+
+    t = np.arange(1600)
+    tone = (np.sin(2 * np.pi * 440 * t / 16000) * 20000).astype(np.int16)[:, None]
+    payload = encode_wav(tone, 16000)
+    rows = [(1, "audio", bytearray(payload), len(payload), None, None, 100)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = extract_features(media).collect()
+    assert len(out) == 1 and out[0]["decode_status"] == "ok"
+    feat = out[0]["feature"]
+    assert len(feat) == 8
+    # a pure tone has uniform energy across windows and nonzero ZCR
+    rms, zcr = feat[:4], feat[4:]
+    assert all(abs(r - rms[0]) < 1e-3 for r in rms)
+    assert all(z > 0.02 for z in zcr)
+    out2 = extract_features(media).collect()
+    assert out2[0]["feature"] == feat
