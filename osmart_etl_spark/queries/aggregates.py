@@ -846,3 +846,41 @@ def cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("gid"),
     )
+
+
+@query(
+    "grouping_sets_engagement",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS event_date,
+      CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+      CAST(GROUPING(CAST(ts AS DATE)) AS BIGINT) AS g_date,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS net_value
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-08 00:00:00'
+    GROUP BY GROUPING SETS ((event_type, CAST(ts AS DATE)),
+                            (event_type), (CAST(ts AS DATE)))
+    """,
+    tags=("extras-grouping-sets",),
+)
+def grouping_sets_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the arbitrary-set sibling of ROLLUP/CUBE
+    (this set list has both one-dimension margins but NO grand total,
+    which neither rollup nor cube can express). Spark expands the sets
+    into one Expand node feeding a single hash aggregate — one shuffle
+    for all three groupings, not three scans; GROUPING() bits
+    disambiguate margin NULLs exactly as in rollup_with_grouping_id."""
+    ev = read_table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-08 00:00:00").cast("timestamp")
+    )
+    d = ev.select("event_type", F.to_date("ts").alias("event_date"), "value")
+    return d.groupingSets(
+        [["event_type", "event_date"], ["event_type"], ["event_date"]],
+        "event_type",
+        "event_date",
+    ).agg(
+        F.grouping("event_type").cast("bigint").alias("g_type"),
+        F.grouping("event_date").cast("bigint").alias("g_date"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dbl(F.sum(dec(F.col("value")))).alias("net_value"),
+    )

@@ -231,3 +231,44 @@ def replay_transform_with_state(events: DataFrame) -> DataFrame:
         outputMode="Append",
         timeMode="None",
     )
+
+
+def purchase_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    horizon: str = "1 hour",
+    late: str = "1 day",
+) -> DataFrame:
+    """Stream-stream INNER join with bounded state: each purchase joins
+    the same user's clicks from the preceding ``horizon`` (last-touch
+    attribution). Works identically on static frames (the batch twin
+    the tests compare against).
+
+    State-boundedness is the whole design: watermarks on BOTH inputs
+    plus the two-sided time-range condition tell Spark exactly how long
+    a buffered click can still match a future purchase, so click state
+    older than horizon+late is evicted instead of accumulating forever
+    — without the range condition a stream-stream join keeps unbounded
+    state and dies at 100 TB/day. Cf. T5/T8 semantics in
+    etl_inventory's incremental joins (seed_stock_points.py), replayed
+    here as a continuous operator."""
+    is_stream = purchases.isStreaming
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    if is_stream:
+        p = p.withWatermark("p_ts", late)
+        c = c.withWatermark("c_ts", late)
+    cond = (
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return p.join(c, cond).select("p_user", "purchase_id", "click_id", "p_ts", "c_ts")

@@ -397,3 +397,31 @@ def test_dedup_within_watermark_two_runs(spark, tmp_path):
     ).coalesce(1).write.parquet(str(d / "b3.parquet"))
     rows = drain()
     assert sorted(r["event_id"] for r in rows) == [1, 2, 3, 4]
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path, events_stream_dir):
+    """Stream-stream interval join (purchase ← preceding clicks within
+    1 hour, per user) drained with availableNow must emit exactly the
+    batch join's pairs — inner joins emit eagerly, so after a full
+    drain nothing is left buffered."""
+    from osmart_etl_spark.streaming.replay_stream import (
+        purchase_click_attribution,
+        run_available_now,
+    )
+
+    stream = _read_stream(spark, events_stream_dir)
+    out = purchase_click_attribution(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "click"),
+    )
+    rows = run_available_now(out, str(tmp_path / "ckpt_ssj"), "ssj_t")
+    got = {(r["purchase_id"], r["click_id"]) for r in rows}
+
+    ev = spark.read.parquet(events_stream_dir)
+    batch = purchase_click_attribution(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+    )
+    want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
+    assert want, "batch twin produced no pairs — fixture too sparse"
+    assert got == want
