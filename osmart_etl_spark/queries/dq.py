@@ -209,3 +209,71 @@ def dq_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
     )
+
+
+@query(
+    "distribution_drift_bins",
+    oracle="""
+    WITH binned AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS price_bin,
+             EXTRACT(YEAR FROM o_orderdate) AS yr
+      FROM orders
+      WHERE EXTRACT(YEAR FROM o_orderdate) IN (1996, 1997)
+    ),
+    counts AS (
+      SELECT price_bin,
+        CAST(SUM(CASE WHEN yr = 1996 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+        CAST(SUM(CASE WHEN yr = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n_curr
+      FROM binned GROUP BY price_bin
+    ),
+    totals AS (
+      SELECT SUM(n_base) AS t_base, SUM(n_curr) AS t_curr FROM counts
+    )
+    SELECT c.price_bin, c.n_base, c.n_curr,
+      CAST(c.n_base AS DOUBLE) / CAST(t.t_base AS DOUBLE) AS share_base,
+      CAST(c.n_curr AS DOUBLE) / CAST(t.t_curr AS DOUBLE) AS share_curr,
+      (CAST(c.n_base AS DOUBLE) / CAST(t.t_base AS DOUBLE)
+         - CAST(c.n_curr AS DOUBLE) / CAST(t.t_curr AS DOUBLE))
+      * (CAST(c.n_base AS DOUBLE) / CAST(t.t_base AS DOUBLE)
+         - CAST(c.n_curr AS DOUBLE) / CAST(t.t_curr AS DOUBLE))
+      / (CAST(c.n_base AS DOUBLE) / CAST(t.t_base AS DOUBLE)
+         + CAST(c.n_curr AS DOUBLE) / CAST(t.t_curr AS DOUBLE)) AS chi2_contrib
+    FROM counts c, totals t
+    """,
+    tags=("ext-dq", "drift"),
+)
+def distribution_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor: order-value histogram of a baseline
+    period (1996) vs the current one (1997), with each bin's chi-square
+    distance contribution — the DQ observability check that catches a
+    silently shifted money distribution before it poisons downstream
+    models. Per-bin OUTPUT (no final cross-row double sum) keeps the
+    result bit-stable: a global chi2 would sum doubles in partition
+    order. Arithmetic only — no ln/exp, whose last-ulp behavior differs
+    across libm builds (same reason weighted_sample_pps avoids pow).
+    Shape: one scan, one tiny bin agg, totals via broadcast 1-row
+    crossJoin — the same pattern as tpch_q22's scalar average."""
+    o = read_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    binned = o.select(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("bigint").alias("price_bin"),
+        F.year("o_orderdate").alias("yr"),
+    )
+    counts = binned.groupBy("price_bin").agg(
+        F.sum(F.when(F.col("yr") == 1996, 1).otherwise(0)).cast("bigint").alias("n_base"),
+        F.sum(F.when(F.col("yr") == 1997, 1).otherwise(0)).cast("bigint").alias("n_curr"),
+    )
+    totals = counts.agg(
+        F.sum("n_base").alias("t_base"), F.sum("n_curr").alias("t_curr")
+    )
+    sa = F.col("n_base").cast("double") / F.col("t_base").cast("double")
+    sb = F.col("n_curr").cast("double") / F.col("t_curr").cast("double")
+    return counts.crossJoin(F.broadcast(totals)).select(
+        "price_bin",
+        "n_base",
+        "n_curr",
+        sa.alias("share_base"),
+        sb.alias("share_curr"),
+        ((sa - sb) * (sa - sb) / (sa + sb)).alias("chi2_contrib"),
+    )

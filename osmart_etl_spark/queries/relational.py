@@ -681,3 +681,60 @@ def event_normalizer_branches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.reshape import union_distinct
 
     return union_distinct(*branches)
+
+
+@query(
+    "null_safe_join_agg",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN value < 0 THEN NULL
+                  ELSE CAST(FLOOR(value) AS BIGINT) % 3 END AS bucket,
+             value
+      FROM events
+    ),
+    dim(bucket, label) AS (
+      VALUES (CAST(0 AS BIGINT), 'low'), (CAST(1 AS BIGINT), 'mid'),
+             (CAST(2 AS BIGINT), 'high'), (CAST(NULL AS BIGINT), 'refund')
+    )
+    SELECT d.label,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(ev.value AS DECIMAL(18,2))) AS DOUBLE) AS net_value
+    FROM ev JOIN dim d ON ev.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY d.label
+    """,
+    tags=("extras-null-safe-join",),
+)
+def null_safe_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality as a JOIN KEY (<=> / IS NOT DISTINCT FROM) —
+    the semantic functions_surface only probes as a scalar: NULL bucket
+    rows must MATCH the dimension's NULL row (here: refunds with no
+    bucket), where a plain equi-join would silently drop them. Spark
+    hash-joins on <=> directly (null-safe keys hash like values — still
+    a BroadcastHashJoin, no fallback to nested-loop), so the plan cost
+    is identical to the equi-join. The dim is an inline literal frame —
+    broadcast, zero extra scans."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.when(F.col("value") < 0, F.lit(None).cast("bigint"))
+        .otherwise(F.floor(F.col("value")).cast("bigint") % 3)
+        .alias("bucket"),
+        "value",
+    )
+    dim = spark.createDataFrame(
+        [(0, "low"), (1, "mid"), (2, "high"), (None, "refund")],
+        StructType(
+            [
+                StructField("d_bucket", LongType(), True),
+                StructField("label", StringType(), False),
+            ]
+        ),
+    )
+    return (
+        ev.join(F.broadcast(dim), ev["bucket"].eqNullSafe(dim["d_bucket"]))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            dbl(F.sum(dec(F.col("value")))).alias("net_value"),
+        )
+    )
