@@ -213,3 +213,104 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d_id").isNull().alias("keep"),
         )
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle="""
+    WITH snap_a AS (
+      SELECT doc_id, md5(text) AS digest FROM documents WHERE doc_id % 7 != 0
+    ),
+    snap_b AS (
+      SELECT doc_id,
+        md5(CASE WHEN doc_id % 11 = 0 THEN text || ' [rev2]' ELSE text END) AS digest
+      FROM documents WHERE doc_id % 5 != 0
+    )
+    SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      CASE WHEN a.doc_id IS NULL THEN 'added'
+           WHEN b.doc_id IS NULL THEN 'removed'
+           WHEN a.digest != b.digest THEN 'changed'
+           ELSE 'unchanged' END AS status
+    FROM snap_a a FULL OUTER JOIN snap_b b ON a.doc_id = b.doc_id
+    WHERE a.doc_id IS NULL OR b.doc_id IS NULL OR a.digest != b.digest
+    """,
+    tags=("ext-versioning", "snapshot-diff"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-versioning diff: which documents were added, removed, or
+    changed between two corpus snapshots (synthesized here from one
+    table: snapshot A drops doc_id%7==0, snapshot B drops %5==0 and
+    revises %11==0). The audit every reproducible-training setup runs
+    before re-tokenizing — content compare via digest, never raw text,
+    so the shuffle carries 32-byte hashes instead of documents, and
+    'unchanged' rows (the overwhelming majority at 100 TB) are filtered
+    OUT before the result materializes. One full-outer join on doc_id;
+    at scale both snapshots would be bucketed by doc_id making it
+    shuffle-free."""
+    d = read_table(spark, sf_dir, "documents")
+    snap_a = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id", F.md5(F.col("text")).alias("digest")
+    )
+    snap_b = d.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(
+                F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+            ).otherwise(F.col("text"))
+        ).alias("digest"),
+    )
+    a = snap_a.select(F.col("doc_id").alias("a_id"), F.col("digest").alias("a_dig"))
+    b = snap_b.select(F.col("doc_id").alias("b_id"), F.col("digest").alias("b_dig"))
+    j = a.join(b, a["a_id"] == b["b_id"], "full_outer")
+    status = (
+        F.when(F.col("a_id").isNull(), "added")
+        .when(F.col("b_id").isNull(), "removed")
+        .when(F.col("a_dig") != F.col("b_dig"), "changed")
+        .otherwise("unchanged")
+    )
+    return (
+        j.select(F.coalesce(F.col("a_id"), F.col("b_id")).alias("doc_id"), status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
+_RESERVOIR_K = 3
+
+
+@query(
+    "per_group_reservoir",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, rk
+    FROM (
+      SELECT lang, doc_id, n_chars,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY lang
+          ORDER BY md5('rsv:' || CAST(doc_id AS VARCHAR)), doc_id
+        ) AS BIGINT) AS rk
+      FROM documents
+    )
+    WHERE rk <= {_RESERVOIR_K}
+    """,
+    tags=("ext-mixing", "reservoir"),
+)
+def per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic EXACT-k per-group sample (the reservoir pattern
+    without randomness): rank group members by a salted content hash
+    and keep the first k — every run, engine, and partitioning picks
+    the same k docs per language, which is what an eval-set builder
+    needs for reproducibility. Complements ``deterministic_sample``
+    (expected-rate, no per-group guarantee) and ``weighted_sample_pps``
+    (expected-k weighted). Shape: one hash-partition exchange on the
+    group key; rank truncation happens inside the window sort with a
+    doc_id tiebreaker (W6) — at 10^9 groups this stays one shuffle, no
+    global sort, no driver state."""
+    d = read_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    pri = F.md5(F.concat(F.lit("rsv:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(pri, F.col("doc_id"))
+    return (
+        d.select("lang", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= _RESERVOIR_K)
+    )
