@@ -314,3 +314,107 @@ def per_group_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= _RESERVOIR_K)
     )
+
+
+_Z_BITS = 16
+_Z_BUCKET_SHIFT = 2 * _Z_BITS - 6  # top 6 bits -> 64 layout buckets
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """Machine-generated Morton-interleave SQL (bit b of x -> position
+    2b, of y -> 2b+1) — the same formula ``ops of io/layout.zorder_key``
+    builds as Spark shift/mask expressions."""
+    terms = []
+    for b in range(_Z_BITS):
+        terms.append(f"((({xcol}) >> {b}) & 1) * {1 << (2 * b)}")
+        terms.append(f"((({ycol}) >> {b}) & 1) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+_Z_NORM_X = (
+    "LEAST(CAST(FLOOR((CAST(o_custkey AS DOUBLE) - lo_c) / (hi_c - lo_c) * 65536.0)"
+    " AS BIGINT), 65535)"
+)
+_Z_NORM_Y = (
+    "LEAST(CAST(FLOOR((CAST(d AS DOUBLE) - lo_d) / (hi_d - lo_d) * 65536.0)"
+    " AS BIGINT), 65535)"
+)
+
+
+@query(
+    "zorder_skipping_audit",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_custkey,
+        CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+      FROM orders
+    ),
+    stats AS (
+      SELECT CAST(MIN(o_custkey) AS DOUBLE) AS lo_c, CAST(MAX(o_custkey) AS DOUBLE) AS hi_c,
+             CAST(MIN(d) AS DOUBLE) AS lo_d, CAST(MAX(d) AS DOUBLE) AS hi_d
+      FROM src
+    ),
+    keyed AS (
+      SELECT o_custkey, d,
+        ({_z_interleave_sql(_Z_NORM_X, _Z_NORM_Y)}) AS zkey
+      FROM src, stats
+    )
+    SELECT CAST(zkey >> {_Z_BUCKET_SHIFT} AS BIGINT) AS bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(MIN(o_custkey) AS BIGINT) AS min_cust,
+      CAST(MAX(o_custkey) AS BIGINT) AS max_cust,
+      CAST(MIN(d) AS BIGINT) AS min_day,
+      CAST(MAX(d) AS BIGINT) AS max_day
+    FROM keyed GROUP BY 1
+    """,
+    tags=("ext-layout", "zorder"),
+)
+def zorder_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) data-skipping audit: orders keyed on the
+    interleaved (custkey, order-day) curve, rolled up into the 64
+    top-of-key buckets a compaction job would write as files — each
+    bucket's min/max span in BOTH dimensions is what parquet footer
+    pruning skips on, and on a Morton layout both spans are narrow
+    SIMULTANEOUSLY (a custkey-sorted layout gives perfect custkey spans
+    but full-range date spans, and vice versa). Same shift/mask
+    interleave as ``io/layout.zorder_key`` / ``write_zordered`` (the
+    actual layout writer, exercised in tests/test_layout.py); here the
+    key+bucket are pure codegen projections over a broadcast 1-row
+    min/max frame, one tiny bucket agg — the audit costs one scan."""
+    from osmart_etl_spark.io.layout import _normalize, zorder_key
+
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    )
+    stats = o.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("d").alias("lo_d"),
+        F.max("d").alias("hi_d"),
+    )
+    keyed = o.crossJoin(F.broadcast(stats)).select(
+        "o_custkey",
+        "d",
+        zorder_key(
+            [
+                _normalize(F.col("o_custkey"), F.col("lo_c"), F.col("hi_c"), _Z_BITS),
+                _normalize(F.col("d"), F.col("lo_d"), F.col("hi_d"), _Z_BITS),
+            ],
+            _Z_BITS,
+        ).alias("zkey"),
+    )
+    return (
+        keyed.groupBy(
+            F.shiftright(F.col("zkey"), _Z_BUCKET_SHIFT).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_custkey").cast("bigint").alias("min_cust"),
+            F.max("o_custkey").cast("bigint").alias("max_cust"),
+            F.min("d").cast("bigint").alias("min_day"),
+            F.max("d").cast("bigint").alias("max_day"),
+        )
+    )

@@ -345,3 +345,38 @@ def test_stratified_split_single_exchange(spark):
 
     plan = _formatted_plan(stratified_split_assign(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_aqe_runtime_broadcast_conversion(spark):
+    """AQE must convert a sort-merge join to broadcast AT RUNTIME when a
+    filter leaves the build side tiny but the static size estimate
+    (full table) exceeds the broadcast threshold. This is the 100 TB
+    safety net for selective dim filters the static planner can't see
+    through — pin it so a config regression (AQE off, threshold 0)
+    can't silently bring the shuffle back."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # static threshold too small for ANY estimate -> static plan is
+        # SMJ; AQE's OWN threshold stays generous, so only the RUNTIME
+        # (post-filter, exact) size can trigger the broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1KB")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+        cust = read_table(spark, SF_SMALL, "customer").filter(
+            F.col("c_mktsegment") == "BUILDING"
+        )
+        orders = read_table(spark, SF_SMALL, "orders")
+        j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).groupBy(
+            "c_mktsegment"
+        ).count()
+        j.collect()  # materialize so AQE finalizes the plan
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, final
+        assert "BroadcastHashJoin" in final, final[:2000]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
