@@ -1,0 +1,112 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API): a
+deterministic synthetic event-ledger source with REAL filter pushdown.
+
+Why it exists: the reference reads from live MySQL databases and CSV
+drops (etl_sales/extract.py, etl_inventory/seed_stock_points.py); the
+engine covers those with JDBC and file sources. This source covers the
+third kind every large pipeline grows — an API/generator-backed feed
+with no file behind it — and demonstrates the full extension contract:
+schema declaration, partition PLANNING (split count is an option, so
+parallelism is a plan-time decision), per-partition generation on
+executors (the driver never materializes rows), and `pushFilters`
+(supported predicates are applied inside the generator loop; the rest
+are returned to Spark for post-filtering, so correctness never depends
+on what the source accepts).
+
+Determinism contract: every row is a pure function of its event_id —
+the SAME global row set appears for ANY partition count, which is what
+makes backfills and replays reproducible (same philosophy as the
+md5-gated sampling in queries/corpus_ops.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    GreaterThanOrEqual,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+_EVENT_TYPES = ("view", "click", "purchase", "error", "signup")
+_EPOCH = datetime(2024, 3, 1)
+
+
+def _row_for(event_id: int) -> tuple:
+    """Pure function event_id -> row (the determinism contract)."""
+    h = hashlib.md5(f"synth:{event_id}".encode()).digest()
+    user_id = int.from_bytes(h[0:4], "big") % 1000
+    etype = _EVENT_TYPES[h[4] % len(_EVENT_TYPES)]
+    # value in [-50, 450), 2 decimal digits, sign flip for errors
+    value = round((int.from_bytes(h[5:8], "big") % 50000) / 100.0 - 50.0, 2)
+    ts = _EPOCH + timedelta(seconds=int.from_bytes(h[8:11], "big") % (30 * 86400))
+    return (event_id, ts, user_id, etype, value)
+
+
+@dataclass
+class _Range(InputPartition):
+    start: int
+    end: int
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.eq_type: str | None = None
+        self.min_user: int | None = None
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Accept event_type equality and user_id >= bounds; yield back
+        everything else (Spark re-applies what we don't handle)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.eq_type = f.value
+            elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("user_id",):
+                self.min_user = int(f.value)
+            else:
+                yield f
+
+    def partitions(self) -> list[InputPartition]:
+        per = max(1, -(-self.n_rows // self.n_parts))  # ceil division
+        return [
+            _Range(lo, min(lo + per, self.n_rows))
+            for lo in range(0, self.n_rows, per)
+        ]
+
+    def read(self, partition: _Range):
+        for event_id in range(partition.start, partition.end):
+            row = _row_for(event_id)
+            if self.eq_type is not None and row[3] != self.eq_type:
+                continue
+            if self.min_user is not None and row[2] < self.min_user:
+                continue
+            yield row
+
+
+class SyntheticEventsDataSource(DataSource):
+    """`spark.read.format("synthetic_events")` after
+    `spark.dataSource.register(SyntheticEventsDataSource)`.
+
+    Options: n_rows (default 1000), partitions (default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return (
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double"
+        )
+
+    def reader(self, schema: StructType) -> SyntheticEventsReader:
+        return SyntheticEventsReader(schema, self.options)

@@ -527,3 +527,48 @@ def map_functions_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("uid_upper"),
         F.element_at(m2, "extra").alias("extra_val"),
     )
+
+
+@query(
+    "variant_semi_structured",
+    oracle="""
+    WITH src AS (
+      SELECT event_id,
+        CASE WHEN event_id % 13 = 0 THEN '{bad json' ELSE props END AS raw
+      FROM events
+    ),
+    parsed AS (
+      SELECT event_id, TRY_CAST(raw AS JSON) AS j FROM src
+    )
+    SELECT event_id,
+      (j IS NOT NULL) AS parse_ok,
+      CAST(json_extract_string(j, '$.k') AS BIGINT) AS k_big,
+      CAST(json_extract_string(j, '$.k') AS DOUBLE) AS k_dbl,
+      CAST(json_extract_string(j, '$.missing') AS BIGINT) AS missing_big
+    FROM parsed
+    """,
+    tags=("extras-variant",),
+)
+def variant_semi_structured(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT path for semi-structured data: ``try_parse_json``
+    → binary variant → typed ``try_variant_get`` extraction — the
+    schema-on-read sibling of ``json_props_extract``'s ``from_json``
+    (which needs the schema up front). Variant is the 100 TB answer for
+    heterogeneous JSON: parse once into a binary column, extract many
+    times without re-tokenizing, no schema agreement needed across
+    producers. Malformed payloads (every 13th row here, injected) turn
+    into NULL variants (parse_ok=false), never job failures — same
+    error-as-data philosophy as the multimodal decode_status. All
+    codegen'd projections, zero shuffle."""
+    ev = read_table(spark, sf_dir, "events")
+    raw = F.when(F.col("event_id") % 13 == 0, F.lit("{bad json")).otherwise(
+        F.col("props")
+    )
+    v = F.try_parse_json(raw)
+    return ev.select(
+        "event_id",
+        v.isNotNull().alias("parse_ok"),
+        F.try_variant_get(v, "$.k", "bigint").alias("k_big"),
+        F.try_variant_get(v, "$.k", "double").alias("k_dbl"),
+        F.try_variant_get(v, "$.missing", "bigint").alias("missing_big"),
+    )

@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (io/pydatasource.py) — off
+        # by default in Spark 4.1; reader init fails without it when a
+        # source implements pushFilters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # 100 TB scans: bound per-task input so partitions fit in memory.
         .config("spark.sql.files.maxPartitionBytes", "256m")

@@ -1,0 +1,97 @@
+"""Custom Python DataSource tests: determinism across partition counts,
+filter pushdown correctness (pushed vs post-filtered must agree), and
+executor-side generation (io/pydatasource.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _register(spark):
+    from osmart_etl_spark.io.pydatasource import SyntheticEventsDataSource
+
+    # required whenever a Python source implements pushFilters (reader
+    # init fails otherwise); get_spark sets it by default, the vanilla
+    # test session does not
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)
+
+
+def test_same_rows_for_any_partitioning(spark):
+    _register(spark)
+    a = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("partitions", 2)
+        .load()
+    )
+    b = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("partitions", 7)
+        .load()
+    )
+    assert a.count() == 500
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+    assert a.rdd.getNumPartitions() == 2
+    assert b.rdd.getNumPartitions() == 7
+
+
+def test_pushdown_matches_post_filter(spark):
+    """The rows surviving source-side pushdown must equal applying the
+    same predicates to the unfiltered read — pushdown is an
+    optimization, never a semantics change."""
+    _register(spark)
+    full = (
+        spark.read.format("synthetic_events").option("n_rows", 1000).load()
+    )
+    want = sorted(
+        map(
+            tuple,
+            full.filter(
+                (F.col("event_type") == "purchase") & (F.col("user_id") >= 500)
+            ).collect(),
+        )
+    )
+    pushed = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .load()
+        .filter((F.col("event_type") == "purchase") & (F.col("user_id") >= 500))
+    )
+    got = sorted(map(tuple, pushed.collect()))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_unsupported_filters_still_applied(spark):
+    """A predicate the source does NOT accept (value range) must still
+    hold on the result — Spark re-applies yielded-back filters."""
+    _register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 800)
+        .load()
+        .filter((F.col("value") > 100.0) & (F.col("event_type") == "click"))
+    )
+    rows = df.collect()
+    assert rows
+    assert all(r["value"] > 100.0 and r["event_type"] == "click" for r in rows)
+
+
+def test_joins_with_parquet_tables(spark):
+    """The synthetic feed must compose with the lake tables like any
+    other source (mixed-source join, as multi_source_union does for
+    files)."""
+    from osmart_etl_spark.io.sources import read_table
+    from tests.conftest import SF_SMALL
+
+    _register(spark)
+    feed = (
+        spark.read.format("synthetic_events").option("n_rows", 300).load()
+    )
+    ev = read_table(spark, SF_SMALL, "events").select("user_id").distinct()
+    j = feed.join(ev, "user_id").groupBy("event_type").count()
+    assert j.count() > 0
