@@ -181,11 +181,34 @@ def minhash_band_keys(
     )
 
 
-def candidate_pairs(band_keys: DataFrame, id_col: str) -> DataFrame:
+def candidate_pairs(
+    band_keys: DataFrame, id_col: str, max_bucket: int | None = None
+) -> DataFrame:
     """Docs sharing any band bucket → distinct (id_a < id_b) pairs.
-    The join shuffles on (band, band_key) — bucket-local, never all-pairs."""
+    The join shuffles on (band, band_key) — bucket-local, never all-pairs.
+
+    ``max_bucket`` guards the one way this still blows up: a HOT bucket
+    (boilerplate-dominated corpora collapse thousands of docs into one
+    band key) contributes O(bucket²) pairs, so a single million-doc
+    bucket is 10¹² pairs no matter how good the banding is. Buckets
+    larger than the cap are dropped BEFORE the self-join (one map-side-
+    combined count + broadcast-able semi filter) — the standard LSH
+    mitigation: an over-common band key carries no discriminative
+    signal, and a truly near-dup pair collides in some other band with
+    overwhelming probability (for 4 bands at J=0.9, P[missing all
+    bands] < 0.2%even if one band is capped). Default None keeps exact
+    semantics for the oracle-checked queries."""
     # Self-join: persist so the upstream signature DAG runs once, not twice.
     band_keys = band_keys.persist()
+    if max_bucket is not None:
+        # the HOT set is small by construction (≤ |rows|/cap buckets), so
+        # IT broadcasts and the exclusion is a map-side anti join — never
+        # broadcast the keep-set, which is O(corpus)
+        sizes = band_keys.groupBy("band", "band_key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        hot = sizes.filter(F.col("__n") > max_bucket).drop("__n")
+        band_keys = band_keys.join(F.broadcast(hot), ["band", "band_key"], "left_anti")
     a = band_keys.select(
         F.col("band"), F.col("band_key"), F.col(id_col).alias("id_a")
     )

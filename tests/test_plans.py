@@ -380,3 +380,35 @@ def test_aqe_runtime_broadcast_conversion(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_lsh_hot_bucket_cap(spark):
+    """The hot-bucket guard must (a) drop only over-cap buckets, (b)
+    keep every pair that collides in some OTHER under-cap band, and
+    (c) exclude via a broadcast ANTI join against the (small) hot set
+    — never a shuffle against the keep-set."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.ops.dedup import candidate_pairs
+
+    rows = []
+    # one hot bucket: 12 docs share band 0 key "HOT" (66 pairs)
+    rows += [(i, 0, "HOT") for i in range(12)]
+    # docs 0 and 1 also collide in band 1 (survives the cap)
+    rows += [(0, 1, "pair01"), (1, 1, "pair01")]
+    # an independent small bucket in band 2
+    rows += [(20, 2, "small"), (21, 2, "small")]
+    bk = spark.createDataFrame(rows, ["doc_id", "band", "band_key"])
+
+    uncapped = {
+        (r["id_a"], r["id_b"]) for r in candidate_pairs(bk, "doc_id").collect()
+    }
+    assert (0, 1) in uncapped and (20, 21) in uncapped and len(uncapped) == 67
+
+    capped_df = candidate_pairs(bk, "doc_id", max_bucket=10)
+    capped = {(r["id_a"], r["id_b"]) for r in capped_df.collect()}
+    assert capped == {(0, 1), (20, 21)}, capped
+
+    plan = _formatted_plan(capped_df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
