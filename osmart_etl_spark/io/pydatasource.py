@@ -33,6 +33,7 @@ from pyspark.sql.datasource import (
     Filter,
     GreaterThanOrEqual,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
 
@@ -110,3 +111,29 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SyntheticEventsReader:
         return SyntheticEventsReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batch stream over the same deterministic ledger: the offset
+    is just the next event_id, so checkpoint recovery replays EXACTLY
+    the rows a lost batch contained (``readBetweenOffsets``) — the
+    source-side half of exactly-once. Batch size is an option, making
+    ingest rate a plan-time knob."""
+
+    def __init__(self, options) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_rows = int(options.get("batch_rows", 100))
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        s = start["next"]
+        e = min(s + self.batch_rows, self.n_rows)
+        return iter([_row_for(i) for i in range(s, e)]), {"next": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([_row_for(i) for i in range(start["next"], end["next"])])

@@ -95,3 +95,49 @@ def test_joins_with_parquet_tables(spark):
     ev = read_table(spark, SF_SMALL, "events").select("user_id").distinct()
     j = feed.join(ev, "user_id").groupBy("event_type").count()
     assert j.count() > 0
+
+
+def test_stream_reader_incremental_drain_exactly_once(spark, tmp_path):
+    """The streaming side of the synthetic source: repeated availableNow
+    runs against ONE checkpoint must advance through the ledger batch
+    by batch (cron-style incremental runs) and deliver every row
+    EXACTLY once — offsets are event_ids, so recovery replay
+    (readBetweenOffsets) can never invent or lose rows. The final
+    streamed set must equal the batch read bit-for-bit."""
+    _register(spark)
+    ck = str(tmp_path / "ck_synth")
+    total = 230  # deliberately not a multiple of batch_rows
+
+    out = str(tmp_path / "out_synth")
+
+    def drain_once() -> int:
+        s = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", total)
+            .option("batch_rows", 100)
+            .load()
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    counts = [drain_once() for _ in range(4)]
+    assert counts[-1] == total, counts
+    assert counts == sorted(counts), counts  # monotone progress
+    streamed = {tuple(r) for r in spark.read.parquet(out).collect()}
+    batch = {
+        tuple(r)
+        for r in spark.read.format("synthetic_events")
+        .option("n_rows", total)
+        .load()
+        .collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == total  # no duplicates across drains
