@@ -34,6 +34,8 @@ from pyspark.sql.datasource import (
     GreaterThanOrEqual,
     InputPartition,
     SimpleDataSourceStreamReader,
+    DataSourceWriter,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -115,6 +117,9 @@ class SyntheticEventsDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "SyntheticEventsStreamReader":
         return SyntheticEventsStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options)
+
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
     """Micro-batch stream over the same deterministic ledger: the offset
@@ -137,3 +142,63 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter([_row_for(i) for i in range(start["next"], end["next"])])
+
+
+@dataclass
+class _StagedFile(WriterCommitMessage):
+    staged_path: str
+    n_rows: int
+
+
+class JsonLinesWriter(DataSourceWriter):
+    """Write side of the extension contract, with the two-phase commit
+    every distributed sink needs: each TASK writes to a staging name
+    (``_staged-<uuid>.jsonl``), the DRIVER's ``commit`` renames the
+    staged files into place and drops a ``_SUCCESS`` manifest listing
+    them; ``abort`` removes staging debris. A reader that requires
+    ``_SUCCESS`` (or reads only the manifest's files) therefore never
+    sees a partial job — the same visibility rule as Hadoop's file
+    output committer, in ~40 lines of Python. Speculative/retried task
+    duplicates are resolved at commit time: only files named in commit
+    messages are published."""
+
+    def __init__(self, options) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("json_lines sink requires a 'path' option")
+
+    def write(self, iterator) -> _StagedFile:
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        name = f"_staged-{uuid.uuid4().hex}.jsonl"
+        full = os.path.join(self.path, name)
+        n = 0
+        with open(full, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _StagedFile(staged_path=full, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        published = []
+        for i, m in enumerate(messages):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.staged_path, final)
+            published.append({"file": os.path.basename(final), "n_rows": m.n_rows})
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            json.dump({"files": published}, f)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.staged_path)
+            except FileNotFoundError:
+                pass

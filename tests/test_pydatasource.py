@@ -141,3 +141,66 @@ def test_stream_reader_incremental_drain_exactly_once(spark, tmp_path):
     }
     assert streamed == batch
     assert len(streamed) == total  # no duplicates across drains
+
+
+def test_writer_two_phase_commit(spark, tmp_path):
+    """The Python writer's commit protocol: after a successful save the
+    directory holds only published part files + the _SUCCESS manifest
+    (no staging debris), the manifest row counts add up, and the data
+    round-trips."""
+    import json
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 200)
+        .option("partitions", 3)
+        .load()
+    )
+    df.write.format("synthetic_events").option("path", out).mode("append").save()
+
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names
+    assert not any(n.startswith("_staged-") for n in names), names
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 200
+    assert {f["file"] for f in manifest["files"]} == {
+        n for n in names if n.startswith("part-")
+    }
+
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 200
+    assert set(back.columns) == {"event_id", "ts", "user_id", "event_type", "value"}
+    got_ids = {r["event_id"] for r in back.select("event_id").collect()}
+    assert got_ids == set(range(200))
+
+
+def test_writer_abort_leaves_no_debris(spark, tmp_path):
+    """A failing task must abort the job and leave no published files —
+    a reader honoring _SUCCESS sees nothing."""
+    import os
+
+    import pytest
+
+    _register(spark)
+    out = str(tmp_path / "jsonl_fail")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 50)
+        .load()
+        .select(
+            "event_id",
+            (F.col("value") / F.when(F.col("event_id") == 33, 0).otherwise(1)).alias(
+                "boom"
+            ),
+        )
+    )
+    # ANSI division by zero fails the task mid-write
+    with pytest.raises(Exception):
+        df.write.format("synthetic_events").option("path", out).mode("append").save()
+    if os.path.isdir(out):
+        names = os.listdir(out)
+        assert "_SUCCESS" not in names
+        assert not any(n.startswith("part-") for n in names), names
