@@ -884,3 +884,45 @@ def grouping_sets_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         dbl(F.sum(dec(F.col("value")))).alias("net_value"),
     )
+
+
+@query(
+    "latest_via_struct_max",
+    oracle="""
+    SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+           event_type AS last_type, value AS last_value
+    FROM (
+      SELECT user_id, ts, event_id, event_type, value,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("extras-struct-max", "W1-alternative"),
+)
+def latest_via_struct_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-per-key WITHOUT a window: max(struct(ts, event_id,
+    payload...)) — struct comparison is lexicographic, so the max
+    carries the whole winning row out of an ordinary hash aggregate.
+    Identical result to the ROW_NUMBER()=1 idiom (the oracle IS that
+    idiom), but the plan is a partial+final aggregate: map-side combine
+    shrinks every partition to one row per key BEFORE the exchange, no
+    per-partition sort, no full-row shuffle — at 10^9 keys x 10^4
+    events each, the window form shuffles every event while this moves
+    one row per key per partition. The tiebreaker rides INSIDE the
+    struct (event_id after ts), preserving W6 determinism. The same
+    trick under MERGE keep-latest: io/sinks.upsert_keep_latest."""
+    ev = read_table(spark, sf_dir, "events")
+    s = F.max(F.struct("ts", "event_id", "event_type", "value")).alias("__top")
+    return (
+        ev.groupBy("user_id")
+        .agg(s)
+        .select(
+            "user_id",
+            F.col("__top.ts").alias("last_ts"),
+            F.col("__top.event_id").alias("last_event_id"),
+            F.col("__top.event_type").alias("last_type"),
+            F.col("__top.value").alias("last_value"),
+        )
+    )

@@ -412,3 +412,15 @@ def test_lsh_hot_bucket_cap(spark):
     plan = _formatted_plan(capped_df)
     assert "LeftAnti" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_struct_max_latest_no_window(spark):
+    """The max(struct) latest-per-key must plan as partial+final hash
+    aggregate — no Window, no Sort, and the exchange carries one row
+    per key per map partition (partial_max before it)."""
+    from osmart_etl_spark.queries.aggregates import latest_via_struct_max
+
+    plan = _formatted_plan(latest_via_struct_max(spark, SF_SMALL))
+    assert "Window" not in plan, plan
+    assert "partial_max" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
