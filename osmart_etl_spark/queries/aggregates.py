@@ -926,3 +926,62 @@ def latest_via_struct_max(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__top.value").alias("last_value"),
         )
     )
+
+
+@query(
+    "correlation_exact",
+    oracle="""
+    WITH m AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        CAST(SUM(CAST(EXTRACT(HOUR FROM ts) AS BIGINT)) AS DOUBLE) AS sy,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))
+                 * CAST(EXTRACT(HOUR FROM ts) AS BIGINT)) AS DOUBLE) AS sxy,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))
+                 * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        CAST(SUM(CAST(EXTRACT(HOUR FROM ts) AS BIGINT)
+                 * CAST(EXTRACT(HOUR FROM ts) AS BIGINT)) AS DOUBLE) AS sy2
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+      CAST(n AS BIGINT) AS n,
+      ((n * sxy) - (sx * sy))
+        / (sqrt((n * sx2) - (sx * sx)) * sqrt((n * sy2) - (sy * sy)))
+        AS corr_value_hour
+    FROM m
+    """,
+    tags=("extras-statistics", "exact-moments"),
+)
+def correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation (value vs hour-of-day, per event type) with
+    the float-safety discipline applied to SECOND-order moments: the
+    five sums are EXACT decimals/bigints (value has 2 decimal digits,
+    so value² is exact at scale 4 — no rounding anywhere in the
+    reduction, hence associativity-free and partition-order-free), and
+    the textbook formula is evaluated ONCE in double over those exact
+    scalars. sqrt is IEEE correctly-rounded, so both engines produce
+    identical bits — the built-in corr() cannot promise that (its
+    double running sums are partition-order-dependent). One map-side-
+    combinable aggregate, one tiny exchange."""
+    ev = read_table(spark, sf_dir, "events")
+    x = dec(F.col("value"))
+    y = F.hour("ts").cast("bigint")
+    m = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(x).alias("__sx"),
+        F.sum(y).alias("__sy"),
+        F.sum(x * y).alias("__sxy"),
+        F.sum(x * x).alias("__sx2"),
+        F.sum(y * y).alias("__sy2"),
+    )
+    n, sx, sy = dbl(F.col("__n")), dbl(F.col("__sx")), dbl(F.col("__sy"))
+    sxy, sx2, sy2 = dbl(F.col("__sxy")), dbl(F.col("__sx2")), dbl(F.col("__sy2"))
+    corr = ((n * sxy) - (sx * sy)) / (
+        F.sqrt((n * sx2) - (sx * sx)) * F.sqrt((n * sy2) - (sy * sy))
+    )
+    return m.select(
+        "event_type",
+        F.col("__n").cast("bigint").alias("n"),
+        corr.alias("corr_value_hour"),
+    )
