@@ -277,3 +277,87 @@ def distribution_drift_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         sb.alias("share_curr"),
         ((sa - sb) * (sa - sb) / (sa + sb)).alias("chi2_contrib"),
     )
+
+
+_SEG = 4096  # orderkeys per checksum segment
+
+
+@query(
+    "replica_segment_diff",
+    oracle=f"""
+    WITH rowhash AS (
+      SELECT o_orderkey // {_SEG} AS segment,
+        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                        || CAST(o_custkey AS VARCHAR)), 1, 7))::BIGINT AS h
+      FROM orders
+    ),
+    replica_rowhash AS (
+      SELECT o_orderkey // {_SEG} AS segment,
+        ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                        || CAST(CASE WHEN o_orderkey % 1009 = 0
+                                     THEN o_custkey + 1 ELSE o_custkey END
+                                AS VARCHAR)), 1, 7))::BIGINT AS h
+      FROM orders
+    ),
+    a AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_a,
+                 CAST(SUM(h) AS BIGINT) AS sum_a
+          FROM rowhash GROUP BY segment),
+    b AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_b,
+                 CAST(SUM(h) AS BIGINT) AS sum_b
+          FROM replica_rowhash GROUP BY segment)
+    SELECT a.segment, a.n_a, b.n_b, a.sum_a, b.sum_b
+    FROM a JOIN b ON a.segment = b.segment
+    WHERE a.sum_a != b.sum_b OR a.n_a != b.n_b
+    """,
+    tags=("ext-dq", "anti-entropy"),
+)
+def replica_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy segment checksums (the Merkle-tree leaf level):
+    both replicas reduce to one (count, hash-sum) row per key segment,
+    and only segments whose digests disagree are emitted — divergence
+    localized to 1/N of the table with two scans and a tiny exchange,
+    never a row-by-row full-outer compare (corpus_snapshot_diff is the
+    row-level tool you run ON the flagged segments). The hash-sum is an
+    md5-derived bounded bigint per row (portable across engines, sums
+    exactly, commutative — partition-order-free); keys in the hash are
+    integers only, so string formatting is engine-stable. The 'replica'
+    here is the same table with every 1009th order's custkey corrupted
+    — the query must flag exactly those segments."""
+    o = read_table(spark, sf_dir, "orders")
+
+    def seg_digest(df: DataFrame, cust_col) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("o_orderkey").cast("string"),
+                        cust_col.cast("string"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        return df.select(
+            F.floor(F.col("o_orderkey") / _SEG).cast("bigint").alias("segment"),
+            h.alias("__h"),
+        ).groupBy("segment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("__h").cast("bigint").alias("hsum"),
+        )
+
+    a = seg_digest(o, F.col("o_custkey")).select(
+        "segment", F.col("n").alias("n_a"), F.col("hsum").alias("sum_a")
+    )
+    corrupted = F.when(
+        F.col("o_orderkey") % 1009 == 0, F.col("o_custkey") + 1
+    ).otherwise(F.col("o_custkey"))
+    b = seg_digest(o, corrupted).select(
+        "segment", F.col("n").alias("n_b"), F.col("hsum").alias("sum_b")
+    )
+    return a.join(b, "segment").filter(
+        (F.col("sum_a") != F.col("sum_b")) | (F.col("n_a") != F.col("n_b"))
+    )
