@@ -32,6 +32,11 @@ DEFAULT = [
     "paragraph_dedup",         # aggregate-then-join dedup
     "cms_heavy_hitters",       # sketch build (constant-size output)
     "user_behavior_similarity",  # inverted-index similarity
+    "dedup_incremental_lsh",   # broadcast-probe incremental dedup
+    "semdedup_keep_list",      # cluster-blocked dominator count
+    "tpch_q21_waiting_suppliers",  # decorrelated double-EXISTS
+    "latest_via_struct_max",   # agg-only latest-per-key
+    "replica_segment_diff",    # two-scan anti-entropy checksum
 ]
 
 
