@@ -828,3 +828,90 @@ def linear_interpolation_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("prev_val") + frac * (F.col("next_val") - F.col("prev_val")))
         .alias("interp_value"),
     )
+
+
+@query(
+    "max_concurrent_sessions",
+    oracle="""
+    WITH iv AS (
+      SELECT event_id, ts AS s,
+        ts + INTERVAL 1 HOUR AS e,
+        date_trunc('day', ts) + INTERVAL 1 DAY AS next_mid
+      FROM events
+    ),
+    pieces AS (
+      SELECT event_id, s, LEAST(e, next_mid) AS e FROM iv
+      UNION ALL
+      SELECT event_id, next_mid AS s, e FROM iv WHERE e > next_mid
+    ),
+    pts AS (
+      SELECT CAST(date_trunc('day', s) AS DATE) AS day, s AS t,
+             1 AS delta, event_id
+      FROM pieces WHERE s < e
+      UNION ALL
+      SELECT CAST(date_trunc('day', s) AS DATE) AS day, e AS t,
+             -1 AS delta, event_id
+      FROM pieces WHERE s < e AND e > s
+    ),
+    swept AS (
+      SELECT day,
+        SUM(delta) OVER (
+          PARTITION BY day ORDER BY t, delta, event_id
+          ROWS UNBOUNDED PRECEDING
+        ) AS live
+      FROM pts
+    )
+    SELECT day, CAST(MAX(live) AS BIGINT) AS max_concurrent
+    FROM swept GROUP BY day
+    """,
+    tags=("ext-temporal", "sweep-line"),
+)
+def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: peak number of simultaneously
+    live sessions (event ts + 1 hour) per day — the interval-analytics
+    family (overlap counting) that neither windows-over-rows nor joins
+    cover directly. Each interval becomes a +1 point at its start and a
+    -1 at its end; a running sum in time order IS the live count, and
+    its max the answer. Scale hinges on two things: (1) midnight
+    CLIPPING splits cross-day intervals so the sweep partitions by day
+    — bounded partitions, no global sort; (2) the -1-before-+1 tie rule
+    at equal timestamps ([s,e) semantics) plus an event_id tiebreaker
+    makes the ROWS-frame running sum deterministic (W6). A 10^9-row
+    day is still one partition, so for true firehoses the same trick
+    nests: clip to hours, sweep hours, then merge boundary counts."""
+    ev = read_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
+        (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("next_mid"),
+    )
+    p1 = iv.select("event_id", "s", F.least(F.col("e"), F.col("next_mid")).alias("e"))
+    p2 = iv.filter(F.col("e") > F.col("next_mid")).select(
+        "event_id", F.col("next_mid").alias("s"), "e"
+    )
+    pieces = p1.unionByName(p2).filter(F.col("s") < F.col("e"))
+    starts = pieces.select(
+        F.to_date(F.date_trunc("day", F.col("s"))).alias("day"),
+        F.col("s").alias("t"),
+        F.lit(1).alias("delta"),
+        "event_id",
+    )
+    ends = pieces.select(
+        F.to_date(F.date_trunc("day", F.col("s"))).alias("day"),
+        F.col("e").alias("t"),
+        F.lit(-1).alias("delta"),
+        "event_id",
+    )
+    pts = starts.unionByName(ends)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("day")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    swept = pts.select("day", F.sum("delta").over(w).alias("live"))
+    return swept.groupBy("day").agg(
+        F.max("live").cast("bigint").alias("max_concurrent")
+    )
