@@ -985,3 +985,131 @@ def correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__n").cast("bigint").alias("n"),
         corr.alias("corr_value_hour"),
     )
+
+
+_ALLOC_BUDGET = 10000
+
+
+@query(
+    "proportional_allocation",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    ),
+    tot AS (SELECT SUM(r) AS t, COUNT(*) AS groups FROM rev),
+    quota AS (
+      SELECT n_name, r,
+        CAST(FLOOR(r * {_ALLOC_BUDGET} / t) AS BIGINT) AS base,
+        (r * {_ALLOC_BUDGET} / t) - FLOOR(r * {_ALLOC_BUDGET} / t) AS frac
+      FROM rev, tot
+    ),
+    ranked AS (
+      SELECT n_name, base, frac,
+        ROW_NUMBER() OVER (ORDER BY frac DESC, n_name ASC) AS rk,
+        {_ALLOC_BUDGET} - SUM(base) OVER () AS shortfall
+      FROM quota
+    )
+    SELECT n_name,
+      CAST(base + CASE WHEN rk <= shortfall THEN 1 ELSE 0 END AS BIGINT)
+        AS allocated
+    FROM ranked
+    """,
+    tags=("extras-allocation", "largest-remainder"),
+)
+def proportional_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) allocation: split an integer budget
+    across groups proportionally to exact-decimal revenue so the parts
+    SUM EXACTLY to the budget — the finance-ETL op naive rounding gets
+    wrong (independent rounds can be off by several units). Quotas are
+    decimal-exact (decimal*int/decimal division at fixed scale —
+    identical in both engines); floor gives the base; the shortfall
+    goes to the largest fractional remainders with a name tiebreaker
+    (W6). The ranking window is over GROUPS (25 nations), not rows —
+    the single-partition window is fine because its input is one row
+    per group, the same post-aggregation smallness every 'rank the
+    groups' query relies on."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("r"))
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    quota = rev.crossJoin(F.broadcast(tot)).select(
+        "n_name",
+        F.floor(F.col("r") * _ALLOC_BUDGET / F.col("t")).cast("bigint").alias("base"),
+        (
+            (F.col("r") * _ALLOC_BUDGET / F.col("t"))
+            - F.floor(F.col("r") * _ALLOC_BUDGET / F.col("t"))
+        ).alias("frac"),
+    )
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("frac").desc(), F.col("n_name").asc())
+    w_all = Window.partitionBy()
+    ranked = quota.select(
+        "n_name",
+        "base",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("base").over(w_all)).alias("shortfall"),
+    )
+    return ranked.select(
+        "n_name",
+        (
+            F.col("base")
+            + F.when(F.col("rk") <= F.col("shortfall"), 1).otherwise(0)
+        ).cast("bigint").alias("allocated"),
+    )
+
+
+@query(
+    "cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+      CAST(SUM(new_users) OVER (
+        ORDER BY day ROWS UNBOUNDED PRECEDING
+      ) AS BIGINT) AS total_unique_users
+    FROM per_day
+    """,
+    tags=("extras-cumulative-distinct",),
+)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the rewrite that makes an
+    inherently quadratic ask linear: COUNT(DISTINCT) OVER a growing
+    frame re-deduplicates the entire prefix per day, but 'distinct
+    users ever seen by day d' ≡ 'users whose FIRST event is ≤ d', so
+    one MIN-per-user aggregate (map-side combinable) plus a running sum
+    over the tiny per-day series gives the same numbers with one real
+    shuffle. The final window runs over |days| rows — single-partition
+    by construction, like every post-aggregation ranking."""
+    ev = read_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("new_users")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_unique_users"),
+    )
