@@ -1113,3 +1113,57 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("bigint").alias("total_unique_users"),
     )
+
+
+@query(
+    "yoy_revenue_delta",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name,
+        CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name, CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT)
+    )
+    SELECT n_name, yr,
+      CAST(r AS DOUBLE) AS revenue,
+      CAST(r - LAG(r) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+        AS yoy_delta,
+      CAST(CAST(r - LAG(r) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+           / CAST(LAG(r) OVER (PARTITION BY n_name ORDER BY yr) AS DOUBLE)
+           AS DOUBLE) AS yoy_pct
+    FROM rev
+    """,
+    tags=("extras-yoy",),
+)
+def yoy_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per nation: aggregate once, then LAG over
+    the per-(group, year) series — the standard periodic-comparison
+    shape. The window input is |groups|x|years| rows (post-aggregation
+    small), partitioned by group; gaps in the year series make LAG read
+    the previous PRESENT year, which is the usual reporting intent.
+    Delta arithmetic is exact decimal; only the final pct division
+    happens in double (NULL for each group's first year — preserved,
+    not zero-filled)."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("yr"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("r"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("r").over(w)
+    return rev.select(
+        "n_name",
+        "yr",
+        dbl(F.col("r")).alias("revenue"),
+        dbl(F.col("r") - prev).alias("yoy_delta"),
+        (dbl(F.col("r") - prev) / dbl(prev)).alias("yoy_pct"),
+    )
