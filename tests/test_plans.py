@@ -424,3 +424,36 @@ def test_struct_max_latest_no_window(spark):
     assert "Window" not in plan, plan
     assert "partial_max" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_semdedup_cluster_blocked(spark):
+    """SemDedup's pair space must stay label-blocked equi-joins — a
+    cartesian across clusters is the failure mode the blocking exists
+    to prevent."""
+    from osmart_etl_spark.queries.corpus_ops import semdedup_keep_list
+
+    plan = _formatted_plan(semdedup_keep_list(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" in plan
+
+
+def test_entity_fuzzy_match_blocked(spark):
+    """Entity resolution must join on the blocking key (never
+    all-pairs) and keep trigram sets as a projection — no exchange
+    below the block join other than the scan."""
+    from osmart_etl_spark.queries.corpus_ops import entity_fuzzy_match
+
+    plan = _formatted_plan(entity_fuzzy_match(spark, SF_SMALL))
+    assert "CartesianProduct" not in plan, plan
+    assert "block" in plan
+
+
+def test_cumulative_distinct_single_real_shuffle(spark):
+    """The linear rewrite's whole point: one user-keyed exchange; the
+    final running sum must ride over the tiny per-day series (a
+    single-partition window is expected and fine there)."""
+    from osmart_etl_spark.queries.aggregates import cumulative_distinct_users
+
+    plan = _formatted_plan(cumulative_distinct_users(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+    assert "Window" in plan
