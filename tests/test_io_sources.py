@@ -250,3 +250,32 @@ def test_scd2_apply_initial_merge_and_idempotency(spark):
     a = sorted(map(tuple, dim2.collect()))
     b = sorted(map(tuple, dim3.collect()))
     assert a == b
+
+
+def test_observe_dq_single_pass(spark, tmp_path):
+    """Observation metrics must match an explicit recount, ride the one
+    real action (write), and impose no extra job: the observed write is
+    the only action taken."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.observe import observe_dq
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events")
+    observed, obs = observe_dq(
+        ev,
+        "dq_events",
+        null_cols=("props", "event_type"),
+        bounds={"value": (-100.0, 100.0)},
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "observed_out"))
+    got = obs.get
+
+    want_rows = ev.count()
+    want_null_props = ev.filter(F.col("props").isNull()).count()
+    want_oob = ev.filter((F.col("value") < -100.0) | (F.col("value") > 100.0)).count()
+    assert got["n_rows"] == want_rows
+    assert got["null_props"] == want_null_props
+    assert got["null_event_type"] == 0
+    assert got["oob_value"] == want_oob
