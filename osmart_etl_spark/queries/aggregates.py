@@ -1167,3 +1167,48 @@ def yoy_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         dbl(F.col("r") - prev).alias("yoy_delta"),
         (dbl(F.col("r") - prev) / dbl(prev)).alias("yoy_pct"),
     )
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+        ROW_NUMBER() OVER (
+          PARTITION BY user_id ORDER BY n DESC, event_type ASC
+        ) AS rk
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS mode_count
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("extras-mode",),
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode (most frequent event type per user) with a
+    deterministic tie rule (highest count, then lexicographically
+    smallest type — built-in mode() has no tie contract, so it can't be
+    oracle-checked). Implementation composes the struct-max trick on
+    top of the count aggregate: max(struct(n, reversed-type-rank)) —
+    here expressed as max_by with an explicit ordering struct via two
+    map-side-combinable aggregates and NO window (the oracle uses the
+    window idiom; same result, the aggregate form is the scale shape).
+    The negative-count trick doesn't work for strings, so the ordering
+    struct negates the COUNT and keeps the type ascending via min."""
+    ev = read_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # min(struct(-n, type)) == (highest n, then smallest type)
+    top = counts.groupBy("user_id").agg(
+        F.min(F.struct((-F.col("n")).alias("neg_n"), F.col("event_type"))).alias("__t")
+    )
+    return top.select(
+        "user_id",
+        F.col("__t.event_type").alias("mode_type"),
+        (-F.col("__t.neg_n")).cast("bigint").alias("mode_count"),
+    )
