@@ -594,3 +594,58 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return tri.crossJoin(F.broadcast(n_edges))
+
+
+_LEV_MAX = 4
+
+
+@query(
+    "entity_levenshtein_verify",
+    oracle=f"""
+    WITH names AS (
+      SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS block
+      FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
+      AND abs(length(a.p_name) - length(b.p_name)) <= {_LEV_MAX}
+    """,
+    tags=("ext-entity-resolution", "edit-distance"),
+)
+def entity_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification for blocked name pairs — the second
+    stage of a two-tier entity-resolution cascade (trigram Jaccard
+    recalls candidates cheaply; Levenshtein confirms with the stricter
+    character-level metric; both engines implement the same DP, so the
+    integer distances hash-match). The length-difference prefilter is
+    the standard sound bound (|len(a)-len(b)| ≤ d is necessary for
+    dist ≤ d) and is sargable where the O(n·m) DP is not — at scale it
+    prunes before the expensive comparator, same pattern as the
+    size-ratio guard in entity_fuzzy_match. Distinct-name pairing
+    keeps the pair space ~500 names, not 20k rows."""
+    names = (
+        read_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .select(
+            "p_name", F.element_at(F.split(F.col("p_name"), " "), -1).alias("block")
+        )
+    )
+    a = names.select(F.col("p_name").alias("name_a"), "block")
+    b = names.select(F.col("p_name").alias("name_b"), "block")
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= _LEV_MAX)
+    )
