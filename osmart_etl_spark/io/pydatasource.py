@@ -69,12 +69,24 @@ class SyntheticEventsReader(DataSourceReader):
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         """Accept event_type equality and user_id >= bounds; yield back
-        everything else (Spark re-applies what we don't handle)."""
+        everything else (Spark re-applies what we don't handle).
+
+        A CONSUMED filter is a promise to apply it, so duplicates must
+        combine, not overwrite: multiple >= bounds fold to the MAX
+        (applying the max applies them all); a second, DIFFERENT
+        equality is yielded back so Spark enforces the contradiction
+        (correctly yielding zero rows). The overwrite form of this
+        method returned wrong results for `.filter(a).filter(b)`
+        chains — caught by code review, pinned in tests."""
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.eq_type = f.value
+                if self.eq_type is None or self.eq_type == f.value:
+                    self.eq_type = f.value
+                else:
+                    yield f
             elif isinstance(f, GreaterThanOrEqual) and f.attribute == ("user_id",):
-                self.min_user = int(f.value)
+                v = int(f.value)
+                self.min_user = v if self.min_user is None else max(self.min_user, v)
             else:
                 yield f
 
@@ -118,7 +130,7 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
     def writer(self, schema: StructType, overwrite: bool) -> "JsonLinesWriter":
-        return JsonLinesWriter(self.options)
+        return JsonLinesWriter(self.options, overwrite=overwrite)
 
 
 class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
@@ -162,8 +174,17 @@ class JsonLinesWriter(DataSourceWriter):
     duplicates are resolved at commit time: only files named in commit
     messages are published."""
 
-    def __init__(self, options) -> None:
+    def __init__(self, options, overwrite: bool = False) -> None:
+        import uuid
+
         self.path = options.get("path")
+        self.overwrite = overwrite
+        # Generated ONCE on the driver and carried into every pickled
+        # task copy: all of this job's staging shares the token, so
+        # driver-side abort can remove even the staging of a task that
+        # FAILED mid-write — whose path never reached the driver in any
+        # commit message (the review's leftover-debris scenario).
+        self.job_token = uuid.uuid4().hex[:12]
         if not self.path:
             raise ValueError("json_lines sink requires a 'path' option")
 
@@ -173,7 +194,7 @@ class JsonLinesWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        name = f"_staged-{uuid.uuid4().hex}.jsonl"
+        name = f"_staged-{self.job_token}-{uuid.uuid4().hex}.jsonl"
         full = os.path.join(self.path, name)
         n = 0
         with open(full, "w") as f:
@@ -186,19 +207,55 @@ class JsonLinesWriter(DataSourceWriter):
         import json
         import os
 
+        # Part names carry the job token: a second append to the same
+        # path must never collide with (and clobber) an earlier job's
+        # part files — deterministic part-00000 naming did exactly
+        # that (code-review finding, pinned in tests).
+        manifest_path = os.path.join(self.path, "_SUCCESS")
         published = []
         for i, m in enumerate(messages):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            if m is None:  # failed/unfinished task slot — nothing staged
+                continue
+            final = os.path.join(self.path, f"part-{self.job_token}-{i:05d}.jsonl")
             os.replace(m.staged_path, final)
             published.append({"file": os.path.basename(final), "n_rows": m.n_rows})
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
-            json.dump({"files": published}, f)
+        # duplicate staged files from speculative/retried tasks whose
+        # message lost the race: retire this job's leftover staging
+        self._remove_job_staging()
+        if self.overwrite:
+            # retire every previously published part not in this job
+            keep = {p["file"] for p in published}
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name not in keep:
+                    os.remove(os.path.join(self.path, name))
+            manifest = published
+        else:
+            # append: the manifest accumulates so a _SUCCESS-honoring
+            # reader sees every committed job, not just the last one
+            prior = []
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    prior = json.load(f).get("files", [])
+            manifest = prior + published
+        with open(manifest_path, "w") as f:
+            json.dump({"files": manifest}, f)
 
-    def abort(self, messages) -> None:
+    def _remove_job_staging(self) -> None:
         import os
 
-        for m in messages:
-            try:
-                os.remove(m.staged_path)
-            except FileNotFoundError:
-                pass
+        prefix = f"_staged-{self.job_token}-"
+        if not os.path.isdir(self.path):
+            return
+        for name in os.listdir(self.path):
+            if name.startswith(prefix):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except FileNotFoundError:
+                    pass
+
+    def abort(self, messages) -> None:
+        # messages contains None for unfinished tasks, and a task that
+        # FAILED mid-write never reported its staged path at all — so
+        # cleanup must sweep by the job token (known to the driver),
+        # not by the message list.
+        self._remove_job_staging()

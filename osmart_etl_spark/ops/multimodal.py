@@ -436,9 +436,12 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake for non-WAV compressed audio: a real
-    implementation calls soundfile/librosa here."""
+    implementation calls soundfile/librosa here. 8-dim to match the
+    real WAV featurizer (2*_AUDIO_N_FRAMES) — a media_type's feature
+    dimensionality must not depend on which codec decoded the row, or
+    fixed-dim consumers break on mixed-format corpora."""
     arr = np.frombuffer(payload[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)
-    return arr.reshape(4, 8).std(axis=1) / 255.0
+    return arr.reshape(2 * _AUDIO_N_FRAMES, 4).std(axis=1) / 255.0
 
 
 def _decode_video(payload: bytes) -> np.ndarray:

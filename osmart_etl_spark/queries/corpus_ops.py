@@ -17,32 +17,12 @@ from pyspark.sql import functions as F
 from osmart_etl_spark.io.sources import read_table
 from osmart_etl_spark.queries.base import query
 from osmart_etl_spark.queries.similarity import _DOT, _NORM
-from osmart_etl_spark.queries.text import _SHINGLES_SQL
+from osmart_etl_spark.queries.text import _BANDS_SQL
 
-# Same MinHash pipeline as dedup_minhash_lsh (16 hashes, 4 bands x 4
-# rows, md5-seeded universal hashing) — the incremental query must see
-# the SAME buckets the full-corpus dedup sees, or re-processing a batch
-# would produce different candidates than the nightly full run.
-_BANDS_SQL = f"""
-    shingles AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
-    ),
-    sigs AS (
-      SELECT doc_id, k,
-        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
-      FROM hashed
-      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
-      GROUP BY doc_id, k
-    ),
-    bands AS (
-      SELECT doc_id, CAST(k // 4 AS INT) AS band,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
-      FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
-    )
-"""
-
-
+# ONE bands-SQL definition for the whole LSH family — imported from
+# text.py so the incremental query sees the SAME buckets as the
+# full-corpus dedup (and there is exactly one copy of the seed formula
+# to keep in lockstep with ops/dedup._minhash_seed).
 @query(
     "dedup_incremental_lsh",
     oracle=f"""
@@ -427,14 +407,15 @@ _FUZZY_THR = 0.4
     "entity_fuzzy_match",
     oracle=f"""
     WITH names AS (
-      SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS block
+      SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS block,
+             regexp_replace(lower(trim(p_name)), ' +', ' ', 'g') AS norm
       FROM part
     ),
     grams AS (
-      SELECT DISTINCT p_name, substr(p_name, i, 3) AS g
+      SELECT DISTINCT p_name, substr(norm, i, 3) AS g
       FROM names
       CROSS JOIN LATERAL (
-        SELECT UNNEST(generate_series(1, greatest(length(p_name) - 2, 1))) AS i
+        SELECT UNNEST(generate_series(1, greatest(length(norm) - 2, 1))) AS i
       ) s
     ),
     sizes AS (SELECT p_name, COUNT(*) AS n FROM grams GROUP BY p_name),
@@ -603,15 +584,16 @@ _LEV_MAX = 4
     "entity_levenshtein_verify",
     oracle=f"""
     WITH names AS (
-      SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS block
+      SELECT DISTINCT p_name, split_part(p_name, ' ', -1) AS block,
+             regexp_replace(lower(trim(p_name)), ' +', ' ', 'g') AS norm
       FROM part
     )
     SELECT a.p_name AS name_a, b.p_name AS name_b,
-      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+      CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist
     FROM names a JOIN names b
       ON a.block = b.block AND a.p_name < b.p_name
-    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX}
-      AND abs(length(a.p_name) - length(b.p_name)) <= {_LEV_MAX}
+    WHERE levenshtein(a.norm, b.norm) <= {_LEV_MAX}
+      AND abs(length(a.norm) - length(b.norm)) <= {_LEV_MAX}
     """,
     tags=("ext-entity-resolution", "edit-distance"),
 )
@@ -625,27 +607,38 @@ def entity_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist ≤ d) and is sargable where the O(n·m) DP is not — at scale it
     prunes before the expensive comparator, same pattern as the
     size-ratio guard in entity_fuzzy_match. Distinct-name pairing
-    keeps the pair space ~500 names, not 20k rows."""
+    keeps the pair space ~500 names, not 20k rows. Distances compare
+    the NORMALIZED names (same lower/trim/collapse as the trigram
+    stage — the cascade's two stages must agree on what a 'name'
+    is)."""
+    from osmart_etl_spark.ops.text import normalized_text
+
     names = (
         read_table(spark, sf_dir, "part")
         .select("p_name")
         .distinct()
         .select(
-            "p_name", F.element_at(F.split(F.col("p_name"), " "), -1).alias("block")
+            "p_name",
+            F.element_at(F.split(F.col("p_name"), " "), -1).alias("block"),
+            normalized_text(F.col("p_name")).alias("norm"),
         )
     )
-    a = names.select(F.col("p_name").alias("name_a"), "block")
-    b = names.select(F.col("p_name").alias("name_b"), "block")
+    a = names.select(
+        F.col("p_name").alias("name_a"), "block", F.col("norm").alias("norm_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "block", F.col("norm").alias("norm_b")
+    )
     return (
         a.join(b, "block")
         .filter(F.col("name_a") < F.col("name_b"))
         .filter(
-            F.abs(F.length("name_a") - F.length("name_b")) <= _LEV_MAX
+            F.abs(F.length("norm_a") - F.length("norm_b")) <= _LEV_MAX
         )
         .select(
             "name_a",
             "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("edit_dist"),
+            F.levenshtein("norm_a", "norm_b").cast("bigint").alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
     )

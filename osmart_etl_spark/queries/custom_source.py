@@ -53,7 +53,14 @@ def custom_source_ledger_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the raw doubles."""
     from osmart_etl_spark.io.pydatasource import SyntheticEventsDataSource
 
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    # Required at EXECUTION time whenever a Python source implements
+    # pushFilters (reader init fails otherwise), so it cannot be
+    # restored after this function returns — the lazy DataFrame would
+    # break. Deliberate, session-visible side effect; get_spark sets
+    # the same default. Only touch the conf if it is not already on.
+    key = "spark.sql.python.filterPushdown.enabled"
+    if spark.conf.get(key, "false").lower() != "true":
+        spark.conf.set(key, "true")
     spark.dataSource.register(SyntheticEventsDataSource)
     feed = (
         spark.read.format("synthetic_events")

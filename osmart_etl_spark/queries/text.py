@@ -217,10 +217,15 @@ _SHINGLES_SQL = """
 """
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
+
+# Shared oracle CTE chain for the MinHash/LSH family: shingles → seeded
+# minhash signatures → 4-row band keys. ONE definition — the seed
+# formula must stay in lockstep with ops/dedup._minhash_seed /
+# minhash_band_keys, and three drifting copies of it (here, the ngram
+# oracle, corpus_ops) is how an oracle silently validates different
+# buckets than the engine produces.
+_BANDS_SQL = f"""
+    shingles AS ({_SHINGLES_SQL}),
     hashed AS (
       SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
     ),
@@ -236,6 +241,12 @@ _SHINGLES_SQL = """
              string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
       FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
     )
+"""
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_BANDS_SQL}
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
     FROM bands a JOIN bands b
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -262,22 +273,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NGRAM_JACCARD_SQL = f"""
-    WITH shingles AS ({_SHINGLES_SQL}),
-    hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h FROM shingles
-    ),
-    sigs AS (
-      SELECT doc_id, k,
-        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
-      FROM hashed
-      CROSS JOIN (SELECT UNNEST(generate_series(0, 15)) AS k) seeds
-      GROUP BY doc_id, k
-    ),
-    bands AS (
-      SELECT doc_id, CAST(k // 4 AS INT) AS band,
-             string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY k) AS band_key
-      FROM sigs GROUP BY doc_id, CAST(k // 4 AS INT)
-    ),
+    WITH {_BANDS_SQL},
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b

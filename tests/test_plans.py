@@ -358,6 +358,7 @@ def test_aqe_runtime_broadcast_conversion(spark):
 
     from osmart_etl_spark.io.sources import read_table
 
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled", None)
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -380,6 +381,10 @@ def test_aqe_runtime_broadcast_conversion(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
         spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if old_aqe is None:
+            spark.conf.unset("spark.sql.adaptive.enabled")
+        else:
+            spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
 
 
 def test_lsh_hot_bucket_cap(spark):

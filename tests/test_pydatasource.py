@@ -4,7 +4,22 @@ executor-side generation (io/pydatasource.py)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
+
+
+@pytest.fixture(autouse=True)
+def _restore_pushdown_conf(spark):
+    """_register flips a session conf on the shared fixture; restore it
+    after every test so later tests see the vanilla session."""
+    key = "spark.sql.python.filterPushdown.enabled"
+    prior = spark.conf.get(key, None)
+    yield
+    if prior is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prior)
 
 
 def _register(spark):
@@ -204,3 +219,79 @@ def test_writer_abort_leaves_no_debris(spark, tmp_path):
         names = os.listdir(out)
         assert "_SUCCESS" not in names
         assert not any(n.startswith("part-") for n in names), names
+
+
+def test_chained_filters_combine_not_overwrite(spark):
+    """Two >= bounds on the same column must BOTH hold (the consumed
+    set folds to the max); a second, different equality must yield
+    back to Spark and produce zero rows — the overwrite bug returned
+    916 rows for the chained-bounds case."""
+    _register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 1000)
+        .load()
+    )
+    both = df.filter(F.col("user_id") >= 900).filter(F.col("user_id") >= 100)
+    rows = both.collect()
+    assert rows and all(r["user_id"] >= 900 for r in rows)
+    want = df.filter(F.col("user_id") >= 900).count()
+    assert len(rows) == want
+
+    contradiction = df.filter(F.col("event_type") == "click").filter(
+        F.col("event_type") == "purchase"
+    )
+    assert contradiction.count() == 0
+
+
+def test_writer_append_does_not_clobber(spark, tmp_path):
+    """Two append saves to one path must yield the union of both jobs:
+    per-job part naming and a cumulative manifest (the deterministic
+    part-00000 naming silently overwrote the first job)."""
+    import json
+    import os
+
+    _register(spark)
+    out = str(tmp_path / "jsonl_append2")
+    feed = spark.read.format("synthetic_events").option("n_rows", 120).load()
+    feed.write.format("synthetic_events").option("path", out).mode("append").save()
+    feed.write.format("synthetic_events").option("path", out).mode("append").save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 240
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == 240
+
+    # overwrite retires the older jobs' files
+    feed.write.format("synthetic_events").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert sum(f["n_rows"] for f in manifest["files"]) == 120
+    assert spark.read.json(os.path.join(out, "part-*.jsonl")).count() == 120
+
+
+def test_writer_abort_removes_staging_debris(spark, tmp_path):
+    """After a failed job, no _staged files may remain (abort receives
+    None slots for unfinished tasks and must skip them, not crash)."""
+    import os
+
+    import pytest as _pytest
+
+    _register(spark)
+    out = str(tmp_path / "jsonl_debris")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 60)
+        .option("partitions", 3)
+        .load()
+        .select(
+            "event_id",
+            (F.col("value") / F.when(F.col("event_id") == 55, 0).otherwise(1)).alias(
+                "boom"
+            ),
+        )
+    )
+    with _pytest.raises(Exception):
+        df.write.format("synthetic_events").option("path", out).mode("append").save()
+    if os.path.isdir(out):
+        assert not any(n.startswith("_staged-") for n in os.listdir(out)), os.listdir(out)
