@@ -273,3 +273,51 @@ def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
     assert wm is not None and wm <= "2024-01-15"
     max_pt = spark.read.parquet(pts_cut).agg(F.max("point_date").alias("m")).first()["m"]
     assert max_pt <= cutoff  # spine extends to max movement day + 1 == cutoff at most
+
+
+def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
+    """Three batches folded via merge_accumulate must equal the one-shot
+    aggregate over all events; a redelivered batch must be a ledger
+    no-op (additive merges are NOT naturally idempotent — the ledger is
+    the exactly-once contract)."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sinks import merge_accumulate
+    from osmart_etl_spark.io.sources import read_table
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("value"),
+        (F.dayofmonth("ts") % 3).alias("__b"),
+    )
+    path = str(tmp_path / "agg_tbl")
+    ledger = str(tmp_path / "agg_ledger")
+    for b in range(3):
+        applied = merge_accumulate(
+            spark,
+            ev.filter(F.col("__b") == b).drop("__b"),
+            path,
+            keys=["user_id"],
+            sum_cols=["value"],
+            batch_id=f"batch-{b}",
+            ledger_path=ledger,
+        )
+        assert applied
+
+    # redelivery: same batch_id → skipped, table unchanged
+    before = {(r["user_id"], str(r["value"])) for r in spark.read.parquet(path).collect()}
+    assert not merge_accumulate(
+        spark,
+        ev.filter(F.col("__b") == 1).drop("__b"),
+        path,
+        keys=["user_id"],
+        sum_cols=["value"],
+        batch_id="batch-1",
+        ledger_path=ledger,
+    )
+    after = {(r["user_id"], str(r["value"])) for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+    full = ev.drop("__b").groupBy("user_id").agg(F.sum("value").alias("value"))
+    want = {(r["user_id"], str(r["value"])) for r in full.collect()}
+    assert after == want
