@@ -1212,3 +1212,85 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__t.event_type").alias("mode_type"),
         (-F.col("__t.neg_n")).cast("bigint").alias("mode_count"),
     )
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+        CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        SUM(CAST(value AS DECIMAL(18,2))) AS net
+      FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT)
+    ),
+    slopes AS (
+      SELECT a.event_type,
+        (CAST(b.net AS DOUBLE) - CAST(a.net AS DOUBLE))
+          / CAST(b.d - a.d AS DOUBLE) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND b.d > a.d
+    ),
+    ranked AS (
+      SELECT event_type, slope,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, slope) AS rk,
+        COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM slopes
+    )
+    SELECT event_type,
+      CAST(n AS BIGINT) AS n_slopes,
+      slope AS trend_per_day
+    FROM ranked WHERE rk = (n + 1) // 2
+    """,
+    tags=("extras-robust-stats", "theil-sen"),
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per event type: the MEDIAN of all
+    pairwise slopes of the daily-net series — immune to ~29% outlier
+    contamination where OLS is wrecked by one bad day. The pair space
+    is per-GROUP over the daily aggregate (~30 points → ~435 slopes),
+    so the quadratic step runs on post-aggregation data, never on raw
+    events — the same aggregate-then-expensive-op layering as
+    yoy_revenue_delta. Lower median by rank (no averaging of the two
+    middle elements — keeps the value an actual observed slope and the
+    selection purely ordinal); slope division is double over exact
+    decimal nets with identical operand order both engines."""
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+    ).agg(F.sum(dec(F.col("value"))).alias("net"))
+    a = daily.select(
+        "event_type", F.col("d").alias("d1"), F.col("net").alias("n1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"), F.col("d").alias("d2"), F.col("net").alias("n2")
+    )
+    slopes = (
+        a.join(b, (F.col("event_type") == F.col("et2")) & (F.col("d2") > F.col("d1")))
+        .select(
+            "event_type",
+            (
+                (dbl(F.col("n2")) - dbl(F.col("n1")))
+                / (F.col("d2") - F.col("d1")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("slope")
+    wc = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_slopes"),
+        F.col("slope").alias("trend_per_day"),
+    )
