@@ -915,3 +915,103 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy("day").agg(
         F.max("live").cast("bigint").alias("max_concurrent")
     )
+
+
+@query(
+    "fifo_match_returns",
+    oracle="""
+    WITH inflow AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_partkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS hi,
+        CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        l_orderkey AS in_order, l_linenumber AS in_line
+      FROM lineitem WHERE l_returnflag != 'R'
+    ),
+    outflow AS (
+      SELECT l_partkey,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_partkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber
+          ROWS UNBOUNDED PRECEDING) AS DECIMAL(18,2)) AS hi,
+        CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        l_orderkey AS out_order, l_linenumber AS out_line
+      FROM lineitem WHERE l_returnflag = 'R'
+    ),
+    matched AS (
+      SELECT i.l_partkey,
+        LEAST(i.hi, o.hi) - GREATEST(i.hi - i.qty, o.hi - o.qty) AS m_qty
+      FROM inflow i JOIN outflow o
+        ON o.l_partkey = i.l_partkey
+       AND (i.hi - i.qty) < o.hi
+       AND (o.hi - o.qty) < i.hi
+    )
+    SELECT l_partkey,
+      CAST(COUNT(*) AS BIGINT) AS n_matches,
+      CAST(SUM(m_qty) AS DOUBLE) AS matched_qty
+    FROM matched GROUP BY l_partkey
+    """,
+    tags=("ext-temporal", "fifo"),
+)
+def fifo_match_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO lot matching (inventory-costing semantics): each return of
+    a part consumes the part's EARLIEST unconsumed shipments, oldest
+    first. The classic imperative queue becomes pure relational
+    algebra via the cumulative-interval trick: every inflow owns the
+    quantity interval [cum-qty, cum) on the part's inflow axis, every
+    outflow likewise on the outflow axis, and FIFO matching IS
+    interval intersection — a self-interval-join per part where the
+    matched quantity is the overlap length. No iteration, no UDF, no
+    per-row state: two window cumsums (one exchange each, same
+    partitioning) + one per-part range join. Quantities are exact
+    decimals end-to-end; W6 tiebreakers (orderkey, linenumber) pin the
+    FIFO order. At 10^9 lots per part the range join wants the
+    banded-interval optimization of interval_range_join; per-part lot
+    counts here are small enough for the plain form."""
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def cum(df):
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        q = F.col("l_quantity").cast("decimal(18,2)")
+        return df.select(
+            "l_partkey",
+            F.sum(q).over(w).cast("decimal(18,2)").alias("hi"),
+            q.alias("qty"),
+        )
+
+    inflow = cum(li.filter(F.col("l_returnflag") != "R")).select(
+        F.col("l_partkey").alias("pk_i"),
+        F.col("hi").alias("i_hi"),
+        F.col("qty").alias("i_qty"),
+    )
+    outflow = cum(li.filter(F.col("l_returnflag") == "R")).select(
+        F.col("l_partkey").alias("pk_o"),
+        F.col("hi").alias("o_hi"),
+        F.col("qty").alias("o_qty"),
+    )
+    matched = inflow.join(
+        outflow,
+        (F.col("pk_i") == F.col("pk_o"))
+        & ((F.col("i_hi") - F.col("i_qty")) < F.col("o_hi"))
+        & ((F.col("o_hi") - F.col("o_qty")) < F.col("i_hi")),
+    ).select(
+        F.col("pk_i").alias("l_partkey"),
+        (
+            F.least(F.col("i_hi"), F.col("o_hi"))
+            - F.greatest(
+                F.col("i_hi") - F.col("i_qty"), F.col("o_hi") - F.col("o_qty")
+            )
+        ).alias("m_qty"),
+    )
+    return matched.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        dbl(F.sum(F.col("m_qty"))).alias("matched_qty"),
+    )
