@@ -350,6 +350,14 @@ def merge_accumulate(
     cron-style incremental run (cf. the reference's watermark +
     re-filter pattern, update_raw_stock_movements.py:69).
 
+    SINGLE-WRITER contract: two concurrent invocations both read the
+    pre-merge table and the later overwrite silently drops the earlier
+    batch's contribution (lost update) while its ledger entry survives
+    — an unrecoverable loss, unlike keep-latest upserts where replay
+    self-heals. Serialize runs (the orchestrator's job ordering, a
+    scheduler lock, or a transactional table format); this sink does
+    not lock.
+
     Scale shape: the batch is reduced to per-key partials FIRST
     (map-side combine — the shuffle carries one row per key in the
     batch, not batch rows), then a full-outer merge against the
@@ -363,12 +371,33 @@ def merge_accumulate(
     from osmart_etl_spark.io.sources import path_exists
 
     if path_exists(spark, ledger_path):
-        applied = {r["batch_id"] for r in spark.read.parquet(ledger_path).collect()}
-        if batch_id in applied:
+        # membership test pushed to the scan — never collect the whole
+        # ledger to the driver (it grows one row per batch forever)
+        dup = (
+            spark.read.parquet(ledger_path)
+            .filter(F.col("batch_id") == batch_id)
+            .limit(1)
+            .count()
+        )
+        if dup:
             return False
 
+    # Convention: accumulated sums are 0-based, not NULL-based (an
+    # all-NULL key stores 0) — applied IDENTICALLY on the first write
+    # and on every merge, so a key's representation cannot depend on
+    # which batch it arrived in. This deliberately diverges from SQL
+    # SUM's all-NULL→NULL semantics; matching that incrementally would
+    # need a has-nonnull flag per column for no operational benefit.
     partial = updates.groupBy(*keys).agg(
-        *[F.sum(F.col(c)).alias(c) for c in sum_cols]
+        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).alias(c) for c in sum_cols]
+    )
+    # Pin each accumulator's type ONCE (the partial-agg result type):
+    # without the cast-back, decimal sums widen by one digit per merge
+    # (28,2 → 29,2 → … → 38,2), changing the stored schema every batch
+    # until the cap and then leaning on allowPrecisionLoss.
+    acc_types = {c: partial.schema[c].dataType.simpleString() for c in sum_cols}
+    partial = partial.select(
+        *keys, *[F.col(c).cast(acc_types[c]).alias(c) for c in sum_cols]
     )
     if path_exists(spark, path):
         cur = spark.read.parquet(path)
@@ -386,7 +415,7 @@ def merge_accumulate(
                 (
                     F.coalesce(cur[c], F.lit(0))
                     + F.coalesce(F.col(f"__u_{c}"), F.lit(0))
-                ).alias(c)
+                ).cast(acc_types[c]).alias(c)
                 for c in sum_cols
             ],
         )

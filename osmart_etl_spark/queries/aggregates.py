@@ -1232,7 +1232,7 @@ def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ranked AS (
       SELECT event_type, slope,
-        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope, slope) AS rk,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rk,
         COUNT(*) OVER (PARTITION BY event_type) AS n
       FROM slopes
     )

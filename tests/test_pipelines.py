@@ -292,6 +292,7 @@ def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
     )
     path = str(tmp_path / "agg_tbl")
     ledger = str(tmp_path / "agg_ledger")
+    schemas = []
     for b in range(3):
         applied = merge_accumulate(
             spark,
@@ -303,6 +304,11 @@ def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
             ledger_path=ledger,
         )
         assert applied
+        schemas.append(spark.read.parquet(path).schema.simpleString())
+    # the accumulator type is pinned: decimal sums must NOT widen by a
+    # digit per merge (28,2 -> 29,2 -> ...), which would change the
+    # stored schema on every batch until the 38-digit cap
+    assert len(set(schemas)) == 1, schemas
 
     # redelivery: same batch_id → skipped, table unchanged
     before = {(r["user_id"], str(r["value"])) for r in spark.read.parquet(path).collect()}
