@@ -1015,3 +1015,62 @@ def fifo_match_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         dbl(F.sum(F.col("m_qty"))).alias("matched_qty"),
     )
+
+
+@query(
+    "pattern_v_shape",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+        LAG(value, 2) OVER w AS v_m2,
+        LAG(value, 1) OVER w AS v_m1,
+        LEAD(value, 1) OVER w AS v_p1,
+        LEAD(value, 2) OVER w AS v_p2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id AS trough_event, ts AS trough_ts,
+           value AS trough_value
+    FROM seq
+    WHERE v_m2 > v_m1 AND v_m1 > value
+      AND value < v_p1 AND v_p1 < v_p2
+    """,
+    tags=("ext-temporal", "row-pattern"),
+)
+def pattern_v_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-pattern detection (the MATCH_RECOGNIZE workload, which
+    Spark lacks as syntax): find V-shaped troughs in each user's value
+    sequence — two strictly-falling steps into a local minimum, two
+    strictly-rising steps out. The pattern window compiles to LAG/LEAD
+    offsets over ONE (user, time) sort — every fixed-length row
+    pattern reduces to offset comparisons like this, one exchange +
+    one in-partition sort total, versus the self-join-per-step naive
+    encoding (k-1 joins for a k-step pattern). Variable-length
+    patterns (A B+ C) need the islands trick (change_point_encode) or
+    applyInPandasWithState instead. Strict inequalities + the
+    event_id tiebreak (W6) make matches deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("value", 2).over(w).alias("v_m2"),
+        F.lag("value", 1).over(w).alias("v_m1"),
+        F.lead("value", 1).over(w).alias("v_p1"),
+        F.lead("value", 2).over(w).alias("v_p2"),
+    )
+    return seq.filter(
+        (F.col("v_m2") > F.col("v_m1"))
+        & (F.col("v_m1") > F.col("value"))
+        & (F.col("value") < F.col("v_p1"))
+        & (F.col("v_p1") < F.col("v_p2"))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("trough_event"),
+        F.col("ts").alias("trough_ts"),
+        F.col("value").alias("trough_value"),
+    )

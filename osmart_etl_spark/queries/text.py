@@ -1047,3 +1047,67 @@ def weighted_sample_pps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < prob)
         .select("doc_id", "n_tokens", prob.alias("incl_prob"))
     )
+
+
+@query(
+    "build_posting_lists",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS f
+      FROM toks GROUP BY term, doc_id
+    )
+    SELECT term,
+      CAST(COUNT(*) AS BIGINT) AS df,
+      CAST(SUM(f) AS BIGINT) AS cf,
+      string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(f AS VARCHAR),
+                 ',' ORDER BY doc_id) AS postings
+    FROM tf
+    WHERE term != ''
+    GROUP BY term
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("ext-text", "inverted-index"),
+)
+def build_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction — the search-engine build step the
+    BM25 query consumes implicitly, materialized: per term, document
+    frequency, collection frequency, and the doc_id-ordered posting
+    list ('doc:tf' entries). Shape: explode → (term, doc) partial
+    counts (map-side combinable) → per-term assembly; the posting
+    string is built from a sort_array over collected structs, so the
+    order is deterministic WITHOUT a sort exchange — ordering happens
+    inside each term's aggregation buffer, the same reason BM25's
+    per-term stats need no global sort. At web scale the only change
+    is segmenting postings by doc-id range (the index-shard pattern)
+    so no single term's list must fit one buffer; the df >= 3 floor
+    drops the hapax tail (most of the vocabulary, tiny share of
+    postings)."""
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("f").cast("bigint").alias("cf"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "f"))),
+                    lambda s: F.concat_ws(
+                        ":", s["doc_id"].cast("string"), s["f"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .filter(F.col("df") >= 3)
+    )
