@@ -1294,3 +1294,61 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_slopes"),
         F.col("slope").alias("trend_per_day"),
     )
+
+
+@query(
+    "revenue_share_two_level",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r_nat
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+      CAST(r_nat AS DOUBLE) AS revenue,
+      CAST(CAST(r_nat AS DOUBLE)
+           / CAST(SUM(r_nat) OVER (PARTITION BY region) AS DOUBLE)
+           AS DOUBLE) AS share_of_region,
+      CAST(CAST(r_nat AS DOUBLE)
+           / CAST(SUM(r_nat) OVER () AS DOUBLE) AS DOUBLE) AS share_of_total
+    FROM rev
+    """,
+    tags=("extras-ratio-to-report",),
+)
+def revenue_share_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total at two hierarchy levels (ratio_to_report):
+    each nation's share of its region and of the whole book, from ONE
+    grouped aggregate — the window totals run over the ~25-row
+    post-aggregation frame, so the 'global window' is a non-issue (the
+    denominators are exact decimal sums of an already-tiny series,
+    and both divisions happen once in double). The raw-fact version of
+    this query is the classic accidental-global-window trap; aggregate
+    FIRST, ratio SECOND is the rule."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(dec(F.col("o_totalprice"))).alias("r_nat"))
+    )
+    from pyspark.sql import Window
+
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        dbl(F.col("r_nat")).alias("revenue"),
+        (dbl(F.col("r_nat")) / dbl(F.sum("r_nat").over(w_region))).alias(
+            "share_of_region"
+        ),
+        (dbl(F.col("r_nat")) / dbl(F.sum("r_nat").over(w_all))).alias("share_of_total"),
+    )

@@ -642,3 +642,66 @@ def entity_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= _LEV_MAX)
     )
+
+
+@query(
+    "golden_record_survivorship",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, lang, source, n_chars,
+        md5(substr(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), 1, 30))
+          AS digest
+      FROM documents
+    ),
+    golden AS (
+      SELECT digest,
+        CAST(COUNT(*) AS BIGINT) AS n_members,
+        MIN(doc_id) AS canonical_id,
+        CAST(MAX(n_chars) AS BIGINT) AS best_n_chars,
+        MIN(lang) AS lang_alpha,
+        MAX(source) AS source_alpha_last
+      FROM fp GROUP BY digest
+    )
+    SELECT digest, n_members, canonical_id, best_n_chars,
+           lang_alpha, source_alpha_last
+    FROM golden WHERE n_members > 1
+    """,
+    tags=("ext-entity-resolution", "survivorship"),
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship (golden-record construction) — the step AFTER
+    matching in every MDM/dedup pipeline: match groups (here: shared
+    normalized 30-char prefix — the boilerplate-opening blocking this
+    corpus actually exhibits; exact-text digests find nothing in it)
+    collapse to one record whose fields are chosen per-attribute by
+    explicit rules
+    (here: lowest id as canonical key, largest n_chars, deterministic
+    alphabetical picks for lang/source — real pipelines plug in
+    trust-ordered sources or recency instead; any such rule is a
+    min/max over a rule-ordered struct, cf. latest_via_struct_max).
+    The whole step is ONE map-side-combinable aggregate keyed by the
+    match key — no window, no join-back — so survivorship costs the
+    same shuffle the duplicate-detection groupBy already paid.
+    Only multi-member groups are emitted (the records that actually
+    merged)."""
+    d = read_table(spark, sf_dir, "documents")
+    from osmart_etl_spark.ops.text import normalized_text
+
+    fp = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.md5(F.substring(normalized_text(F.col("text")), 1, 30)).alias("digest"),
+    )
+    return (
+        fp.groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("doc_id").alias("canonical_id"),
+            F.max("n_chars").cast("bigint").alias("best_n_chars"),
+            F.min("lang").alias("lang_alpha"),
+            F.max("source").alias("source_alpha_last"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
