@@ -1352,3 +1352,66 @@ def revenue_share_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (dbl(F.col("r_nat")) / dbl(F.sum("r_nat").over(w_all))).alias("share_of_total"),
     )
+
+
+@query(
+    "presence_bitmask_streaks",
+    oracle="""
+    WITH base AS (
+      SELECT user_id,
+        CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS day_idx
+      FROM events
+      WHERE CAST(ts AS DATE) >= DATE '2024-01-01'
+        AND CAST(ts AS DATE) < DATE '2024-01-31'
+    ),
+    mask AS (
+      SELECT user_id,
+        CAST(BIT_OR(1::BIGINT << day_idx) AS BIGINT) AS presence
+      FROM base GROUP BY user_id
+    )
+    SELECT user_id, presence,
+      CAST(BIT_COUNT(CAST(presence AS BIT)) AS BIGINT) AS n_active_days,
+      ((presence & (presence << 1) & (presence << 2) & (presence << 3)
+        & (presence << 4) & (presence << 5) & (presence << 6)) != 0)
+        AS has_7day_streak
+    FROM mask
+    """,
+    tags=("extras-bitmask", "streaks"),
+)
+def presence_bitmask_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar presence as a BITMASK: a user's 30-day activity
+    pattern packed into one bigint (bit d = active on day d) by a
+    BIT_OR aggregate — 8 bytes of state replacing up to 30 rows, the
+    compact-engagement-state trick retention systems keep per user.
+    Streak detection is then pure bit arithmetic, no window and no
+    gaps-and-islands pass: AND-ing the mask with its first six shifts
+    leaves a set bit exactly where seven consecutive days were active.
+    Everything is exact integer ops (BIT_OR combines map-side;
+    bit_count and shifts are codegen'd) — at 10^9 users this is one
+    tiny-state aggregate, where the islands formulation shuffles and
+    sorts every event. The islands pass (session_windows) is still the
+    tool when streak LENGTHS are needed, not just threshold flags."""
+    ev = read_table(spark, sf_dir, "events")
+    d0 = F.lit("2024-01-01").cast("date")
+    base = ev.filter(
+        (F.to_date("ts") >= d0) & (F.to_date("ts") < F.lit("2024-01-31").cast("date"))
+    ).select(
+        "user_id", F.datediff(F.to_date("ts"), d0).cast("bigint").alias("day_idx")
+    )
+    # Python-API shiftleft takes only a literal bit count; the SQL
+    # form accepts a column
+    mask = base.groupBy("user_id").agg(
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(day_idx as int))"))
+        .cast("bigint")
+        .alias("presence")
+    )
+    p = F.col("presence")
+    streak7 = p
+    for k in range(1, 7):
+        streak7 = streak7.bitwiseAND(F.shiftleft(p, k))
+    return mask.select(
+        "user_id",
+        "presence",
+        F.bit_count(p).cast("bigint").alias("n_active_days"),
+        (streak7 != 0).alias("has_7day_streak"),
+    )
