@@ -361,3 +361,50 @@ def replica_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, "segment").filter(
         (F.col("sum_a") != F.col("sum_b")) | (F.col("n_a") != F.col("n_b"))
     )
+
+
+_K_ANON = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH cells AS (
+      SELECT lang, source,
+        CAST(FLOOR(n_chars / 100.0) AS BIGINT) AS size_bucket,
+        CAST(COUNT(*) AS BIGINT) AS group_size
+      FROM documents
+      GROUP BY lang, source, CAST(FLOOR(n_chars / 100.0) AS BIGINT)
+    )
+    SELECT lang, source, size_bucket, group_size,
+      (group_size < {_K_ANON}) AS violates_k
+    FROM cells WHERE group_size < {_K_ANON}
+    """,
+    tags=("ext-privacy", "k-anonymity"),
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier combination
+    (lang, source, size-bucket): any cell with fewer than k=5 members
+    re-identifies its documents under linkage attacks, so these are
+    the cells a release pipeline must generalize (coarser buckets) or
+    suppress before publication. The audit is one hash aggregate over
+    the QI columns — the same cost as any group-count — and the
+    generalization loop it drives (widen bucket, re-audit) reuses the
+    identical shape with a different bucket width, so privacy
+    enforcement at 100 TB costs one aggregate per lattice level
+    explored, not a per-row scan per level. Bucketing n_chars is
+    itself the first generalization step: raw lengths are near-unique
+    QIs, buckets of 100 are not."""
+    d = read_table(spark, sf_dir, "documents")
+    cells = d.groupBy(
+        "lang",
+        "source",
+        F.floor(F.col("n_chars") / 100.0).cast("bigint").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    return cells.filter(F.col("group_size") < _K_ANON).select(
+        "lang",
+        "source",
+        "size_bucket",
+        "group_size",
+        (F.col("group_size") < _K_ANON).alias("violates_k"),
+    )
