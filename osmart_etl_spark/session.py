@@ -71,6 +71,13 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", "256m")
         # Keep driver results small; operators must never collect data.
         .config("spark.driver.maxResultSize", "2g")
+        # local[N] puts all N executor threads in the driver JVM; the
+        # 1g default heap made round-3's bench flaky under concurrent
+        # wide joins (BENCH_r03 rc=1 was an executor OOM-crash). On a
+        # real cluster this maps to spark.executor.memory sizing.
+        # Honored only when this builder launches the JVM; a driver
+        # that brings its own session keeps its own heap.
+        .config("spark.driver.memory", "6g")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:
