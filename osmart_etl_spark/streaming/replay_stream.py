@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -160,6 +161,52 @@ def replay_stateful(events: DataFrame) -> DataFrame:
         update,
         outputStructType=REPLAY_OUTPUT_SCHEMA,
         stateStructType=REPLAY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("ewma8", DoubleType()),
+    ]
+)
+EWMA_STATE_SCHEMA = StructType([StructField("hist", ArrayType(DoubleType()))])
+
+
+def ewma_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of queries/scale_ops.ewma_lag_chain: the
+    depth-8 half-life EWMA as keyed state — the carry is just the last
+    7 values (state is O(depth), exactly as the batch docstring
+    promises). Floating-point addition order matches the batch lag
+    chain term-for-term (v, then each older value / 2^d, left to
+    right), so streaming output equals the batch query BIT-FOR-BIT
+    when micro-batches arrive in event-time order."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        hist = list(state.get[0]) if state.exists else []
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                v = float(row.value)
+                e = v
+                for d, pv in enumerate(hist):
+                    e = e + pv / float(1 << (d + 1))
+                out.append((user_id, row.event_id, e))
+                hist = [v] + hist[:6]
+        state.update((hist,))
+        yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma8"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

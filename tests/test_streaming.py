@@ -425,3 +425,42 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, events_stream_dir):
     want = {(r["purchase_id"], r["click_id"]) for r in batch.collect()}
     assert want, "batch twin produced no pairs — fixture too sparse"
     assert got == want
+
+
+def test_ewma_stream_matches_batch_bitwise(spark, tmp_path):
+    """The streaming EWMA (applyInPandasWithState, O(depth) state) must
+    equal the batch lag-chain EWMA bit-for-bit across MULTIPLE
+    micro-batches — proving both state continuity and identical FP
+    addition order. Three time-range files with strictly increasing
+    mtimes force three in-order batches."""
+    import os
+    import time as _time
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.scale_ops import ewma_lag_chain
+    from osmart_etl_spark.streaming.replay_stream import ewma_stateful, run_available_now
+
+    ev = read_table(spark, SF_SMALL, "events").orderBy("ts", "event_id")
+    rows = ev.collect()
+    cuts = [len(rows) // 3, 2 * len(rows) // 3, len(rows)]
+    src = str(tmp_path / "ewma_stream")
+    os.makedirs(src)
+    start = 0
+    now = _time.time()
+    for i, end in enumerate(cuts):
+        part = spark.createDataFrame(rows[start:end], ev.schema)
+        pdir = str(tmp_path / f"ewma_part{i}")
+        part.coalesce(1).write.parquet(pdir)
+        fname = [f for f in os.listdir(pdir) if f.endswith(".parquet")][0]
+        dst = os.path.join(src, f"batch_{i}.parquet")
+        os.rename(os.path.join(pdir, fname), dst)
+        os.utime(dst, (now + i, now + i))  # strictly increasing mtimes
+        start = end
+
+    stream = _read_stream(spark, src)
+    out = run_available_now(ewma_stateful(stream), str(tmp_path / "ewma_ckpt"), "ewma_t")
+    got = {r.event_id: r.ewma8 for r in out}
+
+    want = {r.event_id: r.ewma8 for r in ewma_lag_chain(spark, SF_SMALL).collect()}
+    assert len(got) == len(want)
+    assert all(got[k] == want[k] for k in want)
