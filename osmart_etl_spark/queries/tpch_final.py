@@ -413,3 +413,160 @@ def tpch_q22_global_sales_opportunity(spark, sf_dir):
             dbl(F.sum(dec(F.col("c_acctbal")))).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("tpch", "q6"),
+)
+def tpch_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6: the pure scan-reduce query — every predicate pushes to
+    the parquet scan (PushedFilters: ship-date range, discount range,
+    quantity bound), then a single map-side-combined global SUM. The
+    benchmark's canonical I/O-bound shape: at 100 TB with date
+    partitioning the range predicate is partition pruning and the whole
+    query reads one year of data, shuffles ONE row per task. Revenue is
+    an exact decimal product-sum (price·discount at scale 4 is exact),
+    cast to double once."""
+    li = read_table(spark, sf_dir, "lineitem")
+    f = li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.groupBy().agg(
+        dbl(F.sum(dec(F.col("l_extendedprice")) * dec(F.col("l_discount")))).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle="""
+    WITH volumes AS (
+      SELECT EXTRACT(YEAR FROM o.o_orderdate) AS o_year,
+        CAST(l.l_extendedprice AS DECIMAL(18,2))
+          * (1 - CAST(l.l_discount AS DECIMAL(18,2))) AS volume,
+        ns.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = nc.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+      JOIN part p     ON p.p_partkey = l.l_partkey
+      WHERE r.r_name = 'AMERICA'
+        AND p.p_type LIKE '%AND%'
+    )
+    SELECT o_year,
+      CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN volume
+                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM volumes GROUP BY o_year
+    """,
+    tags=("tpch", "q8"),
+)
+def tpch_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): a seven-table snowflake
+    where the FACT table joins six dimensions — all six are broadcast
+    (customer is the largest at 1.5k·SF rows; at 100 TB customer may
+    graduate to a shuffle join, the rest stay broadcast), so lineitem
+    streams through map-side joins with zero fact shuffle before the
+    final small (year) aggregate. The share is a conditional decimal
+    sum over a filtered-dimension flag divided by the total — both
+    sums exact, one double division. Region/part-type filters shrink
+    the dimension hash tables BEFORE broadcast (predicate pushdown on
+    the build side — visible as Filter under BroadcastExchange)."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type").like("%AND%"))
+
+    nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_regionkey").alias("nc_region"))
+    ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
+    vol = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+    volumes = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(nc), c["c_nationkey"] == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_key"))
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol.alias("volume"),
+            "supp_nation",
+        )
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return volumes.groupBy("o_year").agg(
+        (
+            dbl(F.sum(F.when(F.col("supp_nation") == "NATION_7", F.col("volume")).otherwise(zero)))
+            / dbl(F.sum("volume"))
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+      CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON r.supplier_no = s.s_suppkey
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    """,
+    tags=("tpch", "q15"),
+)
+def tpch_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarterly revenue): the
+    scalar-subquery-on-an-aggregate pattern. The revenue CTE reduces
+    the date-pruned fact slice to one row per supplier (map-side
+    combined); the MAX is a 1-row broadcast joined back as a filter —
+    NOT a global sort — so ties surface as multiple rows exactly as the
+    spec demands. Revenue equality is DECIMAL equality (exact), which
+    is the only reason a '= MAX' filter is even well-defined across
+    engines; the double cast happens after the comparison."""
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))).alias(
+            "__rev"
+        )
+    )
+    mx = revenue.groupBy().agg(F.max("__rev").alias("__mx"))
+    s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", dbl(F.col("__rev")).alias("total_revenue"))
+    )
