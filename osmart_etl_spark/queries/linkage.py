@@ -126,6 +126,11 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("doc_id", "g")
             .agg(F.expr("bit_xor(h)").alias("sig"))
+            # referenced 3x below (self-join a/b + stats): persist, or
+            # the explode+agg chain recomputes per reference (measured
+            # 14.1 s -> ~6 s for tier 1 at sf0.1; Spark's exchange
+            # reuse does not fire across these AQE-planned subtrees)
+            .persist()
         )
         stats = (
             sums.groupBy("doc_id")

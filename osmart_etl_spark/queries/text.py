@@ -370,7 +370,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        jaccard_verify_hybrid,
+        jaccard_verify_bcast,
         minhash_band_keys,
         shingle_sets,
     )
@@ -380,7 +380,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    verified = jaccard_verify_bcast(sets, cand, "doc_id", threshold=0.5)
     comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
@@ -415,7 +415,7 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree on every (doc_id, canonical_id)."""
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        jaccard_verify_hybrid,
+        jaccard_verify_bcast,
         minhash_band_keys,
         shingle_sets,
     )
@@ -425,7 +425,7 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    verified = jaccard_verify_bcast(sets, cand, "doc_id", threshold=0.5)
     comp = connected_components_bigstar(verified.select("id_a", "id_b"), "id_a", "id_b")
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("canonical_id")
@@ -848,7 +848,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        jaccard_verify_hybrid,
+        jaccard_verify_bcast,
         minhash_band_keys,
         shingle_sets,
     )
@@ -858,7 +858,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify_hybrid(sets, cand, "doc_id", threshold=0.5)
+    verified = jaccard_verify_bcast(sets, cand, "doc_id", threshold=0.5)
     comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
 
     losers = comp.filter(F.col("node") != F.col("component")).select(
