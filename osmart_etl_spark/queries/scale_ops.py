@@ -242,17 +242,28 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     deg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
-    a = basket.alias("a")
-    b = basket.alias("b")
+    # Pair generation MAP-SIDE: collapse each basket to a sorted array
+    # (the groupBy reuses the distinct's partitioning on l_orderkey —
+    # no extra exchange) and emit the b²/2 ordered pairs with an
+    # indexed-transform comprehension in codegen. Replaces the
+    # orderkey self-join, which read the basket twice and shuffled
+    # both sides.
+    arrs = basket.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        arrs.select(F.explode(pair_col).alias("__p"))
+        .select(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
+        .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
     sym = pairs.select(
@@ -261,9 +272,9 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("pb").alias("part"), F.col("pa").alias("partner"), "n_ab")
     )
     scored = (
-        sym.join(deg.withColumnRenamed("l_partkey", "part"), "part")
+        sym.join(F.broadcast(deg.withColumnRenamed("l_partkey", "part")), "part")
         .withColumnRenamed("n", "__na")
-        .join(deg.withColumnRenamed("l_partkey", "partner"), "partner")
+        .join(F.broadcast(deg.withColumnRenamed("l_partkey", "partner")), "partner")
         .withColumnRenamed("n", "__nb")
         .withColumn(
             "score",
