@@ -231,3 +231,156 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _PATH_TOPK)
         .select("path", "n", "n_users", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# OLS trend per group (closed-form normal equations)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ols_trend_by_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+        CAST(EXTRACT(EPOCH FROM ts) AS BIGINT) // 86400 AS x,
+        CAST(value AS DECIMAL(18,2)) AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx,
+        CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy,
+        CAST(SUM(x * x) AS DOUBLE) AS sx2,
+        CAST(SUM(y * y) AS DOUBLE) AS sy2
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+      ((n * sxy) - (sx * sy)) / ((n * sx2) - (sx * sx)) AS slope,
+      (sy - (((n * sxy) - (sx * sy)) / ((n * sx2) - (sx * sx))) * sx) / n
+        AS intercept,
+      (((n * sxy) - (sx * sy)) * ((n * sxy) - (sx * sy)))
+        / (((n * sx2) - (sx * sx)) * ((n * sy2) - (sy * sy))) AS r2
+    FROM m
+    """,
+    tags=("ext-stats", "ols"),
+)
+def ols_trend_by_type(spark, sf_dir):
+    """Per-group simple linear regression (value vs day index) in
+    CLOSED FORM: slope/intercept/R² from the normal equations over six
+    EXACT sums — one map-side-combined aggregate, one fixed-order
+    double formula, same discipline as correlation_exact. The
+    complement to theil_sen_trend (robust, pairwise): OLS is the
+    O(n) single-pass answer when outliers are handled upstream
+    (mad_outlier_summary). x = epoch-days as BIGINT (exact), y exact
+    decimal; every product stays within exact integer/decimal range, so
+    partition order cannot perturb a bit. 10¹² rows cost the same plan."""
+    ev = read_table(spark, sf_dir, "events")
+    x = (F.unix_timestamp("ts").cast("bigint") / F.lit(86400)).cast("bigint")
+    pts = ev.select("event_type", x.alias("x"), dec(F.col("value")).alias("y"))
+    m = pts.groupBy("event_type").agg(
+        dbl(F.count(F.lit(1))).alias("n"),
+        dbl(F.sum("x")).alias("sx"),
+        dbl(F.sum("y")).alias("sy"),
+        dbl(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dbl(F.sum(F.col("x") * F.col("x"))).alias("sx2"),
+        dbl(F.sum(F.col("y") * F.col("y"))).alias("sy2"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sx2, sy2 = F.col("sxy"), F.col("sx2"), F.col("sy2")
+    num = (n * sxy) - (sx * sy)
+    den = (n * sx2) - (sx * sx)
+    slope = num / den
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - (slope * sx)) / n).alias("intercept"),
+        ((num * num) / (den * ((n * sy2) - (sy * sy)))).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Business-day latency (closed-form weekend arithmetic, no loops)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "business_day_latency",
+    oracle="""
+    WITH base AS (
+      SELECT o.o_orderpriority,
+        CAST(o.o_orderdate AS DATE) AS d0, CAST(l.l_shipdate AS DATE) AS d1,
+        CAST(EXTRACT(ISODOW FROM CAST(o.o_orderdate AS DATE)) AS BIGINT) AS w0
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    biz AS (
+      SELECT o_orderpriority,
+        CAST(d1 - d0 AS BIGINT) AS cal_days,
+        -- full weeks contribute 5 business days each; the remainder
+        -- adds weekdays it spans from the (Mon=1..Sun=7) start anchor
+        ((CAST(d1 - d0 AS BIGINT) // 7) * 5)
+          + CAST(d1 - d0 AS BIGINT) % 7
+          - CASE WHEN w0 + (CAST(d1 - d0 AS BIGINT) % 7) - 1 >= 6
+                  AND w0 <= 5 THEN
+                 LEAST(CAST(2 AS BIGINT), w0 + (CAST(d1 - d0 AS BIGINT) % 7) - 1 - 4)
+                 WHEN w0 = 6 THEN LEAST(CAST(2 AS BIGINT),
+                      CAST(d1 - d0 AS BIGINT) % 7)
+                 WHEN w0 = 7 THEN LEAST(CAST(1 AS BIGINT),
+                      CAST(d1 - d0 AS BIGINT) % 7)
+                 ELSE CAST(0 AS BIGINT) END AS biz_days
+      FROM base
+    )
+    SELECT o_orderpriority,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(cal_days) AS BIGINT) AS total_cal_days,
+      CAST(SUM(biz_days) AS BIGINT) AS total_biz_days
+    FROM biz GROUP BY o_orderpriority
+    """,
+    tags=("ext-temporal", "business-days"),
+)
+def business_day_latency(spark, sf_dir):
+    """Order→ship latency in BUSINESS days per priority class, via
+    closed-form weekend arithmetic (full weeks × 5 + weekday remainder
+    − weekend overlap of the partial week, branching on the ISO start
+    weekday) — no calendar scaffold join, no per-day explode: a 10¹²-row
+    fact table pays one projection + one aggregate. The same three-case
+    CASE is evaluated identically in both engines over exact bigints,
+    so the parity hash pins the calendar arithmetic itself (off-by-one
+    weekend bugs are the classic failure here). Calendar-day totals
+    ride along for the ratio downstream."""
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"]).filter(
+        F.col("l_shipdate") >= F.col("o_orderdate")
+    )
+    d0 = F.col("o_orderdate").cast("date")
+    d1 = F.col("l_shipdate").cast("date")
+    cal = F.datediff(d1, d0).cast("bigint")
+    # ISO weekday Mon=1..Sun=7 (Spark dayofweek is Sun=1..Sat=7)
+    w0 = (((F.dayofweek(d0) + 5) % 7) + 1).cast("bigint")
+    rem = cal % 7
+    two = F.lit(2).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    overlap = (
+        F.when((w0 <= 5) & (w0 + rem - 1 >= 6), F.least(two, w0 + rem - 1 - 4))
+        .when(w0 == 6, F.least(two, rem))
+        .when(w0 == 7, F.least(one, rem))
+        .otherwise(zero)
+    )
+    biz = ((cal / 7).cast("bigint") * 5) + rem - overlap
+    return (
+        j.select("o_orderpriority", cal.alias("cal_days"), biz.alias("biz_days"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cal_days").cast("bigint").alias("total_cal_days"),
+            F.sum("biz_days").cast("bigint").alias("total_biz_days"),
+        )
+    )
