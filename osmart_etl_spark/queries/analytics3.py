@@ -384,3 +384,84 @@ def business_day_latency(spark, sf_dir):
             F.sum("biz_days").cast("bigint").alias("total_biz_days"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed KS — the bounded-support scale variant promised by ks_two_sample
+# --------------------------------------------------------------------------
+
+_KSB_WIDTH = 20.0
+
+
+@query(
+    "ks_two_sample_bucketed",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_type,
+        CAST(floor(CAST(value AS DOUBLE) / {_KSB_WIDTH}) AS BIGINT) AS b,
+        CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END AS arm
+      FROM events
+    ),
+    counts AS (
+      SELECT event_type, b,
+        CAST(COUNT(*) FILTER (WHERE arm = 0) AS BIGINT) AS c0,
+        CAST(COUNT(*) FILTER (WHERE arm = 1) AS BIGINT) AS c1
+      FROM tagged GROUP BY event_type, b
+    ),
+    cum AS (
+      SELECT event_type, b,
+        SUM(c0) OVER (PARTITION BY event_type ORDER BY b) AS k0,
+        SUM(c1) OVER (PARTITION BY event_type ORDER BY b) AS k1,
+        SUM(c0) OVER (PARTITION BY event_type) AS n0,
+        SUM(c1) OVER (PARTITION BY event_type) AS n1
+      FROM counts
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_buckets,
+      MAX(abs((CAST(k0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+            - (CAST(k1 AS DOUBLE) / CAST(n1 AS DOUBLE)))) AS ks_lower_bound
+    FROM cum GROUP BY event_type
+    """,
+    tags=("scale-tech", "statistics"),
+)
+def ks_two_sample_bucketed(spark, sf_dir):
+    """The 100 TB form of ks_two_sample: values pre-bucketed to fixed
+    ``width=20`` bins, so the per-group CDF window runs over ≤ ~25
+    bucket rows REGARDLESS of data volume or support cardinality —
+    everything upstream is one map-side-combined count. The statistic
+    is the sup-distance evaluated at bucket edges: a guaranteed LOWER
+    BOUND of the exact KS (the CDFs are only compared where both are
+    fully accumulated), named accordingly. Fixed-width buckets via
+    double floor-division keep the bucketing bit-identical
+    cross-engine; quantile-derived edges (percentile_approx) would be
+    Spark-private state the oracle cannot reproduce — the width is the
+    documented resolution/portability trade."""
+    ev = read_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_type",
+        F.floor(F.col("value").cast("double") / F.lit(_KSB_WIDTH))
+        .cast("bigint")
+        .alias("b"),
+        (F.col("user_id") % 2).alias("arm"),
+    )
+    counts = tagged.groupBy("event_type", "b").agg(
+        F.count(F.when(F.col("arm") == 0, 1)).alias("c0"),
+        F.count(F.when(F.col("arm") == 1, 1)).alias("c1"),
+    )
+    wcum = Window.partitionBy("event_type").orderBy("b")
+    wall = Window.partitionBy("event_type")
+    cum = counts.select(
+        "event_type",
+        F.sum("c0").over(wcum).alias("k0"),
+        F.sum("c1").over(wcum).alias("k1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    dist = F.abs(
+        (F.col("k0").cast("double") / F.col("n0").cast("double"))
+        - (F.col("k1").cast("double") / F.col("n1").cast("double"))
+    )
+    return cum.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max(dist).alias("ks_lower_bound"),
+    )
