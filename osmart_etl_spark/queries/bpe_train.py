@@ -1,0 +1,142 @@
+"""BPE tokenizer training on Spark: learn the top merge rules from the
+corpus by iterated pair-counting — the step that turns the text stack
+(tokens → stats → packing) into an actual tokenizer-training pipeline.
+
+Engine-portable by construction: the corpus is held as a
+SEP-delimited symbol string per doc (SEP = \\x01, absent from text), a
+merge is ONE ANSI ``replace`` call (leftmost non-overlapping — exactly
+BPE's left-to-right merge order, and identical semantics in Spark and
+DuckDB), and pair counts are exact bigints with a total-order
+tie-break. The oracle unrolls the same three iterations as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import query
+
+_BPE_ITERS = 3
+_SEP = "\\x01"  # SQL-escape form for oracle strings
+_PYSEP = "\x01"
+
+
+def _corpus0_sql() -> str:
+    # leading SEP + SEP after every char → every symbol is SEP-bracketed
+    return (
+        "SELECT doc_id, chr(1) || regexp_replace(text, '(.)', '\\1' || chr(1), 'g')"
+        " AS s FROM documents"
+    )
+
+
+def _pairs_sql(corpus: str) -> str:
+    """Adjacent symbol pairs of every doc in ``corpus`` (skip empties
+    from the bracketing SEPs), counted exactly."""
+    return f"""
+      SELECT p.pa AS pa, p.pb AS pb, CAST(COUNT(*) AS BIGINT) AS n FROM (
+        SELECT unnest(list_transform(
+          range(2, len(string_split(s, chr(1)))),
+          i -> struct_pack(
+            pa := string_split(s, chr(1))[i],
+            pb := string_split(s, chr(1))[i + 1]))) AS p
+        FROM {corpus}
+      )
+      WHERE p.pa != '' AND p.pb != ''
+      GROUP BY p.pa, p.pb
+    """
+
+
+def _bpe_oracle() -> str:
+    sql = f"WITH c0 AS ({_corpus0_sql()})"
+    outs = []
+    for i in range(_BPE_ITERS):
+        sql += f""",
+    p{i} AS (SELECT pa, pb, n FROM ({_pairs_sql(f"c{i}")})),
+    b{i} AS (
+      SELECT pa, pb, n FROM p{i}
+      ORDER BY n DESC, pa ASC, pb ASC LIMIT 1
+    ),
+    c{i + 1} AS (
+      SELECT doc_id,
+        replace(s, chr(1) || b.pa || chr(1) || b.pb || chr(1),
+                   chr(1) || b.pa || b.pb || chr(1)) AS s
+      FROM c{i}, b{i} b
+    )"""
+        outs.append(
+            f"SELECT CAST({i} AS BIGINT) AS iter, pa, pb, n FROM b{i}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(outs)
+
+
+@query("bpe_train_merges", oracle=_bpe_oracle(), tags=("ext-text", "bpe-train"))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first three BPE merge rules from the document corpus:
+    each iteration counts ALL adjacent symbol pairs, takes the global
+    argmax under a total order (count desc, pair asc — bit-free
+    determinism), and applies the merge corpus-wide, exactly like
+    sentencepiece/HF BPE training's outer loop.
+
+    Spark shape per iteration: symbol-pair explode (codegen transform
+    over the split array — no Python), one map-side-combined count, a
+    1-ROW argmax broadcast back, and the merge itself is one ANSI
+    ``replace`` projection (leftmost non-overlapping scan = BPE's
+    left-to-right merge order; the SEP-bracketed representation makes
+    symbol boundaries explicit so a pair can never match inside a
+    longer symbol). Nothing iterates on the driver but the loop
+    counter: each round is O(corpus) map work + one tiny exchange,
+    which at 100 TB is the canonical shape (the real trainer adds
+    pair-count DELTAS instead of recounts — same plan skeleton with
+    the join_view_incremental delta rule).
+
+    Oracle: the identical three iterations unrolled as CTEs — argmax
+    ties, replace order, and boundary handling are all pinned by the
+    hash."""
+    docs = read_table(spark, sf_dir, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(_PYSEP),
+            F.regexp_replace(F.col("text"), "(.)", "$1" + _PYSEP),
+        ).alias("s"),
+    )
+    results = []
+    for i in range(_BPE_ITERS):
+        # adjacent pairs via equal-length slices (safe for degenerate
+        # short docs — sequence(2, size-1) would run DESCENDING when
+        # size < 3 and index out of bounds under ANSI)
+        pair_arr = F.expr(
+            "filter(zip_with(slice(__sp, 1, size(__sp) - 1), "
+            "slice(__sp, 2, size(__sp) - 1), "
+            "(a, b) -> struct(a AS pa, b AS pb)), "
+            "p -> p.pa != '' AND p.pb != '')"
+        )
+        counts = (
+            corpus.withColumn("__sp", F.split("s", _PYSEP))
+            .select(F.explode(pair_arr).alias("__p"))
+            .groupBy(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = Window.orderBy(F.col("n").desc(), F.col("pa").asc(), F.col("pb").asc())
+        best = (
+            counts.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") == 1)
+            .select("pa", "pb", "n")
+        )
+        results.append(
+            best.select(
+                F.lit(i).cast("bigint").alias("iter"), "pa", "pb", "n"
+            )
+        )
+        merged = F.concat(F.lit(_PYSEP), F.col("pa"), F.col("pb"), F.lit(_PYSEP))
+        pattern = F.concat(
+            F.lit(_PYSEP), F.col("pa"), F.lit(_PYSEP), F.col("pb"), F.lit(_PYSEP)
+        )
+        corpus = corpus.crossJoin(F.broadcast(best)).select(
+            "doc_id", F.replace(F.col("s"), pattern, merged).alias("s")
+        )
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
