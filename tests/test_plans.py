@@ -462,3 +462,44 @@ def test_cumulative_distinct_single_real_shuffle(spark):
     plan = _formatted_plan(cumulative_distinct_users(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") <= 2, plan
     assert "Window" in plan
+
+
+def test_q8_snowflake_all_broadcast(spark):
+    """TPC-H Q8's seven-table join must keep the fact side shuffle-free:
+    every dimension is a BroadcastHashJoin, never SortMergeJoin."""
+    from osmart_etl_spark.queries.tpch_final import tpch_q8_market_share
+
+    plan = _formatted_plan(tpch_q8_market_share(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6
+
+
+def test_join_view_ivm_no_fact_shuffle(spark):
+    """The IVM delta DAG must be broadcast-only at this SF: the three
+    join terms never hash-shuffle the fact slices (at 100 TB bucketing
+    takes over — but a SortMergeJoin HERE would mean the delta terms
+    lost their broadcastability)."""
+    from osmart_etl_spark.queries.analytics2 import join_view_incremental
+
+    plan = _formatted_plan(join_view_incremental(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan
+
+
+def test_feature_standardize_broadcast_projection(spark):
+    """Pass-2 must be a broadcast join + projection: no shuffle of the
+    fact table after the moment aggregate."""
+    from osmart_etl_spark.queries.mlprep import feature_standardize
+
+    plan = _formatted_plan(feature_standardize(spark, SF_SMALL))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ewma_single_window_exchange(spark):
+    """The 8-term lag chain must share ONE window over one exchange —
+    a per-lag window would multiply shuffles."""
+    from osmart_etl_spark.queries.scale_ops import ewma_lag_chain
+
+    plan = _formatted_plan(ewma_lag_chain(spark, SF_SMALL))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert plan.count("Window") == 1
