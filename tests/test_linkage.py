@@ -76,3 +76,41 @@ def test_pagerank_mass_and_floor(spark):
     # is bounded by (edges + nodes) units per iteration — far under 1%.
     assert total <= _PR_MASS
     assert total > 0.99 * _PR_MASS
+
+
+def test_containment_detects_true_embedding(spark, tmp_path):
+    """Functional proof for containment_pairs' candidate scheme: a
+    truncated copy of a doc (its first half) must be detected as
+    contained in the full doc at C ≥ 0.9, even though the symmetric
+    Jaccard is only ~0.5 (the case the LSH index provably misses)."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries import analytics4
+
+    base = (
+        read_table(spark, SF_SMALL, "documents")
+        .filter(F.col("doc_id") < 20)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    halves = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring(F.col("text"), 1, (F.length("text") / 2).cast("int")).alias(
+            "text"
+        ),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    aug_dir = str(tmp_path / "docs_aug")
+    base.unionAll(halves).write.parquet(f"{aug_dir}/documents.parquet")
+
+    out = analytics4.containment_pairs(spark, aug_dir).collect()
+    found = {(r.id_small, r.id_big): (r.containment, r.jaccard) for r in out}
+    # every half-doc must be found contained in its own full doc
+    for i in range(20):
+        key = (100000 + i, i)
+        assert key in found, f"half of doc {i} not detected"
+        c, j = found[key]
+        assert c >= 0.9
+        assert j < 0.9  # and it is NOT a symmetric near-dup
