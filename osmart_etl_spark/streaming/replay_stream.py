@@ -56,6 +56,29 @@ def daily_net_windowed(events: DataFrame, late: str = "1 day") -> DataFrame:
     )
 
 
+def hopping_engagement_windowed(events: DataFrame, late: str = "1 day") -> DataFrame:
+    """Streaming twin of queries/analytics4.hopping_window_engagement:
+    7-day window hopping by 1 day via the built-in sliding window()
+    (state = 7 concurrently-open windows per key, sealed by the
+    watermark in append mode). Exact-distinct user counts per window —
+    at scale the approx_count_distinct swap applies per window."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id").alias("n_users_approx"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("date").alias("win_start"),
+            "n_events",
+            "n_users_approx",
+            F.col("total_value").cast("double").alias("total_value"),
+        )
+    )
+
+
 def sessionize(events: DataFrame, gap: str = "6 hours", late: str = "1 day") -> DataFrame:
     """Native ``session_window`` twin of the batch gaps-and-islands
     query (queries/temporal.session_windows, ref session semantics):

@@ -464,3 +464,35 @@ def test_ewma_stream_matches_batch_bitwise(spark, tmp_path):
     want = {r.event_id: r.ewma8 for r in ewma_lag_chain(spark, SF_SMALL).collect()}
     assert len(got) == len(want)
     assert all(got[k] == want[k] for k in want)
+
+
+def test_hopping_window_stream_matches_batch(spark, tmp_path, events_stream_dir):
+    """T4-sliding: the streaming 7d/1d hopping window (append mode,
+    sealed by watermark) must agree with the batch explode-based
+    hopping query on every window both paths emit (count + exact
+    decimal total; distinct-users is approx in the stream, so only
+    sanity-bounded)."""
+    from osmart_etl_spark.queries.analytics4 import hopping_window_engagement
+    from osmart_etl_spark.streaming.replay_stream import (
+        hopping_engagement_windowed,
+        run_available_now,
+    )
+
+    stream = _read_stream(spark, events_stream_dir)
+    rows = run_available_now(
+        hopping_engagement_windowed(stream), str(tmp_path / "hop_ckpt"), "hop_t"
+    )
+    assert rows
+    got = {r.win_start: (r.n_events, r.total_value, r.n_users_approx) for r in rows}
+
+    batch = {
+        r.win_start: (r.n_events, r.total_value, r.n_users)
+        for r in hopping_window_engagement(spark, SF_SMALL).collect()
+    }
+    # append mode seals only watermark-passed windows: subset of batch
+    assert got
+    for w, (n, tv, nu_approx) in got.items():
+        bn, btv, bnu = batch[w]
+        assert n == bn
+        assert tv == btv
+        assert abs(nu_approx - bnu) <= max(3, 0.15 * bnu)
