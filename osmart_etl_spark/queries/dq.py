@@ -408,3 +408,139 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_size",
         (F.col("group_size") < _K_ANON).alias("violates_k"),
     )
+
+
+@query(
+    "referential_integrity_audit",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem->part', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+    UNION ALL
+    SELECT 'lineitem->supplier', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l WHERE NOT EXISTS (
+      SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+    UNION ALL
+    SELECT 'orders->customer', CAST(COUNT(*) AS BIGINT)
+    FROM orders o WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'customer->nation', CAST(COUNT(*) AS BIGINT)
+    FROM customer c WHERE NOT EXISTS (
+      SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    """,
+    tags=("dq", "referential-integrity"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit across the star schema's five foreign keys in one
+    DAG — the constraint check a lake has to run itself because parquet
+    enforces nothing (the reference delegates this to MySQL FK DDL,
+    create_raw_stock_movements.sql). Each FK is a LEFT ANTI join with
+    the DIMENSION side broadcast (orders→customer anti-joins 15k keys
+    against the fact scan map-side; at 100 TB the fact side still never
+    shuffles — anti joins broadcast the smaller key set or use the
+    bloom prefilter of ops/bloom.py first). All five legs share scans
+    where Catalyst can and reduce to one counter row each; zero rows
+    moved beyond the five counts."""
+    li = read_table(spark, sf_dir, "lineitem")
+    o = read_table(spark, sf_dir, "orders")
+    p = read_table(spark, sf_dir, "part")
+    s = read_table(spark, sf_dir, "supplier")
+    c = read_table(spark, sf_dir, "customer")
+    n = read_table(spark, sf_dir, "nation")
+
+    def orphans(fact, dim, fk, pk, label):
+        cnt = (
+            fact.join(
+                F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti"
+            )
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+        )
+        return cnt.select(F.lit(label).alias("fk"), "n_orphans")
+
+    legs = [
+        orphans(li, o, "l_orderkey", "o_orderkey", "lineitem->orders"),
+        orphans(li, p, "l_partkey", "p_partkey", "lineitem->part"),
+        orphans(li, s, "l_suppkey", "s_suppkey", "lineitem->supplier"),
+        orphans(o, c, "o_custkey", "c_custkey", "orders->customer"),
+        orphans(c, n, "c_nationkey", "n_nationkey", "customer->nation"),
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+@query(
+    "dataset_profile_summary",
+    oracle="""
+    SELECT 'orders' AS tbl, 'rows' AS metric, CAST(COUNT(*) AS BIGINT) AS value
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'distinct_custkey', CAST(COUNT(DISTINCT o_custkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'null_orderdate',
+      CAST(COUNT(*) FILTER (WHERE o_orderdate IS NULL) AS BIGINT) FROM orders
+    UNION ALL
+    SELECT 'lineitem', 'rows', CAST(COUNT(*) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'lineitem', 'distinct_orderkey',
+      CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'events', 'rows', CAST(COUNT(*) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'events', 'distinct_users',
+      CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'events', 'null_props',
+      CAST(COUNT(*) FILTER (WHERE props IS NULL) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'documents', 'rows', CAST(COUNT(*) AS BIGINT) FROM documents
+    UNION ALL
+    SELECT 'documents', 'distinct_lang',
+      CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+    """,
+    tags=("dq", "profiling"),
+)
+def dataset_profile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-style profile across FOUR tables in one deliverable
+    (long format: table, metric, value): row counts, key distinct
+    counts, null counts — the stats a data catalog materializes
+    nightly. Each table contributes one aggregate job's worth of
+    map-side-combined counters; the long format means adding a metric
+    is adding a row expression, not a schema migration. At 100 TB the
+    exact distincts swap per-metric to approx_count_distinct with this
+    exact query retained as the hash-gated auditor (approx_sketches
+    pattern)."""
+
+    def leg(df, tbl, metric, col_expr):
+        return df.groupBy().agg(col_expr.alias("value")).select(
+            F.lit(tbl).alias("tbl"), F.lit(metric).alias("metric"), "value"
+        )
+
+    o = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    ev = read_table(spark, sf_dir, "events")
+    d = read_table(spark, sf_dir, "documents")
+    legs = [
+        leg(o, "orders", "rows", F.count(F.lit(1))),
+        leg(o, "orders", "distinct_custkey", F.countDistinct("o_custkey")),
+        leg(o, "orders", "null_orderdate", F.count(F.when(F.col("o_orderdate").isNull(), 1))),
+        leg(li, "lineitem", "rows", F.count(F.lit(1))),
+        leg(li, "lineitem", "distinct_orderkey", F.countDistinct("l_orderkey")),
+        leg(ev, "events", "rows", F.count(F.lit(1))),
+        leg(ev, "events", "distinct_users", F.countDistinct("user_id")),
+        leg(ev, "events", "null_props", F.count(F.when(F.col("props").isNull(), 1))),
+        leg(d, "documents", "rows", F.count(F.lit(1))),
+        leg(d, "documents", "distinct_lang", F.countDistinct("lang")),
+    ]
+    out = legs[0]
+    for one in legs[1:]:
+        out = out.unionAll(one)
+    return out
