@@ -1,0 +1,341 @@
+"""TPC-H completion batch: Q2, Q9, Q11, Q20 — the four spec queries
+that need the PARTSUPP table, which the driver's generator does not
+ship. Each is registered as an *adapted* variant over a DERIVED
+partsupp view computed from lineitem:
+
+    ps_availqty   = SUM(l_quantity)              per (partkey, suppkey)
+    ps_supplycost = 0.6 * MIN(l_extendedprice)   per (partkey, suppkey)
+
+Both engines derive the view from the same base table with exact
+decimal arithmetic, so oracle parity is bit-exact; the JOIN/SUBQUERY
+plan shapes are the spec's (min-cost correlated subquery, profit
+five-way snowflake, value-threshold scalar subquery, double-nested
+semi-join). This closes the TPC-H set: all 22 query shapes are now
+registered (Q1,3-19,21,22 in tpch_more/tpch_final/sql_api; Q2,9,11,20
+here).
+
+Scale notes per query are in the docstrings; the common one: the
+derived partsupp is itself a map-side-combinable groupBy on
+(l_partkey, l_suppkey), and every join back to lineitem reuses that
+same key pair, so AQE coalesces the exchange instead of adding one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, dec, query
+
+# Shared derived-partsupp SQL (DuckDB oracle side). Decimal casts make
+# every aggregate exact: availqty is a sum of <=2-decimal quantities,
+# supplycost is 0.6 * a 2-decimal min => exactly 3 decimals.
+_PARTSUPP_SQL = """
+  partsupp AS (
+    SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+             AS ps_availqty,
+           CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2)))
+                * CAST(0.6 AS DECIMAL(2,1)) AS DECIMAL(18,3))
+             AS ps_supplycost
+    FROM lineitem GROUP BY 1, 2
+  )
+"""
+
+
+def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived partsupp view (see module docstring). One shuffle on
+    (partkey, suppkey) with map-side partial aggregation; at 100 TB this
+    is |distinct part-supp pairs| rows — the same cardinality the real
+    PARTSUPP table would have."""
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("ps_availqty"),
+        (
+            F.min(dec(F.col("l_extendedprice")))
+            * F.lit("0.6").cast("decimal(2,1)")
+        )
+        .cast("decimal(18,3)")
+        .alias("ps_supplycost"),
+    )
+
+
+@query(
+    "tpch_q2_min_cost_supplier",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    eligible AS (
+      SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
+             ps.ps_supplycost
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           CAST(ps_supplycost AS DOUBLE) AS supplycost
+    FROM eligible e
+    WHERE ps_supplycost = (
+      SELECT MIN(e2.ps_supplycost) FROM eligible e2
+      WHERE e2.p_partkey = e.p_partkey
+    )
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tags=("tpch", "q2"),
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted: derived partsupp, p_type equality for
+    the generator's single-word types): for every STANDARD part with a
+    European supplier, keep the supplier(s) with the minimum supply
+    cost; top-100 by account balance.
+
+    The spec's correlated MIN subquery decorrelates to a window MIN
+    over p_partkey — one extra exchange on p_partkey instead of a
+    re-scan of the whole eligible set per row. supplier/nation/region
+    broadcast; only the derived-partsupp groupBy and the window
+    exchange shuffle. The LIMIT plans as TakeOrderedAndProject (per-
+    partition top-100, then a 100-row driver merge), never a global
+    sort. Deterministic order: (s_acctbal DESC, n_name, s_name,
+    p_partkey) is a total order because (s_name, p_partkey) is unique
+    per eligible row (W6 tiebreaker rule)."""
+    ps = _derived_partsupp(spark, sf_dir)
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "ps_supplycost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("__min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("__min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            dbl(F.col("ps_supplycost")).alias("supplycost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    profit AS (
+      SELECT n.n_name AS nation,
+             CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                  - ps.ps_supplycost * CAST(l.l_quantity AS DECIMAL(18,2))
+                  AS DECIMAL(28,5)) AS amount
+      FROM lineitem l
+      JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                      AND ps.ps_suppkey = l.l_suppkey
+      JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+    FROM profit GROUP BY nation, o_year
+    """,
+    tags=("tpch", "q9"),
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 product-type profit (adapted: derived supplycost):
+    per-nation per-year profit = revenue minus supply cost for parts
+    whose name contains 'red'.
+
+    Scale shape: the part-name filter broadcasts a pruned part dim that
+    SEMI-filters lineitem before anything else; partsupp⋈lineitem is a
+    co-partitioned join on (partkey, suppkey) — the derived view's own
+    groupBy already hashed on exactly that pair, so AQE reuses the
+    exchange; orders⋈lineitem is the one remaining big shuffle pair.
+    All money arithmetic is decimal (scales 4 and 5 → difference at
+    scale 5, summed exactly) and only the final sum is cast to double,
+    so the result is bit-identical across engines regardless of
+    partitioning."""
+    li = read_table(spark, sf_dir, "lineitem")
+    ps = _derived_partsupp(spark, sf_dir)
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = (
+        dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
+        - F.col("ps_supplycost") * dec(F.col("l_quantity"))
+    ).cast("decimal(28,5)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            amount.alias("amount"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(dbl(F.sum("amount")).alias("sum_profit"))
+    )
+
+
+@query(
+    "tpch_q11_important_stock",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    vals AS (
+      SELECT ps.ps_partkey,
+             CAST(SUM(CAST(ps.ps_supplycost * ps.ps_availqty
+                           AS DECIMAL(28,5))) AS DECIMAL(28,5)) AS stock_value
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'ASIA'
+      GROUP BY ps.ps_partkey
+    )
+    SELECT ps_partkey, CAST(stock_value AS DOUBLE) AS stock_value
+    FROM vals
+    WHERE CAST(stock_value AS DOUBLE) >
+          (SELECT CAST(SUM(stock_value) AS DOUBLE) * 0.001 FROM vals)
+    """,
+    tags=("tpch", "q11"),
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 important stock (adapted: derived partsupp; region
+    ASIA instead of the spec's single nation for non-trivial
+    selectivity): per-part stock value restricted to Asian suppliers,
+    keeping parts above 0.1% of the total.
+
+    The scalar-subquery threshold is a 1-row aggregate broadcast-cross-
+    joined onto the per-part values — no collect(), no second scan of
+    the base table (the vals frame is computed once and reused for
+    both sides via self-containment; Spark plans the reuse as an
+    exchange reuse under AQE). The threshold comparison is double-vs-
+    double computed from the same exact decimals on both engines, so
+    the boundary row set is identical. At 100 TB the only shuffles are
+    the derived groupBy and the per-part re-agg; supplier/nation/region
+    broadcast."""
+    ps = _derived_partsupp(spark, sf_dir)
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vals = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(
+                    "decimal(28,5)"
+                )
+            )
+            .cast("decimal(28,5)")
+            .alias("stock_value")
+        )
+    )
+    total = vals.agg(
+        (dbl(F.sum("stock_value")) * F.lit(0.001)).alias("__threshold")
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(dbl(F.col("stock_value")) > F.col("__threshold"))
+        .select("ps_partkey", dbl(F.col("stock_value")).alias("stock_value"))
+    )
+
+
+@query(
+    "tpch_q20_overstocked_suppliers",
+    oracle=f"""
+    WITH {_PARTSUPP_SQL},
+    shipped AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS qty_1997
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT ps.ps_suppkey
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_name LIKE 'small%'
+      JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                     AND sh.l_suppkey = ps.ps_suppkey
+      WHERE CAST(ps.ps_availqty AS DOUBLE) > 5.0 * CAST(sh.qty_1997 AS DOUBLE)
+    )
+    """,
+    tags=("tpch", "q20"),
+)
+def tpch_q20_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: derived partsupp; the spec's
+    "availqty > 0.5 x shipped qty" flips to "all-time qty > 5 x 1997
+    qty" because the derived availqty already contains the year's
+    shipments — the adapted predicate keeps the query discriminating:
+    suppliers holding 'small%' parts whose 1997 movement was under a
+    fifth of their all-time volume).
+
+    The double-nested IN becomes two stacked LEFT SEMI joins: shipped
+    and partsupp share the (partkey, suppkey) hash, so their join
+    reuses one exchange; the surviving ps_suppkey set semi-filters the
+    (broadcast-sized) supplier dim. No DISTINCT shuffle on the fact
+    side — dedup happens after projection to the tiny supplier
+    output."""
+    ps = _derived_partsupp(spark, sf_dir)
+    li = read_table(spark, sf_dir, "lineitem")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(dec(F.col("l_quantity"))).cast("decimal(18,2)").alias("qty_1997"))
+    )
+    p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    overstocked = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .filter(dbl(F.col("ps_availqty")) > F.lit(5.0) * dbl(F.col("qty_1997")))
+        .select("ps_suppkey")
+    )
+    s = read_table(spark, sf_dir, "supplier")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        s.join(overstocked, s.s_suppkey == overstocked.ps_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", "n_name")
+        .distinct()
+    )
