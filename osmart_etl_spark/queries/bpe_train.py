@@ -118,10 +118,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
             .agg(F.count(F.lit(1)).alias("n"))
         )
-        w = Window.orderBy(F.col("n").desc(), F.col("pa").asc(), F.col("pb").asc())
+        # argmax via orderBy+limit(1): plans as TakeOrderedAndProject —
+        # a per-partition top-1 followed by a 1-row driver merge — instead
+        # of the single-partition WindowExec a global row_number() needs.
         best = (
-            counts.withColumn("__r", F.row_number().over(w))
-            .filter(F.col("__r") == 1)
+            counts.orderBy(F.col("n").desc(), F.col("pa").asc(), F.col("pb").asc())
+            .limit(1)
             .select("pa", "pb", "n")
         )
         results.append(

@@ -72,7 +72,7 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_PARTSUPP_SQL},
     eligible AS (
       SELECT p.p_partkey, p.p_name, s.s_name, s.s_acctbal, n.n_name,
-             ps.ps_supplycost
+             ps.ps_supplycost, s.s_suppkey
       FROM partsupp ps
       JOIN part p ON p.p_partkey = ps.ps_partkey AND p.p_type = 'STANDARD'
       JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
@@ -86,7 +86,7 @@ def _derived_partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(e2.ps_supplycost) FROM eligible e2
       WHERE e2.p_partkey = e.p_partkey
     )
-    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
     LIMIT 100
     """,
     tags=("tpch", "q2"),
@@ -103,9 +103,11 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast; only the derived-partsupp groupBy and the window
     exchange shuffle. The LIMIT plans as TakeOrderedAndProject (per-
     partition top-100, then a 100-row driver merge), never a global
-    sort. Deterministic order: (s_acctbal DESC, n_name, s_name,
-    p_partkey) is a total order because (s_name, p_partkey) is unique
-    per eligible row (W6 tiebreaker rule)."""
+    sort. Deterministic order: s_suppkey (guaranteed unique) is the
+    final tiebreaker on both sides, so (…, p_partkey, s_suppkey) is a
+    total order regardless of duplicate supplier names in regenerated
+    data (W6 tiebreaker rule); it is sorted on but dropped from the
+    output."""
     ps = _derived_partsupp(spark, sf_dir)
     p = read_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     s = read_table(spark, sf_dir, "supplier")
@@ -116,7 +118,15 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
-        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "ps_supplycost")
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            "ps_supplycost",
+            "s_suppkey",
+        )
     )
     w = Window.partitionBy("p_partkey")
     return (
@@ -129,11 +139,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_partkey",
             "p_name",
             dbl(F.col("ps_supplycost")).alias("supplycost"),
+            "s_suppkey",
         )
         .orderBy(
-            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey", "s_suppkey"
         )
         .limit(100)
+        .drop("s_suppkey")
     )
 
 
@@ -232,10 +244,13 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping parts above 0.1% of the total.
 
     The scalar-subquery threshold is a 1-row aggregate broadcast-cross-
-    joined onto the per-part values — no collect(), no second scan of
-    the base table (the vals frame is computed once and reused for
-    both sides via self-containment; Spark plans the reuse as an
-    exchange reuse under AQE). The threshold comparison is double-vs-
+    joined onto the per-part values — no collect(). vals feeds both the
+    threshold aggregate and the filter side; the two branches prune
+    columns differently so Spark does NOT plan a ReusedExchange
+    (verified empirically), hence the lazy localCheckpoint: vals
+    materializes once on first action and both branches read the
+    checkpointed blocks instead of recomputing the join+groupBy. The
+    threshold comparison is double-vs-
     double computed from the same exact decimals on both engines, so
     the boundary row set is identical. At 100 TB the only shuffles are
     the derived groupBy and the per-part re-agg; supplier/nation/region
@@ -259,6 +274,8 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stock_value")
         )
     )
+    # lazy: materialized once at first action, shared by both branches
+    vals = vals.localCheckpoint(eager=False)
     total = vals.agg(
         (dbl(F.sum("stock_value")) * F.lit(0.001)).alias("__threshold")
     )

@@ -414,3 +414,82 @@ def test_orchestrated_tick_with_reconcile_against_db(spark, derby_url, tmp_path)
     _, summary = reconcile(lake, prod, ["art_id", "point_date"], "sim", "prod")
     row = summary.collect()[0]
     assert row["total_keys"] > 0 and row["mismatch_keys"] == 0, row
+
+
+# -- MySQL-dialect golden contract (ventas_limpias case) -------------------
+# The container has no MySQL server, so the mysql branch of
+# build_merge_sql can never be executed live here.  This golden test
+# pins the generated statement for the reference's own table instead:
+# ventas_limpias has PRIMARY KEY (ven_id, tienda, source_system) and
+# nine non-key columns, and the reference upsert
+# (etl_sales/db/db_helpers.py:25-40, sqlalchemy
+# `insert(...).on_duplicate_key_update(...)`) updates EVERY non-key
+# column and NEVER a key column.  Contract checked here: same column
+# partition, plus our keep-latest guard on extracted_at.
+
+_VENTAS_KEYS = ["ven_id", "tienda", "source_system"]
+_VENTAS_COLS = [
+    "ven_id",
+    "tienda",
+    "fecha_hora",
+    "caja",
+    "usuario",
+    "efectivo",
+    "tarjeta",
+    "otros",
+    "total_venta",
+    "source_db",
+    "source_system",
+    "extracted_at",
+]
+
+
+def test_build_merge_sql_mysql_golden_ventas_limpias():
+    from osmart_etl_spark.io.jdbc_sink import build_merge_sql
+
+    sql = build_merge_sql(
+        "ventas_limpias",
+        "ventas_limpias_stg",
+        _VENTAS_KEYS,
+        _VENTAS_COLS,
+        "extracted_at",
+        dialect="mysql",
+    )
+    golden = (
+        "INSERT INTO `ventas_limpias` "
+        "(`ven_id`, `tienda`, `fecha_hora`, `caja`, `usuario`, `efectivo`, "
+        "`tarjeta`, `otros`, `total_venta`, `source_db`, `source_system`, "
+        "`extracted_at`) "
+        "SELECT `ven_id`, `tienda`, `fecha_hora`, `caja`, `usuario`, "
+        "`efectivo`, `tarjeta`, `otros`, `total_venta`, `source_db`, "
+        "`source_system`, `extracted_at` "
+        "FROM `ventas_limpias_stg` AS new "
+        "ON DUPLICATE KEY UPDATE "
+        + ", ".join(
+            f"`{c}` = IF(new.`extracted_at` >= `ventas_limpias`.`extracted_at`, "
+            f"new.`{c}`, `ventas_limpias`.`{c}`)"
+            for c in _VENTAS_COLS
+            if c not in _VENTAS_KEYS
+        )
+    )
+    assert sql == golden
+
+    # structural contract, independent of the literal pin:
+    update_clause = sql.split("ON DUPLICATE KEY UPDATE")[1]
+    for k in _VENTAS_KEYS:
+        assert f"`{k}` = IF(" not in update_clause, f"key {k} must not be updated"
+    for c in _VENTAS_COLS:
+        if c not in _VENTAS_KEYS:
+            assert f"`{c}` = IF(" in update_clause, f"non-key {c} must be updated"
+    # all 12 columns inserted, in schema order
+    assert sql.index("`ven_id`") < sql.index("`tienda`") < sql.index("`fecha_hora`")
+
+
+def test_build_unique_index_sql_mysql_golden():
+    from osmart_etl_spark.io.jdbc_sink import build_unique_index_sql
+
+    sql = build_unique_index_sql("ventas_limpias", _VENTAS_KEYS)
+    assert sql == (
+        "ALTER TABLE `ventas_limpias` ADD CONSTRAINT "
+        "`ventas_limpias_upsert_uk` UNIQUE (`ven_id`, `tienda`, `source_system`)"
+    )
