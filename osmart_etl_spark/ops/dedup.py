@@ -532,3 +532,95 @@ def simhash60(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .filter(F.size(tokens(F.col(text_col))) > 0)
         .select(F.col(id_col), fp.alias("simhash"))
     )
+
+
+def span_occurrences(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """k-token window inventory: one row per window position, keyed by
+    the md5 of the window's space-joined tokens.
+
+    Output: (id_col, pos, g) — pos is the 1-based token index of the
+    window start, g the 128-bit digest. Row count is linear in corpus
+    token count (≈ one row per token), so at 100 TB this stays a single
+    scan + narrow projection; no shuffle happens here.
+    """
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    win = F.expr(
+        f"transform(sequence(1, size(__t) - {k} + 1), "
+        f"i -> struct(CAST(i AS BIGINT) AS pos, "
+        f"md5(array_join(slice(__t, i, {k}), ' ')) AS g))"
+    )
+    return (
+        df.select(id_col, toks.alias("__t"))
+        .filter(F.size("__t") >= k)
+        .select(id_col, F.explode(win).alias("__w"))
+        .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.g").alias("g"))
+    )
+
+
+def span_excision(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022, 'Deduplicating
+    Training Data Makes Language Models Better', the ExactSubstr mode):
+    find every maximal token span of length >= k that also occurs in at
+    least one OTHER document, and emit it as a per-document excision
+    span. Downstream, a trainer cuts [span_start, span_end) out of each
+    listed document instead of dropping the whole document.
+
+    Relational decomposition (suffix-array-free — the paper's suffix
+    array is a single-machine structure; the k-gram inventory is the
+    shuffle-friendly equivalent with identical output for spans >= k):
+
+    1. window inventory (``span_occurrences``): linear, no shuffle;
+    2. duplicated grams: groupBy(g) keeping count(DISTINCT doc) >= 2 —
+       one exchange keyed by uniform digests (no skew by construction);
+    3. occurrence join back on g — co-partitioned with step 2's
+       exchange, so AQE plans a shuffled hash join with no extra
+       exchange on the occurrence side;
+    4. gaps-and-islands merge: overlapping/adjacent hit windows
+       (pos_next <= pos + k) fuse into maximal spans via a per-doc
+       lag + running-sum window — partitioned by doc, never global.
+
+    Output: (id_col, span_start, span_end, span_len, n_windows) with
+    span_end exclusive, positions 1-based in token space.
+    """
+    from pyspark.sql import Window
+
+    occ = span_occurrences(df, id_col, text_col, k)
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+        .filter(F.col("__nd") >= 2)
+        .select("g")
+    )
+    hits = occ.join(dup, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "__ns",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_windows",
+        )
+    )

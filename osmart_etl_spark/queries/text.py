@@ -1111,3 +1111,59 @@ def build_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("df") >= 3)
     )
+
+
+@query(
+    "dedup_span_excision",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+    """,
+    tags=("ext-text", "dedup", "span-excision"),
+)
+def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-span dedup (Lee et al. 2022 ExactSubstr mode):
+    maximal token spans of length >= 8 that also occur in another
+    document, emitted as per-document excision intervals — the dedup
+    mode that removes boilerplate/quoted paragraphs without dropping
+    whole documents.  See ``ops.dedup.span_excision`` for the
+    suffix-array-free relational decomposition and its 100 TB shape
+    (linear k-gram inventory, digest-keyed exchange, per-doc
+    gaps-and-islands merge; no global sort, no quadratic stage).
+    """
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    d = read_table(spark, sf_dir, "documents")
+    return span_excision(d, "doc_id", "text", k=8)

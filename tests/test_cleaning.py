@@ -118,3 +118,60 @@ def test_training_pipeline_chunks_consistent(spark):
             # only the last chunk may be short
             if c["chunk_idx"] < len(chunks) - 1:
                 assert c["n_chunk_tokens"] == _CHUNK
+
+
+# -- exact substring-span dedup (Lee et al. 2022 ExactSubstr) --------------
+
+
+def test_span_excision_planted_duplicate_paragraph(spark):
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    # 12-token paragraph planted in docs a and b at different offsets;
+    # doc c shares nothing >= k=8 tokens with anyone.
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    a = "pre1 pre2 pre3 " + para + " tail-a1 tail-a2"
+    b = para + " tail-b1 tail-b2 tail-b3 tail-b4"
+    c = "unique1 unique2 unique3 unique4 unique5 unique6 unique7 unique8 unique9 unique10"
+    df = spark.createDataFrame(
+        [("a", a), ("b", b), ("c", c)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in span_excision(df, "doc_id", "text", k=8).collect()}
+
+    # only the two docs holding the planted paragraph get a span
+    assert set(rows) == {"a", "b"}
+    # doc a: paragraph occupies token positions 4..15 (1-based); the
+    # duplicated 8-windows start at 4..8, so the merged span is
+    # [4, 8+8) = [4, 16) — exactly the paragraph extent.
+    assert rows["a"]["span_start"] == 4 and rows["a"]["span_end"] == 16
+    assert rows["a"]["span_len"] == 12 and rows["a"]["n_windows"] == 5
+    # doc b: paragraph at positions 1..12 -> span [1, 13)
+    assert rows["b"]["span_start"] == 1 and rows["b"]["span_end"] == 13
+    assert rows["b"]["span_len"] == 12 and rows["b"]["n_windows"] == 5
+
+
+def test_span_excision_merges_adjacent_and_separate_spans(spark):
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    # two distinct shared regions in one doc, separated by a long unique
+    # gap -> must come out as TWO spans, not one.
+    r1 = "one two three four five six seven eight"          # 8 tokens
+    r2 = "nine ten eleven twelve thirteen fourteen fifteen sixteen"  # 8 tokens
+    gap = " ".join(f"gapx{i}" for i in range(12))
+    d1 = r1 + " " + gap + " " + r2
+    d2 = r1 + " other filler words here now yes " + r2
+    df = spark.createDataFrame([("d1", d1), ("d2", d2)], ["doc_id", "text"])
+    out = span_excision(df, "doc_id", "text", k=8).collect()
+    spans_d1 = sorted(
+        [(r["span_start"], r["span_end"]) for r in out if r["doc_id"] == "d1"]
+    )
+    # r1 at positions 1..8 -> [1,9); r2 at 21..28 -> [21,29)
+    assert spans_d1 == [(1, 9), (21, 29)]
+
+
+def test_span_excision_no_duplicates_empty(spark):
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    df = spark.createDataFrame(
+        [("x", " ".join(f"tok{i}" for i in range(30)))], ["doc_id", "text"]
+    )
+    assert span_excision(df, "doc_id", "text", k=8).count() == 0
