@@ -154,7 +154,16 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(docs, "doc_id", "text", k=9).persist()
     toks = sets.select("doc_id", F.explode("__sh").alias("token"))
     sizes = sets.select("doc_id", F.size("__sh").cast("bigint").alias("n"))
-    dfreq = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__df"))
+    # Numbered repartitions below pin reduce-stage parallelism: AQE
+    # sizes these stages by shuffle BYTES and coalesced each to a
+    # single task (measured 1.4-2.0 s serial apiece at sf0.1) even
+    # though their CPU cost is per-record.
+    n_par0 = spark.sparkContext.defaultParallelism * 2
+    dfreq = (
+        toks.repartition(n_par0, "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__df"))
+    )
 
     from pyspark.sql import Window
 
@@ -167,6 +176,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 10
     prefix = (
         toks.join(dfreq, "token")
+        .repartition(n_par0, "doc_id")
         .withColumn("__pos", F.row_number().over(wd))
         .join(sizes, "doc_id")
         .filter(
@@ -175,11 +185,21 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("doc_id").alias("id_small"), "token")
     )
+    # Numbered repartition on the grouping keys UNDER the count agg:
+    # the raw prefix-collision pair stream has low per-partition key
+    # repetition, so adaptive partial aggregation bails out and the
+    # agg's ENSURE_REQUIREMENTS exchange carries raw pairs — which AQE
+    # then coalesces to a single reduce task by byte size (same
+    # pathology measured at 5.7 s serial in setsim_exact_join). The
+    # numbered exchange satisfies the agg requirement, is exempt from
+    # AQE coalescing, and keeps the candidate count parallel.
+    n_par = spark.sparkContext.defaultParallelism * 2
     cand = (
         prefix.join(
             toks.select(F.col("doc_id").alias("id_big"), "token"), "token"
         )
         .filter(F.col("id_small") != F.col("id_big"))
+        .repartition(n_par, "id_small", "id_big")
         .groupBy("id_small", "id_big")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") >= K + 1)

@@ -109,6 +109,13 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     sets = shingle_sets(docs, "doc_id", "text", k=5).persist()
+    # Materialize the cache ONCE, in parallel, before the plan fans
+    # out: the tiers spawn ~15 concurrent broadcast-subtree jobs that
+    # all scan `sets`; on a cold cache they serialize behind the cache
+    # write locks in 1.5-2 s waves (measured: the warm query spent the
+    # majority of its wall time in those waits, not in compute). The
+    # driver-side cost is one scalar count, never row data.
+    sets.count()
     sizes = sets.select("doc_id", F.size("__sh").cast("bigint").alias("n"))
     ratio = (1 - _SS_T) / (1 + _SS_T)
 
@@ -126,29 +133,67 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .groupBy("doc_id", "g")
             .agg(F.expr("bit_xor(h)").alias("sig"))
-            # referenced 3x below (self-join a/b + stats): persist, or
-            # the explode+agg chain recomputes per reference (measured
+            # referenced by both sides of the self-join below: persist,
+            # or the explode+agg chain recomputes per reference (measured
             # 14.1 s -> ~6 s for tier 1 at sf0.1; Spark's exchange
             # reuse does not fire across these AQE-planned subtrees)
             .persist()
         )
-        stats = (
-            sums.groupBy("doc_id")
-            .agg((F.lit(g) - F.count(F.lit(1))).alias("e"))
-            .join(member, "doc_id")
+        # per-doc empty-group count from the cached shingle ARRAY — a
+        # row-local array_distinct, no explode/shuffle. Computing it
+        # from `sums` made the sa/sb broadcast subtrees recompute the
+        # whole explode+agg DAG serially (AQE coalesced the cold-cache
+        # exchange to ONE partition: a measured 8-12 s single-task
+        # stage, the query's dominant cost).
+        stats = member.join(sets, "doc_id").select(
+            "doc_id",
+            "n",
+            (
+                F.lit(g)
+                - F.size(
+                    F.array_distinct(
+                        F.transform(
+                            F.col("__sh"),
+                            lambda t: F.pmod(F.xxhash64(t), F.lit(g)),
+                        )
+                    )
+                )
+            ).cast("bigint").alias("e"),
         )
+        # Self-join on (group, signature): posting lists are duplicate
+        # clusters only, so the pair fan-out is c-squared per cluster —
+        # the inherent cost of exact agreement counting (a map-side
+        # bucket-explode variant was tried and measured SLOWER at
+        # sf0.1: 11.6 s vs 9.0 s, the collect_list+struct explosion
+        # costs more than the hash join). The build side is a bounded
+        # G·|docs| signature relation (broadcast here; at 100 TB both
+        # sides are already exchanged on their join key, so Catalyst
+        # plans the co-partitioned shuffle join instead).
         a = sums.alias("a")
         b = sums.alias("b")
+        pairs = a.join(
+            F.broadcast(b),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        # Numbered repartition UNDER the groupBy: the raw agreement-pair
+        # stream is c-squared per duplicate cluster (measured 6.2M rows
+        # tier 1 / 3.8M tier 2 at sf0.1) and Spark's adaptive partial
+        # aggregation bails out on it (pair keys repeat too little per
+        # map partition), so the agg's own ENSURE_REQUIREMENTS exchange
+        # carried the raw pairs — and AQE coalesced its reduce to ONE
+        # task (measured 5.7 s serial, the query's largest stage). A
+        # numbered hash repartition on the exact grouping keys satisfies
+        # the agg requirement, is exempt from AQE coalescing, and keeps
+        # the pair-count reduce cluster-wide.
         agree = (
-            a.join(
-                b,
-                (F.col("a.g") == F.col("b.g"))
-                & (F.col("a.sig") == F.col("b.sig"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            pairs.repartition(
+                spark.sparkContext.defaultParallelism * 2, "id_a", "id_b"
             )
-            .groupBy(
-                F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-            )
+            .groupBy("id_a", "id_b")
             .agg(F.count(F.lit(1)).alias("__c"))
         )
         sa = stats.select(
@@ -186,8 +231,14 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     big = sizes.filter(F.col("n") > _SS_TIER3_MIN_N).select(
         F.col("doc_id").alias("id_big"), F.col("n").alias("n_big")
     )
+    # broadcast the (near-empty) big side: the nested-loop join then
+    # keeps `sizes`'s partitioning. Without the hint Spark built a
+    # ~1024-partition NLJ whose empty partitions leaked through the
+    # union into distinct+verify as pure task-scheduling overhead
+    # (measured: the 1026-task stage was ~2/3 of the query wall time).
     t3 = (
-        big.join(
+        F.broadcast(big)
+        .join(
             sizes.select(F.col("doc_id").alias("id_o"), F.col("n").alias("n_o")),
             F.col("n_o").cast("double")
             >= F.lit(_SS_T) * F.col("n_big").cast("double") - F.lit(1e-9),
@@ -198,7 +249,15 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("id_big", "id_o").alias("id_b"),
         )
     )
-    cand = t1.unionAll(t2).unionAll(t3).distinct()
+    # Explicit numbered repartition after distinct: AQE sizes the
+    # post-distinct stage by its shuffle BYTES (tiny — candidate id
+    # pairs), coalescing it to ONE partition; but that stage pipelines
+    # the array_intersect verify, whose cost is per-pair CPU, not
+    # bytes. Measured: the whole verify ran as a single 8.4 s task.
+    # A numbered repartition is exempt from AQE coalescing, so the
+    # verify keeps cluster-wide parallelism.
+    n_par = spark.sparkContext.defaultParallelism * 2
+    cand = t1.unionAll(t2).unionAll(t3).distinct().repartition(n_par)
 
     # Exact verify in ARRAY form: the per-doc shingle arrays are a
     # broadcastable dimension here (5 000 rows); at 100 TB this becomes
