@@ -496,3 +496,60 @@ def test_hopping_window_stream_matches_batch(spark, tmp_path, events_stream_dir)
         assert n == bn
         assert tv == btv
         assert abs(nu_approx - bnu) <= max(3, 0.15 * bnu)
+
+
+def test_lsh_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming foreachBatch incremental LSH dedup == the batch
+    dedup_incremental_lsh query on the same base/new split: stream the
+    'new' 20% of documents in doc_id-ordered micro-batches against the
+    base 80%, and the union of per-batch band collisions must equal the
+    batch query's (id_new, id_match, from_base) set exactly; docs with
+    no collision land in the novel output."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.base import REGISTRY
+    from osmart_etl_spark.streaming.lsh_stream import run_lsh_dedup_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+
+    # three doc_id-ordered files so availableNow processes ordered
+    # micro-batches (earlier arrivals have smaller ids, matching the
+    # batch query's id-based tie-break)
+    stream_src = str(tmp_path / "arrivals")
+    ids = sorted(r["doc_id"] for r in new.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    new.filter(F.col("doc_id") <= cuts[0]).coalesce(1).write.parquet(
+        stream_src + "/f0"
+    )
+    new.filter(
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+    ).coalesce(1).write.parquet(stream_src + "/f1")
+    new.filter(F.col("doc_id") > cuts[1]).coalesce(1).write.parquet(
+        stream_src + "/f2"
+    )
+
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src + "/f*")
+    )
+    matches, novel = run_lsh_dedup_stream(
+        spark, stream, base, str(tmp_path / "lsh_work")
+    )
+
+    got = {
+        (r["id_new"], r["id_match"], r["from_base"]) for r in matches.collect()
+    }
+    want = {
+        (r["id_new"], r["id_match"], r["from_base"])
+        for r in REGISTRY["dedup_incremental_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(want) > 0
+
+    # novel = new docs that never collided, each exactly once
+    matched_ids = {t[0] for t in want}
+    novel_ids = [r["doc_id"] for r in novel.collect()]
+    assert len(novel_ids) == len(set(novel_ids))
+    assert set(novel_ids) == {i for i in ids if i not in matched_ids}
