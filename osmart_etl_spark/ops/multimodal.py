@@ -18,7 +18,12 @@ Two tiers of codec honesty:
 - WAV (RIFF/PCM 8- and 16-bit) is implemented FOR REAL in pure
   stdlib+numpy (``decode_wav`` / ``encode_wav``: RIFF chunk walk, PCM
   sample decode, RMS+ZCR featurizer).
-- Remaining COMPRESSED formats (jpeg/mp3/h264…) need PIL/libsndfile/
+- JPEG is implemented FOR REAL in pure numpy (``ops/jpeg.py``: T.81
+  baseline sequential — Huffman entropy decode, dequant, 8x8 IDCT,
+  4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
+  YCbCr->RGB; plus a baseline 4:4:4 encoder for fixtures). Progressive
+  JPEG raises ValueError -> decode_status, never a job failure.
+- Remaining COMPRESSED formats (webp/mp3/h264…) need PIL/libsndfile/
   ffmpeg, absent from this container — those paths are stubbed behind
   ``DECODERS`` (each stub either raises NotImplementedError or
   produces a deterministic fake, clearly marked).
@@ -308,19 +313,30 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image feature dispatch: PNG payloads decode FOR REAL via the
-    pure-stdlib codec above and featurize like raw images; other
-    compressed formats (jpeg/webp) fall through to the deterministic
-    fake until their libraries exist in the container."""
+    pure-stdlib codec above, JPEG payloads decode FOR REAL via the
+    pure-numpy baseline codec (ops/jpeg.py — T.81 sequential DCT with
+    4:4:4/4:2:2/4:2:0 and restart markers; progressive raises
+    ValueError -> decode_status='error'), and both featurize like raw
+    images; WebP falls through to the deterministic fake until its
+    library exists in the container."""
     if payload[:8] == _PNG_MAGIC:
         return _quadrant_feature(decode_png(payload))
+    if payload[:2] == b"\xff\xd8":
+        from osmart_etl_spark.ops.jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        if img.ndim == 2:  # grayscale JPEG -> single-channel plane
+            img = img[:, :, None]
+        return _quadrant_feature(img)
     return _fake_decode_image(payload)
 
 
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder for non-PNG compressed images:
-    a real implementation calls PIL/opencv here. The fake derives an
-    8-dim feature from payload bytes so the plumbing (batching, schema,
-    determinism) is testable."""
+    """STUB — deterministic fake decoder for WebP (the one image format
+    still without a real in-container codec; PNG and JPEG decode for
+    real above): a real implementation calls PIL/opencv here. The fake
+    derives an 8-dim feature from payload bytes so the plumbing
+    (batching, schema, determinism) is testable."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return arr.reshape(8, 8).mean(axis=1) / 255.0
 

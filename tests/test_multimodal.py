@@ -3,6 +3,7 @@ failure capture (ops/multimodal.py)."""
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 
@@ -333,3 +334,132 @@ def test_wav_payload_features_end_to_end(spark):
     assert all(z > 0.02 for z in zcr)
     out2 = extract_features(media).collect()
     assert out2[0]["feature"] == feat
+
+
+# -- REAL JPEG codec (ops/jpeg.py) -----------------------------------------
+
+# 16x16 Python-logo JPEG + its lossless PPM sibling from CPython's own
+# test suite (Lib/test/imghdrdata, PSF-licensed test data) — a REAL
+# third-party-encoded 4:2:0 baseline JPEG, so decoding it checks our
+# decoder against an independent encoder, not against our own.
+_REAL_JPG = "/9j/4AAQSkZJRgABAQEAAQABAAD/2wBDAAMCAgICAgMCAgIDAwMDBAYEBAQEBAgGBgUGCQgKCgkICQkKDA8MCgsOCwkJDRENDg8QEBEQCgwSExIQEw8QEBD/2wBDAQMDAwQDBAgEBAgQCwkLEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBAQEBD/wAARCAAQABADASIAAhEBAxEB/8QAFgABAQEAAAAAAAAAAAAAAAAABwQF/8QAJBAAAQQBBAICAwAAAAAAAAAAAQIDBAYFBwgSExEiABQJMTL/xAAVAQEBAAAAAAAAAAAAAAAAAAAABv/EACMRAAECBQMFAAAAAAAAAAAAAAECEQMEBQYhABIxFRZhgeH/2gAMAwEAAhEDEQA/ABSm0mobc8HmExLUlRzzEWPkJWW+ulrsaUVAseUgslSlH9LKuPryIKuWPZdskzXmm3fX5m2nF4GlVxx/HOpx4ks51+MiU/Iaad7UcUo4tILoS4kqcWkezS0hO/HvuRp0rO6hWnWO1UisZVuFi4GFeyEpmGepa5S5SWVPuciFKRFLgSrwetnyPIB+Vb4N9mKhQMzo5po9XLdDs9d6ZVix2VEhiL9kuNPxw2gEKcDQ/rs8AuA8VAe0vdl7VOYn+27flGAUgmITjbhSmCg3BYlyeWDkMolvw4KOp1KM6iCNvngZHwetf//Z"
+_REAL_PPM = "UDYKMTYgMTYKMjU1CgAAAAAAAAAAAAAAAE6NwEqGukiDtER+rUB4pzxxnjdolgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEyKvP///0V/r0F5qD50ojpvmzZplAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEmFt0aAsUJ7qj51oztwnTdqljZplAAAAAAAAAAAAAAAAAAAAAAAAE6PxEyKv0iFtkN9rT10oTlsljZmkDhslzZplDZplAAAAAAAAAAAAAAAAAAAAFKRxk+NwUuIu0iDtER9rUB4pj1zoDltmTZplDZplDZplAAAAP/iVf3dSvnVPgAAAFCPw0yJvEiEtUV/r0F5qD10oTpvmzZplDZplDZplDJghwAAAP/eS//aQf3VNgAAAE2LvkmFt0aAsEJ7qj51oztwnDdqljZplDVokjJghwAAAOzORf/aQv/WN//TLQAAAEqHuUeBskN8qz92pTZpkxsxRQAAAAAAAAAAAAAAAOLDRf3ZQf/XOP/TLf/PIwAAAEaBskR9rUB4pjZnkQAAAPLhbv3pav/mYf/jV//fTf/bQv/XOP/TLv/PJP3LGwAAAEN9rkF5qD10oRwyS/Xjb//rbP/nYf/jV//fTf/bQ//XOf/TLv/PJP/MHPPBGgAAAEB1oz1zojpwnAAAAP/rbP/nYv/jWP/fTv/bQ//XOf/TL//PJP/MHP/MHMKaEgAAAAAAAAAAAAAAAAAAAP/nYv/jWP/fTujHPevFNOvCKuu+Ieu7GOu7GMabEgAAAAAAAAAAAAAAAAAAAAAAAP/jWP/fTv/bRP/XOv/TMP/QJf/MHAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAP3eTv/bRP/YOv/UMP/QJv////3LGwAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAPHQP/rTOf3SL//QJv/MHPrHGcCXEgAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=="
+
+
+def _ppm_pixels():
+    import base64
+
+    raw = base64.b64decode(_REAL_PPM)
+    parts = raw.split(b"\n", 3)
+    assert parts[0].strip() == b"P6"
+    w, h = map(int, parts[1].split())
+    return np.frombuffer(parts[3][: w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+
+def test_jpeg_idct_spec_properties():
+    from osmart_etl_spark.ops.jpeg import ZIGZAG, fdct2, idct2
+
+    # zig-zag pinned against T.81 Figure 5 (guards symmetric
+    # encode/decode bugs that a roundtrip alone cannot catch)
+    assert list(ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+    # DC-only coefficient block -> flat spatial block at DC/8
+    c = np.zeros((8, 8))
+    c[0, 0] = 8.0
+    blk = idct2(c)
+    assert np.allclose(blk, 1.0)
+    # transform pair inverts exactly
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=(8, 8))
+    assert np.allclose(idct2(fdct2(x)), x)
+
+
+def test_jpeg_decodes_real_third_party_file():
+    import base64
+
+    from osmart_etl_spark.ops.jpeg import decode_jpeg
+
+    img = decode_jpeg(base64.b64decode(_REAL_JPG))
+    truth = _ppm_pixels()
+    assert img.shape == truth.shape == (16, 16, 3)
+    err = np.abs(img.astype(int) - truth.astype(int))
+    # high-quality (quant steps 2-3) but 4:2:0-subsampled 16x16 logo:
+    # sharp-edge chroma bleed bounds the error, structure must match
+    assert float(err.mean()) < 12.0, float(err.mean())
+    luma = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]  # noqa: E731
+    corr = np.corrcoef(luma(img).ravel(), luma(truth).ravel())[0, 1]
+    assert corr > 0.97, corr
+
+
+def test_jpeg_roundtrip_and_pinned_fixture():
+    import hashlib
+
+    from osmart_etl_spark.ops.jpeg import decode_jpeg, encode_jpeg
+
+    yy, xx = np.mgrid[0:24, 0:40]
+    img = np.stack(
+        [(yy * 7 + 3) % 256, (xx * 5 + 11) % 256, (yy * 3 + xx * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    enc = encode_jpeg(img, 75)
+    # encoder is deterministic -> the whole payload is pinnable
+    assert hashlib.md5(enc).hexdigest() == "572a700a946da9a375f232fad10b945c"
+    dec = decode_jpeg(enc)
+    # decoded pixels pinned byte-exactly (float64 IDCT + one final
+    # half-away-from-zero rounding = platform-deterministic)
+    assert dec.shape == (24, 40, 3)
+    assert hashlib.md5(dec.tobytes()).hexdigest() == (
+        "08d4659d6b563dcfdad72e07973ed121"
+    )
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert int(err.max()) <= 4 and float(err.mean()) < 2.0
+    # constant color survives near-exactly
+    flat = np.full((16, 24, 3), [200, 30, 90], dtype=np.uint8)
+    dflat = decode_jpeg(encode_jpeg(flat, 90))
+    assert int(np.abs(dflat.astype(int) - flat.astype(int)).max()) <= 1
+    # grayscale path
+    g = ((yy * 5) % 256).astype(np.uint8)
+    og = decode_jpeg(encode_jpeg(g, 85))
+    assert og.shape == g.shape
+    assert float(np.abs(og.astype(int) - g.astype(int)).mean()) < 2.0
+
+
+def test_jpeg_rejects_non_baseline():
+    import pytest as _pytest
+
+    from osmart_etl_spark.ops.jpeg import decode_jpeg
+
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\x89PNG\r\n\x1a\n")  # not a JPEG at all
+    # progressive SOF2 marker right after SOI must be rejected, not
+    # mis-decoded
+    prog = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with _pytest.raises(ValueError):
+        decode_jpeg(prog + b"\xff\xd9")
+
+
+def test_extract_features_jpeg_ok_status(spark):
+    import base64
+
+    from osmart_etl_spark.ops.jpeg import encode_jpeg
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+
+    yy, xx = np.mgrid[0:16, 0:16]
+    img = np.stack([yy * 9 % 256, xx * 9 % 256, (yy + xx) * 5 % 256], axis=-1).astype(
+        np.uint8
+    )
+    good = encode_jpeg(img, 80)
+    real = base64.b64decode(_REAL_JPG)
+    corrupt = b"\xff\xd8\xff\xc2truncated-progressive"
+    rows = [
+        (1, "image", bytearray(good), len(good), None, None, None),
+        (2, "image", bytearray(real), len(real), None, None, None),
+        (3, "image", bytearray(corrupt), len(corrupt), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert out[1]["decode_status"] == "ok" and len(out[1]["feature"]) == 4
+    assert out[2]["decode_status"] == "ok" and len(out[2]["feature"]) == 4
+    assert all(0.0 <= v <= 1.0 for v in out[1]["feature"])
+    assert out[3]["decode_status"] == "decode_error" and out[3]["feature"] is None
