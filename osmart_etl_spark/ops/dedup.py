@@ -275,9 +275,16 @@ def jaccard_verify_hybrid(
     explode and whose cost scales with |candidates| only."""
     sa = doc_sets.select(F.col(id_col).alias("id_a"), F.explode("__sh").alias("shingle"))
     sb = doc_sets.select(F.col(id_col).alias("id_b"), F.explode("__sh").alias("shingle"))
+    # numbered repartitions on the join key: AQE sizes the (id_b,
+    # shingle) sort-merge stage by shuffle bytes and coalesced the
+    # ~12M-record probe to TWO tasks (measured 10 s serial at sf0.1);
+    # fixed-count exchanges satisfy the join requirement, are exempt
+    # from coalescing, and keep the codegen'd hash join cluster-wide.
+    n_par = doc_sets.sparkSession.sparkContext.defaultParallelism * 2
     inter = (
         sa.join(F.broadcast(pairs), "id_a")
-        .join(sb, ["id_b", "shingle"])
+        .repartition(n_par, "id_b", "shingle")
+        .join(sb.repartition(n_par, "id_b", "shingle"), ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )

@@ -184,6 +184,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_MAGIC:
         raise ValueError("not a PNG payload (bad signature)")
     pos, ihdr, idat = 8, None, bytearray()
+    plte, trns = None, None
     while pos + 8 <= len(payload):
         ln = int.from_bytes(payload[pos : pos + 4], "big")
         typ = payload[pos + 4 : pos + 8]
@@ -193,6 +194,10 @@ def decode_png(payload: bytes) -> np.ndarray:
             ihdr = data
         elif typ == b"IDAT":
             idat += data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"tRNS":
+            trns = data
         elif typ == b"IEND":
             break
     if ihdr is None or len(ihdr) < 13:
@@ -200,12 +205,20 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = int.from_bytes(ihdr[0:4], "big")
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+    paletted = color_type == 3
+    ok_shape = interlace == 0 and (
+        (bit_depth == 8 and color_type in _PNG_CHANNELS)
+        or (paletted and bit_depth in (1, 2, 4, 8))
+    )
+    if not ok_shape:
         raise ValueError(
             f"unsupported PNG shape: depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} (8-bit non-interlaced 0/2/4/6 only)"
+            f"interlace={interlace} (8-bit non-interlaced 0/2/4/6, or "
+            f"1/2/4/8-bit palette, only)"
         )
-    channels = _PNG_CHANNELS[color_type]
+    if paletted and (plte is None or len(plte) % 3):
+        raise ValueError("paletted PNG missing/malformed PLTE chunk")
+    channels = 1 if paletted else _PNG_CHANNELS[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -213,13 +226,13 @@ def decode_png(payload: bytes) -> np.ndarray:
         # mapInPandas operators turn that into a decode_error row, never
         # a job failure
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    stride = width * channels
+    stride = (width * channels * bit_depth + 7) // 8
     if len(raw) != height * (stride + 1):
         raise ValueError(
             f"PNG scanline data length {len(raw)} != {height * (stride + 1)}"
         )
     out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
+    bpp = max(1, channels * bit_depth // 8)  # filter byte distance
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(height):
         line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
@@ -246,7 +259,27 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = rec.astype(np.uint8)
         prev = rec
-    return out.reshape(height, width, channels)
+    if not paletted:
+        return out.reshape(height, width, channels)
+    # palette expansion: unpack sub-byte indices (MSB-first per spec),
+    # then gather RGB from PLTE (+ alpha from tRNS when present)
+    if bit_depth == 8:
+        idx = out[:, :width]
+    else:
+        bits = np.unpackbits(out, axis=1)
+        per = bit_depth
+        idx = np.zeros((height, width), dtype=np.uint8)
+        for b in range(per):
+            idx = (idx << 1) | bits[:, b::per][:, :width]
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    if idx.max() >= pal.shape[0]:
+        raise ValueError("palette index out of range")
+    rgb = pal[idx]
+    if trns is not None:
+        alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+        alpha[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+        return np.concatenate([rgb, alpha[idx][..., None]], axis=-1)
+    return rgb
 
 
 def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:

@@ -248,8 +248,17 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # indexed-transform comprehension in codegen. Replaces the
     # orderkey self-join, which read the basket twice and shuffled
     # both sides.
-    arrs = basket.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    # numbered repartitions under the two aggregations: AQE sizes both
+    # reduce stages by shuffle bytes and coalesced them to 1-2 tasks
+    # (basket collapse 1.7 s serial, raw-pair count 1.6 s over 2.4M
+    # records, measured at sf0.1) even though their cost is per-record
+    # CPU; the fixed-count exchanges satisfy the agg requirements and
+    # are exempt from coalescing.
+    n_par = spark.sparkContext.defaultParallelism * 2
+    arrs = (
+        basket.repartition(n_par, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
     pair_col = F.flatten(
         F.transform(
@@ -263,6 +272,7 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         arrs.select(F.explode(pair_col).alias("__p"))
         .select(F.col("__p.pa").alias("pa"), F.col("__p.pb").alias("pb"))
+        .repartition(n_par, "pa", "pb")
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
@@ -284,7 +294,11 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wk = Window.partitionBy("part").orderBy(F.col("score").desc(), F.col("partner").asc())
     return (
-        scored.withColumn("rank", F.row_number().over(wk).cast("bigint"))
+        # numbered repartition on the window key — same AQE coalescing
+        # guard as the aggs above (the top-k sort stage read 2.3M rows
+        # in one task otherwise)
+        scored.repartition(n_par, "part")
+        .withColumn("rank", F.row_number().over(wk).cast("bigint"))
         .filter(F.col("rank") <= _CO_TOPK)
         .select("part", "partner", "n_ab", "score", "rank")
     )

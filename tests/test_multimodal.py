@@ -463,3 +463,62 @@ def test_extract_features_jpeg_ok_status(spark):
     assert out[2]["decode_status"] == "ok" and len(out[2]["feature"]) == 4
     assert all(0.0 <= v <= 1.0 for v in out[1]["feature"])
     assert out[3]["decode_status"] == "decode_error" and out[3]["feature"] is None
+
+
+# 16x16 palette (color_type 3, tRNS alpha) PNG sibling of the same
+# CPython-test-suite logo — exercises the PLTE/tRNS decode path against
+# the lossless PPM ground truth above.
+_REAL_PAL_PNG = "iVBORw0KGgoAAAANSUhEUgAAABAAAAAQCAMAAAAoLQ9TAAAAIGNIUk0AAHomAACAhAAA+gAAAIDoAAB1MAAA6mAAADqYAAAXcJy6UTwAAAHFUExURQAAAE6NwEqGujxxnjdolgAAAAAAAAAAAAAAAAAAAE6PxEyKv0iFtkN9rT10oTlsljZmkAAAAAAAAFKRxv3dSvnVPgAAADJghwAAAP3VNgAAADVokgAAAOzORQAAADZpkxsxRQAAAAAAAOLDRf3ZQQAAAEaBsjZnkQAAAPLhbv3pav3LG0N9rhwyS/Xjb/PBGkB1oz1zogAAAMKaEgAAAAAAAAAAAAAAAAAAAOjHPevFNOvCKuu+Ieu7GMabEgAAAAAAAAAAAAAAAAAAAAAAAAAAAP3eTgAAAAAAAAAAAAAAAPHQP/rTOf3SL/rHGcCXEgAAAAAAAAAAAAAAAAAAAAAAAEiDtER+rUB4p0yKvP///0V/r0F5qD50ojpvmzZplEmFt0aAsUJ7qj51oztwnTdqljhsl0+NwUuIu0R9rUB4pj1zoDltmf/iVVCPw0yJvEiEtT10of/eS//aQU2LvkaAsDtwnP/aQv/WN//TLUqHuUeBskN8qz92pf/XOP/PI//mYf/jV//fTf/bQv/TLv/PJP/rbP/nYf/bQ//XOf/MHDpwnP/nYv/jWP/fTv/TL//bRP/XOv/TMP/QJf/YOv/UMP/QJpJJAAIAAABWdFJOUwCv7feSCwMoQRV+oKGjp6qqSBi994IKtkPtJPdPiD22XExHa/dG96pOpvf311uzwm/3S3o0CCE8NaqpqampeSACCRMSLB73QBwFAUzM99h7Ox1CRTgf+DIQcQAAAAFiS0dEWgO7paIAAAD1SURBVBjTY2AAAkamsPAIZhZWNgYoiIyKjomNi2dnhQkkJCYlp6TGc3CCeVzcPLx8/AJp8fGCQiC+cHpGWGZWdk48UCBXRFSMIS+/IDqmMA7IF5coKpaUYihJKE1KLkuNlxaXkS2vqJRjqKquqZVXUBRU4lBWqausV2VQy8xS19DUamhsaq5radVWYtCJKdTVa2tvbOrobGnt0udgMDDsNmrr6e3r6Oxv7eoyNmEwNTO3APItraxtbG3tOOwZHBydnHv7JkycNLmLw8LFFeJ6twlTpk6L0nb3cPT0Agt4+/hO6/LzD3CGec400CJIKTgk1BTIBgBAYkJ/yC2b5QAAACV0RVh0ZGF0ZTpjcmVhdGUAMjAxNC0wMS0yNlQyMDo1OTozNyswMjowMPuaB3cAAAAldEVYdGRhdGU6bW9kaWZ5ADIwMTQtMDEtMjZUMjA6NTk6MDArMDI6MDDB74amAAAAAElFTkSuQmCC"
+
+
+def test_png_palette_decodes_exactly():
+    import base64
+
+    from osmart_etl_spark.ops.multimodal import decode_png
+
+    img = decode_png(base64.b64decode(_REAL_PAL_PNG))
+    truth = _ppm_pixels()
+    assert img.shape == (16, 16, 4)  # tRNS -> alpha channel
+    assert (img[:, :, :3] == truth).all()
+    assert img[:, :, 3].max() == 255
+
+
+def test_png_palette_low_bit_depth():
+    import struct
+    import zlib
+
+    from osmart_etl_spark.ops.multimodal import decode_png
+
+    # hand-built 5x3 2-bit palette PNG: 4-color palette, no tRNS
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 13, 29])
+    idx_rows = [[0, 1, 2, 3, 0], [3, 2, 1, 0, 3], [1, 1, 2, 2, 0]]
+    raw = bytearray()
+    for row in idx_rows:
+        raw.append(0)  # filter None
+        byte0 = (row[0] << 6) | (row[1] << 4) | (row[2] << 2) | row[3]
+        byte1 = row[4] << 6
+        raw += bytes([byte0, byte1])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 2, 3, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", pal)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    img = decode_png(payload)
+    assert img.shape == (3, 5, 3)
+    want = np.array(
+        [[list(pal[3 * i : 3 * i + 3]) for i in row] for row in idx_rows],
+        dtype=np.uint8,
+    )
+    assert (img == want).all()
