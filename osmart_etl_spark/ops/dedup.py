@@ -631,3 +631,57 @@ def span_excision(
             "n_windows",
         )
     )
+
+
+def span_excision_intra(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Intra-document repeated-span excision — the self-repetition
+    companion of ``span_excision``: find every k-token window that
+    occurs MORE THAN ONCE within the same document, keep each gram's
+    FIRST occurrence, and emit the later occurrences as merged excision
+    spans (the loops/boilerplate repetition mode: navigation blocks,
+    templated headers, degenerate generation loops).
+
+    Same relational skeleton as the cross-doc mode, but the duplicated-
+    gram detection is per (doc, gram) — a window rank instead of a
+    corpus-wide groupBy, so the only exchange is keyed (doc, gram) and
+    the merge stays per-doc. Output columns match ``span_excision``.
+    """
+    from pyspark.sql import Window
+
+    occ = span_occurrences(df, id_col, text_col, k)
+    wg = Window.partitionBy(id_col, "g").orderBy("pos")
+    hits = (
+        occ.withColumn("__occ", F.row_number().over(wg))
+        .filter(F.col("__occ") >= 2)
+        .select(id_col, "pos")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    flagged = hits.withColumn(
+        "__ns",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") - F.lag("pos").over(w) > k),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    islands = flagged.withColumn(
+        "__isl",
+        F.sum("__ns").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k)).cast("bigint").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_windows",
+        )
+    )

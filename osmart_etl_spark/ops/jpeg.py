@@ -2,17 +2,23 @@
 container, so the container format and the entropy/transform pipeline
 are implemented from the public ITU-T T.81 spec:
 
-- decoder: baseline sequential DCT (SOF0) — DQT/DHT/SOF0/DRI/SOS
+- decoder: baseline sequential DCT (SOF0/SOF1) — DQT/DHT/SOF/DRI/SOS
   parsing, canonical Huffman decode with byte-stuffing, DC prediction
   with restart-marker resets, dequantize, 8x8 IDCT as a pair of matrix
   products, chroma upsampling for 4:4:4 / 4:2:2 / 4:2:0, BT.601
-  YCbCr->RGB. Unsupported encodings (progressive SOF2, arithmetic,
-  12-bit) raise ValueError, which the mapInPandas operators surface
-  per-row as decode_status — never a job failure.
-- encoder: baseline 4:4:4 with the T.81 Annex K tables (quant scaled by
-  the libjpeg quality convention, standard Huffman) — enough to
-  generate real, spec-conformant fixtures and roundtrip tests without
-  any third-party codec.
+  YCbCr->RGB — AND progressive DCT (SOF2): spectral selection +
+  successive approximation per T.81 G.1/G.2, accumulating per-scan
+  coefficient updates (DC/AC first passes, DC/AC refinement with EOB
+  runs and correction bits) before one vectorized reconstruction.
+  Still-unsupported encodings (arithmetic coding, hierarchical,
+  lossless, 12-bit) raise ValueError, which the mapInPandas operators
+  surface per-row as decode_status — never a job failure.
+- encoders: baseline 4:4:4 with the T.81 Annex K tables (quant scaled
+  by the libjpeg quality convention, standard Huffman), plus a
+  grayscale progressive encoder (standard successive-approximation
+  scan script) whose quantized coefficients are identical to the
+  sequential encoder's — the tests assert progressive and sequential
+  encodings of the same image decode to bit-identical pixels.
 
 Spark-side integration is ops/multimodal._decode_image: payloads
 starting with the JPEG SOI marker decode here FOR REAL; the labeled
@@ -271,9 +277,10 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline sequential JPEG to uint8 [H, W] (grayscale)
-    or [H, W, 3] (RGB). Raises ValueError for non-baseline encodings
-    (progressive, arithmetic, hierarchical, 12-bit)."""
+    """Decode a baseline sequential (SOF0/SOF1) or progressive (SOF2)
+    JPEG to uint8 [H, W] (grayscale) or [H, W, 3] (RGB). Raises
+    ValueError for the remaining encodings (arithmetic, hierarchical,
+    lossless, 12-bit)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -281,7 +288,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_dc: dict[int, _HuffDecoder] = {}
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None  # (h, w, comps) comps: list of (cid, hsamp, vsamp, tq)
+    progressive = False
+    coeffs: dict[int, np.ndarray] = {}  # cid -> [by, bx, 64] zigzag-order
     restart_interval = 0
+    scans_done = 0
     n = len(payload)
 
     while pos + 4 <= n:
@@ -324,7 +334,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 p += nv
                 dec = _HuffDecoder(bits, vals)
                 (huff_dc if tc == 0 else huff_ac)[th] = dec
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/SOF1 (baseline+ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 baseline, SOF2 progressive
             prec = seg[0]
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
@@ -335,8 +345,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X} unsupported")
+            progressive = marker == 0xC2
+            if progressive:
+                hmax = max(c[1] for c in comps)
+                vmax = max(c[2] for c in comps)
+                mcx = -(-w // (8 * hmax))
+                mcy = -(-h // (8 * vmax))
+                coeffs = {
+                    c[0]: np.zeros((mcy * c[2], mcx * c[1], 64), dtype=np.int32)
+                    for c in comps
+                }
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"unsupported SOF marker 0xFF{marker:02X}")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -348,17 +368,42 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tdta = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan.append((cs, tdta >> 4, tdta & 0x0F))
             ecs_start = pos + seglen
-            return _decode_scan(
+            if not progressive:
+                return _decode_scan(
+                    payload,
+                    ecs_start,
+                    frame,
+                    scan,
+                    qtables,
+                    huff_dc,
+                    huff_ac,
+                    restart_interval,
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0x0F
+            pos = _progressive_scan(
                 payload,
                 ecs_start,
                 frame,
                 scan,
-                qtables,
+                ss,
+                se,
+                ah,
+                al,
                 huff_dc,
                 huff_ac,
                 restart_interval,
+                coeffs,
             )
+            scans_done += 1
+            continue
         pos += seglen
+    if progressive and coeffs and scans_done:
+        missing = [c[3] for c in frame[2] if c[3] not in qtables]
+        if missing:
+            raise ValueError(f"missing quantization tables {missing}")
+        return _reconstruct_progressive(frame, coeffs, qtables)
     raise ValueError("no SOS marker found")
 
 
@@ -428,7 +473,15 @@ def _decode_scan(
                         planes[cid][y0 : y0 + 8, x0 : x0 + 8] = px
             mcu_count += 1
 
-    # upsample to full resolution, crop, color-convert
+    return _planes_to_image(planes, frame)
+
+
+def _planes_to_image(planes: dict, frame: tuple) -> np.ndarray:
+    """Upsample component planes to full resolution, crop to the frame
+    size, and color-convert (shared by baseline + progressive paths)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
@@ -446,6 +499,191 @@ def _decode_scan(
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) scan decoding — spectral selection + successive
+# approximation per T.81 G.1/G.2, refinement algorithm per G.1.2.3
+# (the same control flow as libjpeg's decode_mcu_AC_refine).
+# ---------------------------------------------------------------------------
+
+
+def _progressive_scan(
+    data: bytes,
+    pos: int,
+    frame: tuple,
+    scan: list,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc: dict,
+    huff_ac: dict,
+    restart_interval: int,
+    coeffs: dict,
+) -> int:
+    """Decode ONE progressive scan into the per-component coefficient
+    arrays (zigzag index space) and return the byte offset just past
+    this scan's entropy-coded data."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    comp_by_id = {c[0]: c for c in comps}
+
+    br = _BitReader(data, pos)
+    pred = {s[0]: 0 for s in scan}
+    state = {"eobrun": 0}
+    rst_n = 0
+
+    def dc_block(blk: np.ndarray, td: int, cid: int) -> None:
+        if ah == 0:
+            t = br.decode_huff(huff_dc[td])
+            pred[cid] += _extend(br.receive(t), t)
+            blk[0] = pred[cid] << al
+        else:
+            blk[0] = int(blk[0]) | (br.read_bit() << al)
+
+    def ac_first(blk: np.ndarray, ta: int) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = br.decode_huff(huff_ac[ta])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                state["eobrun"] = (1 << r) - 1 + (br.receive(r) if r else 0)
+                break
+            k += r
+            if k > se:
+                raise ValueError("progressive AC run past spectral end")
+            blk[k] = _extend(br.receive(s), s) << al
+            k += 1
+
+    def ac_refine(blk: np.ndarray, ta: int) -> None:
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = br.decode_huff(huff_ac[ta])
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s == 0:
+                    if r != 15:
+                        state["eobrun"] = (1 << r) + (br.receive(r) if r else 0)
+                        break
+                    # r == 15: pass over 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("invalid refinement magnitude")
+                    val = p1 if br.read_bit() else m1
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if br.read_bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0:
+                    if k > se:
+                        raise ValueError("refinement placement past spectral end")
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= se:
+                c = int(blk[k])
+                if c != 0 and br.read_bit() and (c & p1) == 0:
+                    blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+
+    def do_restart(i_unit: int) -> int:
+        nonlocal rst_n
+        if restart_interval and i_unit and i_unit % restart_interval == 0:
+            br.align_and_expect_rst(rst_n)
+            rst_n = (rst_n + 1) & 7
+            for cid in pred:
+                pred[cid] = 0
+            state["eobrun"] = 0
+        return i_unit
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if len(scan) > 1:
+            # interleaved DC scan over the MCU grid
+            unit = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    do_restart(unit)
+                    for cs, td, _ta in scan:
+                        _cid, hs, vs, _tq = comp_by_id[cs]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                dc_block(
+                                    coeffs[cs][my * vs + by, mx * hs + bx], td, cs
+                                )
+                    unit += 1
+        else:
+            cs, td, _ta = scan[0]
+            _cid, hs, vs, _tq = comp_by_id[cs]
+            bw = -((-(w * hs)) // hmax)  # component sample width (ceil)
+            bh = -((-(h * vs)) // vmax)
+            bw, bh = -(-bw // 8), -(-bh // 8)  # block dims (ceil)
+            for u in range(bw * bh):
+                do_restart(u)
+                dc_block(coeffs[cs][u // bw, u % bw], td, cs)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        cs, _td, ta = scan[0]
+        _cid, hs, vs, _tq = comp_by_id[cs]
+        bw = -((-(w * hs)) // hmax)
+        bh = -((-(h * vs)) // vmax)
+        bw, bh = -(-bw // 8), -(-bh // 8)
+        fn = ac_first if ah == 0 else ac_refine
+        for u in range(bw * bh):
+            do_restart(u)
+            fn(coeffs[cs][u // bw, u % bw], ta)
+
+    # skip to the next marker (padding FFs and stray RSTs included)
+    p = br.pos
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return n
+
+
+def _reconstruct_progressive(
+    frame: tuple, coeffs: dict, qtables: dict
+) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient arrays and
+    assemble the image (vectorized over all blocks per component)."""
+    h, w, comps = frame
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        zz = coeffs[cid].astype(np.int64)  # [BY, BX, 64] zigzag order
+        raster = np.zeros_like(zz)
+        raster[:, :, ZIGZAG] = zz
+        deq = (raster * qtables[tq][None, None, :]).astype(np.float64)
+        by, bx = deq.shape[0], deq.shape[1]
+        blocks = deq.reshape(by, bx, 8, 8)
+        px = _M.T[None, None] @ blocks @ _M[None, None] + 128.0
+        planes[cid] = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    return _planes_to_image(planes, frame)
 
 
 # ---------------------------------------------------------------------------
@@ -593,5 +831,214 @@ def encode_jpeg(img: np.ndarray, quality: int = 75) -> bytes:
     sos += bytes([0, 63, 0])
     out += seg(0xDA, sos)
     out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder (grayscale, spectral bands + successive
+# approximation) — exists to prove the progressive DECODER: encoding
+# the same quantized coefficients progressively and sequentially must
+# decode to IDENTICAL pixels, which the tests assert bit-exactly.
+# ---------------------------------------------------------------------------
+
+
+def _emit_eobrun(bw: "_BitWriter", act: dict, state: dict) -> None:
+    """Flush a pending EOB run (with its buffered correction bits)."""
+    eobrun = state["eobrun"]
+    if eobrun == 0:
+        return
+    nbits = eobrun.bit_length() - 1
+    code, ln = act[nbits << 4]
+    bw.write(code, ln)
+    if nbits:
+        bw.write(eobrun - (1 << nbits), nbits)
+    for bit in state["bits"]:
+        bw.write(bit, 1)
+    state["eobrun"] = 0
+    state["bits"] = []
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 75) -> bytes:
+    """Encode uint8 [H, W] grayscale as a progressive (SOF2) JPEG with
+    the standard successive-approximation scan script: DC(Al=1),
+    AC 1-5(Al=1), AC 6-63(Al=1), then the three Al=0 refinement scans.
+    Deterministic; quantized coefficients are identical to
+    ``encode_jpeg``'s, so both decode to identical pixels."""
+    img = np.asarray(img)
+    if img.ndim != 2:
+        raise ValueError("progressive encoder is grayscale-only")
+    h, w = img.shape
+    ql = quality_scale(QUANT_LUMA, quality)
+    bh, bwd = -(-h // 8), -(-w // 8)
+
+    # quantized coefficient grid, zigzag order
+    plane = img.astype(np.float64) - 128.0
+    grid = np.zeros((bh, bwd, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bwd):
+            blk = np.zeros((8, 8))
+            tile = plane[by * 8 : min(by * 8 + 8, h), bx * 8 : min(bx * 8 + 8, w)]
+            blk[: tile.shape[0], : tile.shape[1]] = tile
+            if tile.shape[0] < 8:
+                blk[tile.shape[0] :, :] = blk[tile.shape[0] - 1, :]
+            if tile.shape[1] < 8:
+                blk[:, tile.shape[1] :] = blk[:, tile.shape[1] - 1 : tile.shape[1]]
+            q = np.round(fdct2(blk) / ql.reshape(8, 8).astype(np.float64)).astype(
+                np.int64
+            )
+            grid[by, bx] = q.reshape(-1)[ZIGZAG]
+
+    dct = _canonical_codes(DC_LUMA_BITS, DC_LUMA_VALS)
+    # custom AC table: progressive scans need EOBn symbols ((n<<4)|0,
+    # n=1..14) that the Annex K baseline table lacks — emit a valid
+    # (suboptimal) canonical table covering every RS byte: 6 symbols at
+    # depth 8, the remaining 250 at depth 9 (kraft sum 0.512 <= 1)
+    ac_vals = list(range(256))
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, 6, 250, 0, 0, 0, 0, 0, 0, 0]
+    act = _canonical_codes(ac_bits, ac_vals)
+
+    def dc_first_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        pred = 0
+        for by in range(bh):
+            for bx in range(bwd):
+                v = int(grid[by, bx, 0]) >> al  # arithmetic shift (T.81 G.1.2.1)
+                diff = v - pred
+                pred = v
+                t, bits = _magnitude(diff)
+                code, ln = dct[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(bits, t)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def dc_refine_scan(al: int) -> bytes:
+        bw = _BitWriter()
+        for by in range(bh):
+            for bx in range(bwd):
+                bw.write((int(grid[by, bx, 0]) >> al) & 1, 1)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_first_scan(ss: int, se: int, al: int) -> bytes:
+        bw = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(bh):
+            for bx in range(bwd):
+                zz = grid[by, bx]
+                # truncated-magnitude point transform (T.81 G.1.2.2)
+                vals = [
+                    int(np.sign(zz[k])) * (abs(int(zz[k])) >> al)
+                    for k in range(ss, se + 1)
+                ]
+                last = -1
+                for i, v in enumerate(vals):
+                    if v:
+                        last = i
+                if last < 0:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        _emit_eobrun(bw, act, state)
+                    continue
+                _emit_eobrun(bw, act, state)
+                run = 0
+                for i in range(last + 1):
+                    v = vals[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                    t, bits = _magnitude(v)
+                    code, ln = act[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(bits, t)
+                    run = 0
+                if last < se - ss:
+                    state["eobrun"] += 1
+                    if state["eobrun"] == 0x7FFF:
+                        _emit_eobrun(bw, act, state)
+        _emit_eobrun(bw, act, state)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def ac_refine_scan(ss: int, se: int, al: int) -> bytes:
+        # mirrors libjpeg encode_mcu_AC_refine: newly-significant
+        # coefficients emit (run, 1)+sign; already-significant ones
+        # buffer correction bits behind the next emitted symbol
+        bw = _BitWriter()
+        state = {"eobrun": 0, "bits": []}
+        for by in range(bh):
+            for bx in range(bwd):
+                zz = grid[by, bx]
+                absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+                eob = -1
+                for i, v in enumerate(absv):
+                    if v == 1:
+                        eob = i
+                run = 0
+                pending: list[int] = []
+                for i, v in enumerate(absv):
+                    if v == 0:
+                        run += 1
+                        continue
+                    if v > 1:
+                        # history coefficient: buffer its correction bit
+                        pending.append((abs(int(zz[ss + i])) >> al) & 1)
+                        continue
+                    if i > eob:
+                        break
+                    while run > 15:
+                        _emit_eobrun(bw, act, state)
+                        code, ln = act[0xF0]
+                        bw.write(code, ln)
+                        for bit in pending:
+                            bw.write(bit, 1)
+                        pending = []
+                        run -= 16
+                    _emit_eobrun(bw, act, state)
+                    code, ln = act[(run << 4) | 1]
+                    bw.write(code, ln)
+                    bw.write(1 if zz[ss + i] > 0 else 0, 1)
+                    for bit in pending:
+                        bw.write(bit, 1)
+                    pending = []
+                    run = 0
+                if run > 0 or pending:
+                    state["eobrun"] += 1
+                    state["bits"].extend(pending)
+                    if state["eobrun"] == 0x7FFF:
+                        _emit_eobrun(bw, act, state)
+                else:
+                    # block fully emitted: nothing deferred
+                    pass
+        _emit_eobrun(bw, act, state)
+        bw.flush()
+        return bytes(bw.buf)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes(ql.astype(np.uint8)[ZIGZAG]))
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    out += seg(0xC2, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(DC_LUMA_BITS) + bytes(DC_LUMA_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+
+    def sos(ss: int, se: int, ah: int, al: int, data_: bytes) -> bytes:
+        hdr = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return seg(0xDA, hdr) + data_
+
+    out += sos(0, 0, 0, 1, dc_first_scan(1))
+    out += sos(1, 5, 0, 1, ac_first_scan(1, 5, 1))
+    out += sos(6, 63, 0, 1, ac_first_scan(6, 63, 1))
+    out += sos(0, 0, 1, 0, dc_refine_scan(0))
+    out += sos(1, 5, 1, 0, ac_refine_scan(1, 5, 0))
+    out += sos(6, 63, 1, 0, ac_refine_scan(6, 63, 0))
     out += b"\xff\xd9"
     return bytes(out)

@@ -347,11 +347,11 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image feature dispatch: PNG payloads decode FOR REAL via the
     pure-stdlib codec above, JPEG payloads decode FOR REAL via the
-    pure-numpy baseline codec (ops/jpeg.py — T.81 sequential DCT with
-    4:4:4/4:2:2/4:2:0 and restart markers; progressive raises
-    ValueError -> decode_status='error'), and both featurize like raw
-    images; WebP falls through to the deterministic fake until its
-    library exists in the container."""
+    pure-numpy codec (ops/jpeg.py — T.81 sequential AND progressive
+    DCT with 4:4:4/4:2:2/4:2:0 and restart markers; arithmetic/
+    hierarchical/12-bit raise ValueError -> decode_status), and both
+    featurize like raw images; WebP falls through to the deterministic
+    fake until its library exists in the container."""
     if payload[:8] == _PNG_MAGIC:
         return _quadrant_feature(decode_png(payload))
     if payload[:2] == b"\xff\xd8":

@@ -1167,3 +1167,58 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return span_excision(d, "doc_id", "text", k=8)
+
+
+@query(
+    "dedup_intra_doc_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    hits AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY doc_id, g ORDER BY pos) AS occ_n
+        FROM occ
+      ) WHERE occ_n >= 2
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + 8 AS BIGINT) AS span_end,
+           CAST(MAX(pos) + 8 - MIN(pos) AS BIGINT) AS span_len,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+    """,
+    tags=("ext-text", "dedup", "span-excision"),
+)
+def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repeated-span excision: token windows of length
+    >= 8 that repeat WITHIN a document, keeping each repeated gram's
+    first occurrence and emitting the later ones as merged per-doc
+    excision intervals — the self-repetition cleanup (boilerplate
+    loops, templated blocks, degenerate generations) that document-
+    level dedup can never catch.  See ``ops.dedup.span_excision_intra``.
+    """
+    from osmart_etl_spark.ops.dedup import span_excision_intra
+
+    d = read_table(spark, sf_dir, "documents")
+    return span_excision_intra(d, "doc_id", "text", k=8)

@@ -175,3 +175,39 @@ def test_span_excision_no_duplicates_empty(spark):
         [("x", " ".join(f"tok{i}" for i in range(30)))], ["doc_id", "text"]
     )
     assert span_excision(df, "doc_id", "text", k=8).count() == 0
+
+
+def test_span_excision_intra_planted_repetition(spark):
+    from osmart_etl_spark.ops.dedup import span_excision_intra
+
+    rep = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    # doc r: repeated block at positions 1..8, 15..22 and 23..30
+    # (second and third repeats are adjacent -> ONE merged span)
+    mid = "u1 u2 u3 u4 u5 u6"
+    r = rep + " " + mid + " " + rep + " " + rep
+    # doc c: no repetition
+    c = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame([("r", r), ("c", c)], ["doc_id", "text"])
+    rows = [
+        x.asDict() for x in span_excision_intra(df, "doc_id", "text", k=8).collect()
+    ]
+    assert all(x["doc_id"] == "r" for x in rows)
+    spans = sorted((x["span_start"], x["span_end"]) for x in rows)
+    # the FIRST occurrence (pos 1) is kept; the 8-gram at pos 15 and 23
+    # repeats it, and pos 16..22 windows (straddling the two adjacent
+    # copies) also recur at... only exact window repeats count: windows
+    # starting 15 and 23 are the exact block; any other repeated window
+    # merges into the same island if within k. Assert the island covers
+    # the two later copies (tokens 15..30 -> [15, 31)) and NOT the first.
+    assert len(spans) == 1
+    s0, s1 = spans[0]
+    assert s0 >= 15 and s1 == 31
+
+
+def test_span_excision_intra_no_repeats_empty(spark):
+    from osmart_etl_spark.ops.dedup import span_excision_intra
+
+    df = spark.createDataFrame(
+        [("x", " ".join(f"tok{i}" for i in range(40)))], ["doc_id", "text"]
+    )
+    assert span_excision_intra(df, "doc_id", "text", k=8).count() == 0

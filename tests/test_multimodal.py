@@ -522,3 +522,49 @@ def test_png_palette_low_bit_depth():
         dtype=np.uint8,
     )
     assert (img == want).all()
+
+
+def test_jpeg_progressive_decodes_bit_identical_to_sequential():
+    """Progressive (SOF2) decode correctness: encoding the SAME
+    quantized coefficients with the successive-approximation scan
+    script (DC Al=1 + refine, AC bands 1-5/6-63 first + refine, EOB
+    runs, correction bits) must decode to EXACTLY the pixels of the
+    sequential encoding — bit-for-bit."""
+    from osmart_etl_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    yy, xx = np.mgrid[0:40, 0:56]
+    cases = {
+        "gradient": ((yy * 5 + xx * 3) % 256).astype(np.uint8),
+        "noise": rng.integers(0, 256, size=(24, 32)).astype(np.uint8),
+        "flat": np.full((16, 16), 77, np.uint8),
+        "odd": ((yy[:17, :19] * 11) % 256).astype(np.uint8),
+    }
+    for name, img in cases.items():
+        seq = decode_jpeg(encode_jpeg(img, 80))
+        prog_payload = encode_jpeg_progressive(img, 80)
+        # really progressive: SOF2 marker present, 6 SOS scans
+        assert b"\xff\xc2" in prog_payload and prog_payload.count(b"\xff\xda") == 6
+        prog = decode_jpeg(prog_payload)
+        assert (seq == prog).all(), name
+
+
+def test_jpeg_progressive_eobrun_across_blocks():
+    """A mostly-empty image makes consecutive all-zero AC bands span
+    many blocks — exercising EOBn runs (n>0) in both encoder and
+    decoder paths."""
+    from osmart_etl_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((64, 64), 128, np.uint8)
+    img[10, 10] = 255  # one impulse; every other block is DC-only
+    seq = decode_jpeg(encode_jpeg(img, 85))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 85))
+    assert (seq == prog).all()
