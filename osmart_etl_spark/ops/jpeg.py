@@ -200,17 +200,27 @@ class _BitReader:
     """Entropy-coded-segment bit reader: un-stuffs 0xFF00, stops at
     markers. RSTn markers are consumed explicitly via expect_rst()."""
 
+    #: corrupt/truncated streams would otherwise feed the Huffman loop
+    #: zero padding forever (a 65k x 65k phantom MCU grid decodes for
+    #: minutes) — a real stream needs at most a few pad BYTES to flush
+    #: its final MCU, so a small budget separates EOF flush from rot
+    _MAX_PAD_BITS = 4096
+
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pad_bits = 0
 
     def _fill(self) -> None:
         while self.nbits <= 24:
             if self.pos >= len(self.data):
                 self.acc = (self.acc << 8) | 0  # pad past EOI
                 self.nbits += 8
+                self.pad_bits += 8
+                if self.pad_bits > self._MAX_PAD_BITS:
+                    raise ValueError("premature end of entropy-coded data")
                 continue
             b = self.data[self.pos]
             if b == 0xFF:
@@ -221,10 +231,16 @@ class _BitReader:
                     # restart marker: stop filling; expect_rst consumes
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.pad_bits += 8
+                    if self.pad_bits > self._MAX_PAD_BITS:
+                        raise ValueError("premature end of entropy-coded data")
                     continue
                 else:  # EOI / next segment: pad
                     self.acc = (self.acc << 8) | 0
                     self.nbits += 8
+                    self.pad_bits += 8
+                    if self.pad_bits > self._MAX_PAD_BITS:
+                        raise ValueError("premature end of entropy-coded data")
                     continue
             else:
                 self.pos += 1
@@ -278,9 +294,20 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Decode a baseline sequential (SOF0/SOF1) or progressive (SOF2)
-    JPEG to uint8 [H, W] (grayscale) or [H, W, 3] (RGB). Raises
-    ValueError for the remaining encodings (arithmetic, hierarchical,
-    lossless, 12-bit)."""
+    JPEG to uint8 [H, W] (grayscale) or [H, W, 3] (RGB).
+
+    Error contract: EVERY malformed/unsupported payload raises
+    ValueError — the exception the mapInPandas operators convert to a
+    per-row decode_status. Fuzzing showed corrupt streams can surface
+    as Index/Key/Overflow/struct errors deep in the parser; the wrapper
+    normalizes them (a 100 TB decode job must treat rot as data)."""
+    try:
+        return _decode_jpeg_inner(payload)
+    except (IndexError, KeyError, OverflowError, ZeroDivisionError, struct.error) as exc:
+        raise ValueError(f"malformed JPEG stream: {type(exc).__name__} {exc}") from exc
+
+
+def _decode_jpeg_inner(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload (missing SOI)")
     pos = 2
@@ -339,11 +366,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if prec != 8:
                 raise ValueError("only 8-bit precision supported")
             h, w = struct.unpack(">HH", seg[1:5])
+            if h == 0 or w == 0 or h > 65500 or w > 65500 or h * w > 50_000_000:
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             nc = seg[5]
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
-                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                hs, vs = hv >> 4, hv & 0x0F
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"invalid sampling factors {hs}x{vs}")
+                comps.append((cid, hs, vs, tq))
             frame = (h, w, comps)
             progressive = marker == 0xC2
             if progressive:

@@ -1222,3 +1222,171 @@ def dedup_intra_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     return span_excision_intra(d, "doc_id", "text", k=8)
+
+
+# shared CTE body for the span-excision family (cross-doc duplicated
+# 8-gram windows -> merged per-doc islands)
+_SPAN_CTES = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start,
+             CAST(MAX(pos) + 8 AS BIGINT) AS span_end
+      FROM islands GROUP BY doc_id, isl
+    )
+"""
+
+
+@query(
+    "dedup_span_excised_text",
+    oracle=f"""
+    WITH {_SPAN_CTES},
+    pos AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, t[u.i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    keep AS (
+      SELECT p.doc_id, p.pos, p.tok FROM pos p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM spans s
+        WHERE s.doc_id = p.doc_id
+          AND p.pos >= s.span_start AND p.pos < s.span_end
+      )
+    )
+    SELECT p.doc_id,
+      COALESCE(
+        (SELECT string_agg(k.tok, ' ' ORDER BY k.pos)
+         FROM keep k WHERE k.doc_id = p.doc_id), '') AS cleaned_text,
+      CAST(COUNT(*) AS BIGINT)
+        - CAST((SELECT COUNT(*) FROM keep k2 WHERE k2.doc_id = p.doc_id)
+          AS BIGINT) AS n_tokens_removed
+    FROM pos p GROUP BY p.doc_id
+    """,
+    tags=("ext-text", "dedup", "span-excision"),
+)
+def dedup_span_excised_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ExactSubstr deliverable: apply ``dedup_span_excision``'s
+    intervals to the corpus and emit each document's CLEANED text with
+    the repeated spans cut out (plus how many tokens went). This is the
+    artifact a training pipeline actually feeds the tokenizer.
+
+    Spark shape: span detection as in ``ops.dedup.span_excision``, then
+    one groupBy collecting each doc's spans, a LEFT join back to the
+    corpus (docs without spans pass through untouched), and a row-local
+    higher-order filter over the token array — the excision itself
+    never shuffles, only the span list (thousands of rows) moves.
+    """
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    d = read_table(spark, sf_dir, "documents")
+    spans = (
+        span_excision(d, "doc_id", "text", k=8)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(F.struct("span_start", "span_end")).alias("__sp")
+        )
+    )
+    t = tokens(F.col("text"))
+    joined = d.select("doc_id", t.alias("__t")).join(spans, "doc_id", "left")
+    kept = F.expr(
+        "filter(__t, (x, i) -> NOT exists(coalesce(__sp, array()), "
+        "s -> i + 1 >= s.span_start AND i + 1 < s.span_end))"
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("cleaned_text"),
+        (F.size("__t") - F.size(kept)).cast("bigint").alias("n_tokens_removed"),
+    )
+
+
+@query(
+    "corpus_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, md5(array_to_string(t[u.i:u.i+7], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - 8 + 2)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    gdocs AS (
+      SELECT g, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd FROM occ GROUP BY g
+    ),
+    per_doc AS (
+      SELECT o.doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_windows,
+        CAST(SUM(CASE WHEN gd.nd = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM occ o JOIN gdocs gd USING (g)
+      GROUP BY o.doc_id
+    )
+    SELECT doc_id, n_windows, n_novel,
+      CAST(n_novel AS DOUBLE) / CAST(n_windows AS DOUBLE) AS novelty
+    FROM per_doc
+    """,
+    tags=("ext-text", "novelty"),
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's 8-token
+    windows that occur in NO other document — the inverse signal of
+    span dedup, used to rank documents for sampling (high-novelty docs
+    contribute new text; novelty ~0 means the doc is stitched from
+    corpus boilerplate). Score = novel windows / total windows, a
+    bigint/bigint double division (bit-deterministic cross-engine).
+
+    Shape: window inventory (linear scan), one digest-keyed groupBy
+    counting distinct docs per gram, co-partitioned join-back, one
+    per-doc aggregate — two exchanges total, both on uniform keys.
+    """
+    from osmart_etl_spark.ops.dedup import span_occurrences
+
+    d = read_table(spark, sf_dir, "documents")
+    occ = span_occurrences(d, "doc_id", "text", k=8).select("doc_id", "g")
+    gdocs = occ.groupBy("g").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("__nd")
+    )
+    return (
+        occ.join(gdocs, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+            F.sum(F.when(F.col("__nd") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_windows").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -211,3 +211,37 @@ def test_span_excision_intra_no_repeats_empty(spark):
         [("x", " ".join(f"tok{i}" for i in range(40)))], ["doc_id", "text"]
     )
     assert span_excision_intra(df, "doc_id", "text", k=8).count() == 0
+
+
+def test_span_excised_text_removes_planted_paragraph(spark):
+    """End-to-end: the duplicated paragraph disappears from BOTH docs'
+    cleaned text (positions differ per doc), unique docs untouched."""
+    from osmart_etl_spark.ops.dedup import span_excision
+    from pyspark.sql import functions as SF
+
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    a = "pre1 pre2 " + para + " tail1"
+    b = para + " other1 other2 other3"
+    c = " ".join(f"u{i}" for i in range(15))
+    df = spark.createDataFrame([("a", a), ("b", b), ("c", c)], ["doc_id", "text"])
+
+    spans = (
+        span_excision(df, "doc_id", "text", k=8)
+        .groupBy("doc_id")
+        .agg(SF.collect_list(SF.struct("span_start", "span_end")).alias("__sp"))
+    )
+    toks = SF.filter(SF.split(SF.col("text"), " "), lambda x: x != SF.lit(""))
+    joined = df.select("doc_id", toks.alias("__t")).join(spans, "doc_id", "left")
+    kept = SF.expr(
+        "filter(__t, (x, i) -> NOT exists(coalesce(__sp, array()), "
+        "s -> i + 1 >= s.span_start AND i + 1 < s.span_end))"
+    )
+    out = {
+        r["doc_id"]: r["cleaned"]
+        for r in joined.select(
+            "doc_id", SF.array_join(kept, " ").alias("cleaned")
+        ).collect()
+    }
+    assert out["a"] == "pre1 pre2 tail1"
+    assert out["b"] == "other1 other2 other3"
+    assert out["c"] == c

@@ -568,3 +568,41 @@ def test_jpeg_progressive_eobrun_across_blocks():
     seq = decode_jpeg(encode_jpeg(img, 85))
     prog = decode_jpeg(encode_jpeg_progressive(img, 85))
     assert (seq == prog).all()
+
+
+def test_jpeg_corrupt_payloads_valueerror_only_and_fast():
+    """Decode error contract under rot: EVERY truncated or bit-flipped
+    payload either decodes (bit flips in entropy data often stay
+    valid JPEG) or raises ValueError — never Index/Key/Overflow/struct
+    errors (which would escape the mapInPandas decode_status catch and
+    kill a 100 TB job), and never the quasi-hang where corrupt SOF
+    dimensions made zero-padding feed a phantom 65k x 65k MCU grid."""
+    import random
+    import time
+
+    from osmart_etl_spark.ops.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    yy, xx = np.mgrid[0:24, 0:24]
+    img = ((yy * 7 + xx * 3) % 256).astype(np.uint8)
+    rng = random.Random(42)
+    t_start = time.time()
+    for payload in (encode_jpeg(img, 80), encode_jpeg_progressive(img, 80)):
+        for cut in (3, 10, 50, len(payload) // 2, len(payload) - 3):
+            try:
+                decode_jpeg(payload[:cut])
+            except ValueError:
+                pass
+        for _ in range(150):
+            b = bytearray(payload)
+            for _ in range(rng.randint(1, 6)):
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
+    # 310 corrupt decodes must stay fast: no pathological loops
+    assert time.time() - t_start < 30.0
