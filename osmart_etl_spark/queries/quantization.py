@@ -402,3 +402,86 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query(
+    "embedding_int8_quantize",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    dims AS (
+      SELECT u.i AS pos, MAX(ABS(v[u.i])) AS mx
+      FROM emb, unnest(range(1, len(v) + 1)) AS u(i)
+      GROUP BY u.i
+    ),
+    scales AS (
+      SELECT list(mx ORDER BY pos) AS s FROM dims
+    ),
+    coded AS (
+      SELECT e.vec_id, e.label,
+        list_transform(list_zip(e.v, sc.s),
+          p -> CAST(CASE WHEN p[2] = 0 THEN 0
+                    ELSE FLOOR(p[1] / p[2] * 127.0) END AS BIGINT)) AS codes,
+        list_reduce(list_prepend(0.0,
+          list_transform(list_zip(e.v, sc.s),
+            p -> (p[1] - (CASE WHEN p[2] = 0 THEN 0
+                          ELSE FLOOR(p[1] / p[2] * 127.0) END) * p[2] / 127.0)
+               * (p[1] - (CASE WHEN p[2] = 0 THEN 0
+                          ELSE FLOOR(p[1] / p[2] * 127.0) END) * p[2] / 127.0))),
+          (acc, x) -> acc + x) AS recon_err_sq
+      FROM emb e CROSS JOIN scales sc
+    )
+    SELECT vec_id, label, codes, recon_err_sq FROM coded
+    """,
+    tags=("ext-similarity", "quantization", "int8"),
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding table — the vector-DB
+    storage baseline next to PQ: per-DIMENSION symmetric scale
+    s_d = max|x_d| over the corpus, code = floor(x/s*127) (floor, not
+    a double->int cast: Spark truncates, DuckDB rounds — floor is the
+    one portable choice, same pitfall as lsh band division), plus each
+    vector's exact reconstruction error as a strict left fold.
+
+    Shape at 100 TB: the scale vector is ONE tiny aggregate (posexplode
+    -> per-dim max, order-independent, then a 1-row array) broadcast to
+    a single row-local projection over the corpus — the quantization
+    itself never shuffles. Output is per-vector (codes + error), so no
+    cross-row double summation whose arrival order could vary.
+    """
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scales = (
+        emb.select(F.posexplode("v").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("x"))).alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mx"))),
+                lambda s: s["mx"],
+            ).alias("s")
+        )
+    )
+    joined = emb.crossJoin(F.broadcast(scales))
+    code = (
+        "CASE WHEN p.s = CAST(0 AS DOUBLE) THEN CAST(0 AS BIGINT) "
+        "ELSE CAST(FLOOR(p.x / p.s * 127.0D) AS BIGINT) END"
+    )
+    codes = F.expr(
+        f"transform(zip_with(v, s, (x, s) -> struct(x AS x, s AS s)), p -> {code})"
+    )
+    err = F.expr(
+        "aggregate(zip_with(v, s, (x, s) -> struct(x AS x, s AS s)), "
+        f"CAST(0 AS DOUBLE), (acc, p) -> acc + "
+        f"(p.x - ({code}) * p.s / 127.0D) * (p.x - ({code}) * p.s / 127.0D))"
+    )
+    return joined.select(
+        "vec_id",
+        "label",
+        codes.alias("codes"),
+        err.alias("recon_err_sq"),
+    )

@@ -117,3 +117,22 @@ def test_adc_recall_beats_random(spark):
     }
     adc_ids = {r["vec_id"] for r in pq_adc_topk(spark, SF_SMALL).collect()}
     assert len(exact_ids & adc_ids) >= 1  # query vector itself at minimum
+
+
+def test_int8_quantize_bounds_and_error(spark):
+    """codes bounded by |127|, reconstruction error per dim bounded by
+    one quantization step squared: (s_d/127)^2."""
+    from osmart_etl_spark.queries.base import REGISTRY
+    import pyspark.sql.functions as F
+
+    out = REGISTRY["embedding_int8_quantize"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    bad = out.filter(
+        F.exists("codes", lambda c: (c > 127) | (c < -127))
+        | (F.col("recon_err_sq") < 0)
+    ).count()
+    assert bad == 0
+    # max per-vector error <= 64 dims * (max_scale/127)^2
+    row = out.agg(F.max("recon_err_sq").alias("m")).collect()[0]
+    assert row["m"] < 64 * (2.0 / 127.0) ** 2 * 10  # loose sanity bound
