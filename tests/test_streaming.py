@@ -553,3 +553,94 @@ def test_lsh_dedup_stream_matches_batch(spark, tmp_path):
     novel_ids = [r["doc_id"] for r in novel.collect()]
     assert len(novel_ids) == len(set(novel_ids))
     assert set(novel_ids) == {i for i in ids if i not in matched_ids}
+
+
+def test_span_dedup_stream_matches_batch(spark, tmp_path):
+    """Streaming foreachBatch ExactSubstr span dedup == batch
+    span_excision restricted to the streamed docs — including the
+    RETROACTIVE case where an earlier arrival's spans are only
+    established by a later batch duplicating its grams."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.dedup import span_excision
+    from osmart_etl_spark.streaming.span_stream import run_span_dedup_stream
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 10 < 8).select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 10 >= 8).select("doc_id", "text")
+
+    stream_src = str(tmp_path / "span_arrivals")
+    ids = sorted(r["doc_id"] for r in new.select("doc_id").collect())
+    cuts = [ids[len(ids) // 3], ids[2 * len(ids) // 3]]
+    new.filter(F.col("doc_id") <= cuts[0]).coalesce(1).write.parquet(
+        stream_src + "/f0"
+    )
+    new.filter(
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+    ).coalesce(1).write.parquet(stream_src + "/f1")
+    new.filter(F.col("doc_id") > cuts[1]).coalesce(1).write.parquet(
+        stream_src + "/f2"
+    )
+    stream = (
+        spark.readStream.schema(new.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_src + "/f*")
+    )
+    got_df = run_span_dedup_stream(
+        spark, stream, base, str(tmp_path / "span_work"), k=8
+    )
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        for r in got_df.collect()
+    }
+    new_ids = set(ids)
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_len"], r["n_windows"])
+        for r in span_excision(docs, "doc_id", "text", k=8).collect()
+        if r["doc_id"] in new_ids
+    }
+    assert got == want and len(want) > 0
+
+
+def test_span_dedup_stream_retroactive_marking(spark, tmp_path):
+    """Planted: batch-1 doc X and batch-2 doc Y share a paragraph that
+    appears nowhere in the base corpus. X's span can only be
+    established retroactively when Y arrives — the case a naive
+    probe-only incremental design silently misses."""
+    from osmart_etl_spark.ops.dedup import span_excision
+    from osmart_etl_spark.streaming.span_stream import run_span_dedup_stream
+
+    para = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10"
+    base = spark.createDataFrame(
+        [(1, " ".join(f"b{i}" for i in range(20)))], ["doc_id", "text"]
+    )
+    x = (10, "xa xb " + para + " xc")
+    y = (20, para + " yz1 yz2")
+    z = (30, " ".join(f"z{i}" for i in range(15)))  # clean doc, batch 2
+    src = str(tmp_path / "retro_src")
+    spark.createDataFrame([x], ["doc_id", "text"]).coalesce(1).write.parquet(
+        src + "/f0"
+    )
+    spark.createDataFrame([y, z], ["doc_id", "text"]).coalesce(1).write.parquet(
+        src + "/f1"
+    )
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/f*")
+    )
+    got_df = run_span_dedup_stream(spark, stream, base, str(tmp_path / "retro_w"), k=8)
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"]) for r in got_df.collect()
+    }
+    all_docs = base.unionByName(
+        spark.createDataFrame([x, y, z], ["doc_id", "text"])
+    )
+    want = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in span_excision(all_docs, "doc_id", "text", k=8).collect()
+        if r["doc_id"] in (10, 20, 30)
+    }
+    # X (doc 10, arrived first) must carry a span established by Y
+    assert any(d == 10 for d, _s, _e in got)
+    assert got == want
