@@ -23,10 +23,13 @@ Two tiers of codec honesty:
   4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
   YCbCr->RGB; plus a baseline 4:4:4 encoder for fixtures). Progressive
   JPEG raises ValueError -> decode_status, never a job failure.
-- Remaining COMPRESSED formats (webp/mp3/h264…) need PIL/libsndfile/
-  ffmpeg, absent from this container — those paths are stubbed behind
-  ``DECODERS`` (each stub either raises NotImplementedError or
-  produces a deterministic fake, clearly marked).
+- Remaining COMPRESSED formats (lossy-VP8 webp/mp3/h264…) need
+  PIL/libsndfile/ffmpeg, absent from this container — those paths are
+  stubbed behind ``DECODERS``: each stub either raises
+  NotImplementedError (-> decode_status ``stub_not_implemented``) or
+  raises ``FakeDecodeFeature`` with a deterministic fake feature
+  (-> decode_status ``fake_decoder``). A stub NEVER reports ``ok`` —
+  downstream can always tell fabricated features from real decodes.
 
 Scale notes: decode/resize/feature-extract run as ``mapInPandas`` —
 Arrow-batched, one Python worker per partition, no shuffle; the binary
@@ -364,14 +367,28 @@ def _decode_image(payload: bytes) -> np.ndarray:
     return _fake_decode_image(payload)
 
 
+class FakeDecodeFeature(Exception):
+    """Raised by STUB decoders to hand back a deterministic fake feature
+    WITHOUT claiming a real decode happened. ``extract_features`` maps
+    it to ``decode_status='fake_decoder'`` — never ``'ok'`` — so
+    downstream consumers can always tell fabricated features from real
+    PNG/JPEG/WAV decodes (VERDICT r5 #1: the fake must not report ok)."""
+
+    def __init__(self, feature: np.ndarray):
+        super().__init__("fake decoder feature (not a real decode)")
+        self.feature = feature
+
+
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder for WebP (the one image format
-    still without a real in-container codec; PNG and JPEG decode for
-    real above): a real implementation calls PIL/opencv here. The fake
+    """STUB — deterministic fake decoder for lossy-VP8 WebP and unknown
+    image formats (PNG, JPEG, and lossless-VP8L WebP decode for real
+    above): a real implementation calls PIL/opencv here. The fake
     derives an 8-dim feature from payload bytes so the plumbing
-    (batching, schema, determinism) is testable."""
+    (batching, schema, determinism) is testable, and raises
+    ``FakeDecodeFeature`` so the row is tagged ``fake_decoder``, not
+    ``ok``."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
-    return arr.reshape(8, 8).mean(axis=1) / 255.0
+    raise FakeDecodeFeature(arr.reshape(8, 8).mean(axis=1) / 255.0)
 
 
 # ---------------------------------------------------------------------------
@@ -488,9 +505,10 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
     implementation calls soundfile/librosa here. 8-dim to match the
     real WAV featurizer (2*_AUDIO_N_FRAMES) — a media_type's feature
     dimensionality must not depend on which codec decoded the row, or
-    fixed-dim consumers break on mixed-format corpora."""
+    fixed-dim consumers break on mixed-format corpora. Raises
+    ``FakeDecodeFeature`` so the row is tagged ``fake_decoder``."""
     arr = np.frombuffer(payload[:32].ljust(32, b"\0"), dtype=np.uint8).astype(np.float32)
-    return arr.reshape(2 * _AUDIO_N_FRAMES, 4).std(axis=1) / 255.0
+    raise FakeDecodeFeature(arr.reshape(2 * _AUDIO_N_FRAMES, 4).std(axis=1) / 255.0)
 
 
 def _decode_video(payload: bytes) -> np.ndarray:
@@ -625,6 +643,11 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 try:
                     feats.append([float(x) for x in decoder(bytes(row["payload"]))])
                     statuses.append("ok")
+                except FakeDecodeFeature as fake:
+                    # stub decoders still emit deterministic features
+                    # (plumbing stays testable) but NEVER the 'ok' tag
+                    feats.append([float(x) for x in fake.feature])
+                    statuses.append("fake_decoder")
                 except NotImplementedError:
                     feats.append(None)
                     statuses.append("stub_not_implemented")

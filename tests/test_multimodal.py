@@ -17,10 +17,12 @@ def test_extract_features_plumbing(spark):
     by_status = {}
     for r in rows:
         by_status.setdefault(r["decode_status"], []).append(r)
-    # image + audio decode via deterministic fakes; video hits the stub
-    assert len(by_status["ok"]) == 20
+    # image + audio hit deterministic fakes — tagged fake_decoder, NEVER
+    # 'ok' (VERDICT r5 #1); video hits the NotImplementedError stub
+    assert "ok" not in by_status
+    assert len(by_status["fake_decoder"]) == 20
     assert len(by_status["stub_not_implemented"]) == 10
-    img = next(r for r in by_status["ok"] if r["media_type"] == "image")
+    img = next(r for r in by_status["fake_decoder"] if r["media_type"] == "image")
     assert len(img["feature"]) == 8
     assert all(0.0 <= x <= 1.0 for x in img["feature"])
     # determinism across runs (same payload → same feature)
@@ -606,3 +608,24 @@ def test_jpeg_corrupt_payloads_valueerror_only_and_fast():
                 pass
     # 310 corrupt decodes must stay fast: no pathological loops
     assert time.time() - t_start < 30.0
+
+
+def test_webp_lossy_payload_is_not_ok(spark):
+    """A lossy-VP8 WebP payload must NOT come back decode_status='ok':
+    no real VP8 decoder exists in-container, so the deterministic fake
+    tags the row fake_decoder (VERDICT r5 #1 — fabricated features must
+    be distinguishable from real decodes) while still emitting a
+    deterministic feature so the plumbing stays testable."""
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
+
+    body = b"WEBPVP8 " + bytes(range(40))
+    payload = b"RIFF" + len(body).to_bytes(4, "little") + body
+    media = spark.createDataFrame(
+        [(1, "image", payload, len(payload), 8, 8, None)], MEDIA_SCHEMA
+    )
+    rows = extract_features(media).collect()
+    assert rows[0]["decode_status"] == "fake_decoder"
+    assert rows[0]["feature"] is not None and len(rows[0]["feature"]) == 8
+    # same payload, same feature — the fake is deterministic
+    rows2 = extract_features(media).collect()
+    assert rows2[0]["feature"] == rows[0]["feature"]
