@@ -23,6 +23,11 @@ Two tiers of codec honesty:
   4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
   YCbCr->RGB; plus a baseline 4:4:4 encoder for fixtures). Progressive
   JPEG raises ValueError -> decode_status, never a job failure.
+- Lossless WebP (VP8L) is implemented FOR REAL in pure numpy
+  (``ops/vp8l.py``: RFC 9649 bitstream — canonical/meta Huffman, LZ77
+  with the 2D distance map, color cache, predictor/cross-color/
+  subtract-green/color-indexing inverse transforms, plus the ALPH
+  lossless alpha-plane form and a literal-only encoder for fixtures).
 - Remaining COMPRESSED formats (lossy-VP8 webp/mp3/h264…) need
   PIL/libsndfile/ffmpeg, absent from this container — those paths are
   stubbed behind ``DECODERS``: each stub either raises
@@ -352,9 +357,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
     pure-stdlib codec above, JPEG payloads decode FOR REAL via the
     pure-numpy codec (ops/jpeg.py — T.81 sequential AND progressive
     DCT with 4:4:4/4:2:2/4:2:0 and restart markers; arithmetic/
-    hierarchical/12-bit raise ValueError -> decode_status), and both
-    featurize like raw images; WebP falls through to the deterministic
-    fake until its library exists in the container."""
+    hierarchical/12-bit raise ValueError -> decode_status), lossless
+    WebP (VP8L) decodes FOR REAL via ops/vp8l.py (RFC 9649 bitstream:
+    Huffman/meta-Huffman, LZ77 + color cache, all four inverse
+    transforms); all featurize like raw images. Only lossy-VP8 WebP
+    and unknown formats fall through to the deterministic fake
+    (-> decode_status 'fake_decoder')."""
     if payload[:8] == _PNG_MAGIC:
         return _quadrant_feature(decode_png(payload))
     if payload[:2] == b"\xff\xd8":
@@ -364,6 +372,13 @@ def _decode_image(payload: bytes) -> np.ndarray:
         if img.ndim == 2:  # grayscale JPEG -> single-channel plane
             img = img[:, :, None]
         return _quadrant_feature(img)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from osmart_etl_spark.ops.vp8l import decode_webp
+
+        try:
+            return _quadrant_feature(decode_webp(payload))
+        except NotImplementedError:
+            pass  # lossy VP8: no real decoder -> labeled fake below
     return _fake_decode_image(payload)
 
 
