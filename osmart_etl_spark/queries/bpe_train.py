@@ -88,7 +88,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     counter: each round is O(corpus) map work + one tiny exchange,
     which at 100 TB is the canonical shape (the real trainer adds
     pair-count DELTAS instead of recounts — same plan skeleton with
-    the join_view_incremental delta rule).
+    the join_view_incremental delta rule). Each round's merged corpus
+    and argmax row are ``localCheckpoint(eager=False)``-ed so the
+    lineage is cut per round: k merge rounds cost exactly k corpus
+    passes (before round 6 the chained lazy DAG re-derived every
+    prefix, O(k^2) passes).
 
     Oracle: the identical three iterations unrolled as CTEs — argmax
     ties, replace order, and boundary handling are all pinned by the
@@ -121,10 +125,14 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         # argmax via orderBy+limit(1): plans as TakeOrderedAndProject —
         # a per-partition top-1 followed by a 1-row driver merge — instead
         # of the single-partition WindowExec a global row_number() needs.
+        # localCheckpoint(eager=False): ``best`` feeds BOTH the result
+        # union and the merge broadcast — without the checkpoint each
+        # consumer re-runs the whole pair count (2 corpus passes/round).
         best = (
             counts.orderBy(F.col("n").desc(), F.col("pa").asc(), F.col("pb").asc())
             .limit(1)
             .select("pa", "pb", "n")
+            .localCheckpoint(eager=False)
         )
         results.append(
             best.select(
@@ -135,8 +143,16 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         pattern = F.concat(
             F.lit(_PYSEP), F.col("pa"), F.lit(_PYSEP), F.col("pb"), F.lit(_PYSEP)
         )
-        corpus = corpus.crossJoin(F.broadcast(best)).select(
-            "doc_id", F.replace(F.col("s"), pattern, merged).alias("s")
+        # Checkpoint each round's merged corpus (the Q11 pattern,
+        # queries/tpch_complete.py): round i+1's pair count then reads
+        # round i's materialized RDD instead of re-deriving the whole
+        # merge chain from the raw text, so k merge rounds cost k corpus
+        # passes, not O(k^2) — the shape that must hold at 100 TB where
+        # one corpus pass is the unit of cost.
+        corpus = (
+            corpus.crossJoin(F.broadcast(best))
+            .select("doc_id", F.replace(F.col("s"), pattern, merged).alias("s"))
+            .localCheckpoint(eager=False)
         )
     out = results[0]
     for r in results[1:]:

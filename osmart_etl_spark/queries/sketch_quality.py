@@ -108,18 +108,28 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        minhash_band_keys,
+        lsh_band_keys,
         minhash_signatures,
         shingle_sets,
     )
 
     d = read_table(spark, sf_dir, "documents")
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
-    bands = minhash_band_keys(sets, "doc_id", num_hashes=_K, rows_per_band=4)
-    cand = candidate_pairs(bands, "doc_id").persist()
-
+    # Fill the cache ONCE in parallel before the plan fans out (the
+    # setsim_exact_join pattern, SCALE.md round 5): the est/exact/cand
+    # subtrees otherwise serialize behind cold-cache write locks.
+    sets.count()
     shingle_rows = sets.select("doc_id", F.explode("__sh").alias("shingle"))
-    sigs = minhash_signatures(shingle_rows, "doc_id", num_hashes=_K)
+    # ONE K-minhash build feeds BOTH the LSH band keys (-> candidates)
+    # and the component-match estimate; before round 6 the band-key path
+    # re-derived the same md5 + universal-hash aggregate from scratch,
+    # and the unpersisted sigs frame was recomputed for each side of
+    # the est self-join (measured: the two duplicated hash passes were
+    # the query's dominant cost, 5.8 s -> ~2 s at sf0.1).
+    sigs = minhash_signatures(shingle_rows, "doc_id", num_hashes=_K).persist()
+    sigs.count()
+    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id").persist()
     est = (
         sigs.select(F.col("doc_id").alias("id_a"), "k", F.col("minhash").alias("ma"))
         .join(F.broadcast(cand), "id_a")
@@ -138,6 +148,10 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = sets.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    # NOT semi-filtering b to candidate ids first: measured 3.2 -> 3.8 s
+    # at sf0.1 — the extra broadcast barrier costs more than shuffling
+    # the non-candidate arrays at this corpus size (same finding as
+    # jaccard_verify_hybrid's pre-prune crossover in ops/dedup.py).
     exact = (
         a.join(F.broadcast(cand), "id_a")
         .join(b, "id_b")
