@@ -1,0 +1,335 @@
+"""Manifest-committed versioned parquet tables — atomic overwrite
+without a table format (SURVEY.md §2.1 S7-S10 hardening).
+
+``upsert_parquet``/``compact`` (io/sinks.py, io/layout.py) rewrite a
+plain directory in place; their documented weakness is the window where
+the directory is mid-swap (compact's two renames) or mid-overwrite
+(upsert's delete-then-write) — a crash there loses or hides the table.
+The reference has the same exposure in its tmp-file ``os.replace``
+CSV dance (dq_exclusions_csv.py) and simply accepts it.
+
+This module removes the window with the two-phase protocol already
+proven for the Python DataSource sink (io/pydatasource.py
+JsonLinesWriter: stage under job-token names, publish via a manifest):
+
+    table/
+      _commits/00000001.lock          sequence claims (create-exclusive
+                                      — the CAS primitive)
+      _commits/00000001-<token>       commit log: one empty marker file
+                                      per committed version, created
+                                      ONCE and never rewritten
+      _v-<token>/part-*.parquet       immutable version directories
+
+- A writer stages a complete new version directory first (crash here
+  leaves orphaned staging; the live table is untouched).
+- Publishing claims the sequence number with ONE exclusive create of
+  ``_commits/<seq>.lock`` (``overwrite=False`` — atomic at the HDFS
+  namenode, checked on local FS; one contended filename per sequence),
+  then binds the claimed sequence to the staged token with the empty
+  ``<seq>-<token>`` marker. Two racing writers cannot both claim a
+  sequence: first wins, the loser's merge was based on a stale
+  snapshot and must re-run — a real CAS, unlike the
+  single-writer-by-convention contract of ``merge_accumulate``.
+- Readers resolve the highest committed sequence and read that version
+  directory only: they never observe a partial write, and a reader
+  mid-scan keeps a consistent snapshot because version directories are
+  immutable (old versions are retained for ``keep_versions`` commits
+  before GC, so one in-flight commit never yanks a current scan).
+
+Underscore-prefixed names keep both the log and the staging invisible
+to any stray ``spark.read.parquet(table)`` (Spark skips ``_``/``.``
+paths), so a mis-aimed plain read fails loudly (no data files) instead
+of returning a mix of versions.
+
+Scale notes: the commit log is O(commits) empty files and version
+resolution is one directory listing — no data scan. Each commit writes
+one full new version, which is the right cost model for compaction and
+for the keep-latest upsert below at dimension-table scale; for 100 TB
+fact tables the bucket-granular ``merge_upsert_partitioned`` remains
+the O(delta) path (its dynamic partition overwrite can adopt this
+protocol per-bucket unchanged).
+"""
+
+from __future__ import annotations
+
+import re
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MARKER_RE = re.compile(r"^(\d{8})-([0-9a-f]{12})$")
+_LOCK_RE = re.compile(r"^(\d{8})\.lock$")
+
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published the sequence number this commit staged
+    against: the staged version was derived from a stale snapshot.
+    Re-read and retry the whole operation."""
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _listdir(spark: SparkSession, path: str) -> list[str]:
+    jvm, fs, hpath = _fs(spark, path)
+    if not fs.exists(hpath):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(hpath)]
+
+
+def _commit_log(spark: SparkSession, table: str) -> list[tuple[int, str]]:
+    """(seq, token) pairs from the commit log, ascending. Non-conforming
+    names (e.g. a crashed publisher's temp marker) are ignored."""
+    out = []
+    for name in _listdir(spark, f"{table.rstrip('/')}/_commits"):
+        m = _MARKER_RE.match(name)
+        if m:
+            out.append((int(m.group(1)), m.group(2)))
+    return sorted(out)
+
+
+def current_version(spark: SparkSession, table: str) -> tuple[int, str] | None:
+    """Latest committed (seq, token), or None for an empty/absent table."""
+    log = _commit_log(spark, table)
+    return log[-1] if log else None
+
+
+def read_committed(spark: SparkSession, table: str, at: int | None = None) -> DataFrame:
+    """Read the latest committed version (or, with ``at``, a retained
+    historical sequence — bounded time travel for free from the
+    immutable-version layout)."""
+    log = _commit_log(spark, table)
+    if not log:
+        raise FileNotFoundError(f"no committed version at {table}")
+    if at is None:
+        seq, token = log[-1]
+    else:
+        match = [(s, t) for s, t in log if s == at]
+        if not match:
+            raise FileNotFoundError(
+                f"version {at} not in commit log at {table} "
+                f"(have {[s for s, _ in log]})"
+            )
+        seq, token = match[0]
+    return spark.read.parquet(f"{table.rstrip('/')}/_v-{token}")
+
+
+def commit_version(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    *,
+    expected_seq: int | None = None,
+    keep_versions: int = 2,
+    partition_by: tuple[str, ...] = (),
+    orphan_ttl_s: float = 3600.0,
+) -> int:
+    """Write ``df`` as the table's next version and publish it atomically.
+
+    Phase 1 (staging): the full version directory ``_v-<token>`` is
+    written. A crash anywhere in this phase leaves the live table
+    untouched (orphan swept by the next successful commit).
+
+    Phase 2 (publish): a hidden temp marker is renamed to
+    ``_commits/<next_seq>-<token>`` — one atomic, no-replace rename.
+    ``expected_seq`` (the sequence this write was derived from; None =
+    creating) turns the publish into a compare-and-swap: if any other
+    writer committed in between, ``ConcurrentCommitError`` is raised
+    and the staged orphan is removed.
+
+    Returns the committed sequence number.
+    """
+    base = table.rstrip("/")
+    token = uuid.uuid4().hex[:12]
+    jvm, fs, _ = _fs(spark, base)
+
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(f"{base}/_v-{token}")
+
+    log = _commit_log(spark, base)
+    last_seq = log[-1][0] if log else 0
+    if expected_seq is not None and last_seq != expected_seq:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{token}"), True)
+        raise ConcurrentCommitError(
+            f"{base}: derived from seq {expected_seq} but log is at {last_seq}"
+        )
+    commits_dir = f"{base}/_commits"
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(commits_dir))
+    # Next sequence skips DEAD CLAIMS too (a lock whose marker never
+    # appeared — crashed claimant): sequences are claimed, never reused.
+    lock_seqs = [
+        int(m.group(1))
+        for m in (_LOCK_RE.match(n) for n in _listdir(spark, commits_dir))
+        if m
+    ]
+    next_seq = max([last_seq, *lock_seqs]) + 1
+
+    # Publish phase 1 — CLAIM the sequence number: one create-exclusive
+    # of ``<seq>.lock``. A single contended filename per sequence is
+    # what makes this a real CAS (the token-suffixed marker alone is
+    # not: two racers would create two different filenames for the same
+    # sequence and both "succeed"). ``overwrite=False`` is atomic at
+    # the HDFS namenode and checked on local FS; a rename would NOT
+    # work as the primitive because Hadoop's local filesystem maps it
+    # to POSIX rename(2), which silently replaces the destination.
+    lock = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{next_seq:08d}.lock")
+    try:
+        fs.create(lock, False).close()
+    except Exception as exc:  # py4j surfaces FileAlreadyExistsException
+        if "AlreadyExists" not in str(exc.__class__) + str(exc):
+            raise
+        # a racer claimed next_seq between our log read and the claim
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{token}"), True)
+        raise ConcurrentCommitError(
+            f"{base}: lost publish race for seq {next_seq}"
+        ) from exc
+
+    # Publish phase 2 — the marker binds the claimed sequence to the
+    # staged version's token. Content-free: existence IS the commit,
+    # so there is no partially-written state a reader could observe.
+    # Uncontended (we own the sequence), so plain create. A crash
+    # between claim and marker leaves a dead claim: invisible to
+    # readers (resolution walks markers only), never reused by writers
+    # (see next_seq above), swept by GC once stale.
+    final = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{next_seq:08d}-{token}")
+    fs.create(final, True).close()
+
+    _gc(spark, base, keep_versions, orphan_ttl_s)
+    return next_seq
+
+
+def _gc(
+    spark: SparkSession, base: str, keep_versions: int, orphan_ttl_s: float
+) -> None:
+    """Retire version directories beyond the retention horizon, plus
+    crashed-writer debris (``_v-*`` staging no commit ever referenced
+    and stale ``.tmp-*`` markers). Never touches the last
+    ``keep_versions`` committed versions, so concurrent readers of the
+    previous version survive this commit.
+
+    Unreferenced staging is only swept once OLDER than
+    ``orphan_ttl_s`` (filesystem modification time): a concurrent
+    writer mid-staging is indistinguishable from a crashed one by name
+    alone, and deleting its directory just before it publishes would
+    commit a data-less version — the exact class of race the CAS
+    publish exists to prevent. Set the TTL above the longest staging
+    write (Delta's VACUUM retention rule, same reasoning). Versions in
+    RETIRED commit markers carry no such ambiguity (they were
+    published; no writer still owns them) and are removed
+    unconditionally."""
+    import time
+
+    jvm, fs, _ = _fs(spark, base)
+    log = _commit_log(spark, base)
+    committed = {token for _, token in log}
+    live = {token for _, token in log[-keep_versions:]}
+    horizon_ms = (time.time() - orphan_ttl_s) * 1000.0
+
+    def _old_enough(path: str) -> bool:
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return fs.getFileStatus(p).getModificationTime() <= horizon_ms
+
+    for name in _listdir(spark, base):
+        if not name.startswith("_v-") or name[3:] in live:
+            continue
+        full = f"{base}/{name}"
+        if name[3:] in committed or _old_enough(full):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(full), True)
+    marker_seqs = {seq for seq, _ in log}
+    for name in _listdir(spark, f"{base}/_commits"):
+        full = f"{base}/_commits/{name}"
+        m = _MARKER_RE.match(name)
+        lk = _LOCK_RE.match(name)
+        if m and m.group(2) not in live:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+        elif lk and (int(lk.group(1)) in marker_seqs or _old_enough(full)):
+            # a lock whose marker exists is a resolved claim; a stale
+            # markerless lock is a dead claim (TTL-gated: inside the
+            # TTL it may be a live writer between claim and marker)
+            fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+        elif not m and not lk and _old_enough(full):
+            # foreign debris (e.g. an editor/tool temp file) — swept on
+            # the same TTL so resolution listings stay small
+            fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
+
+
+def upsert_versioned(
+    spark: SparkSession,
+    new: DataFrame,
+    table: str,
+    keys: list[str],
+    order_col: str,
+    *,
+    keep_versions: int = 2,
+) -> int:
+    """Keep-latest upsert (S7/S8 semantics, io/sinks.upsert_keep_latest)
+    materialized through the commit log. Versus ``upsert_parquet``:
+
+    - no ``localCheckpoint(eager=True)`` barrier — the merge reads the
+      OLD version directory while writing a NEW one, so nothing is ever
+      pinned in executor memory and an executor loss mid-write just
+      fails the staging job, old table intact;
+    - a crash at ANY point leaves the previous version fully readable;
+    - a concurrent upsert is detected (CAS on the sequence), not
+      silently lost.
+    """
+    cur = current_version(spark, table)
+    if cur is None:
+        from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+        merged = upsert_keep_latest(None, new, keys, order_col)
+        return commit_version(
+            spark, merged, table, expected_seq=None, keep_versions=keep_versions
+        )
+    from osmart_etl_spark.io.sinks import upsert_keep_latest
+
+    old = read_committed(spark, table)
+    merged = upsert_keep_latest(old, new, keys, order_col)
+    return commit_version(
+        spark, merged, table, expected_seq=cur[0], keep_versions=keep_versions
+    )
+
+
+def compact_versioned(
+    spark: SparkSession,
+    table: str,
+    target_rows_per_file: int,
+    *,
+    sort_within: list[str] | None = None,
+    keep_versions: int = 2,
+) -> dict:
+    """Small-files compaction through the commit log. Versus
+    ``io/layout.compact``'s sibling-dir double-rename: there is no
+    moment where the table path is missing or half-swapped — the old
+    version stays the committed one until the single marker rename, and
+    stays on disk for ``keep_versions`` commits after."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {table}")
+    df = read_committed(spark, table)
+    files_before = df.select(F.input_file_name()).distinct().count()
+    n_rows = df.count()
+    n_out = max(1, math.ceil(n_rows / target_rows_per_file))
+    out = df.repartition(n_out)
+    if sort_within:
+        out = out.sortWithinPartitions(*sort_within)
+    seq = commit_version(
+        spark, out, table, expected_seq=cur[0], keep_versions=keep_versions
+    )
+    after = read_committed(spark, table)
+    files_after = after.select(F.input_file_name()).distinct().count()
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "n_rows": n_rows,
+        "seq": seq,
+    }

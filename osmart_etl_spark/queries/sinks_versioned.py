@@ -1,0 +1,130 @@
+"""Registry queries over the manifest-committed versioned table
+(io/atomic.py) — the S7/S8 upsert sink MATERIALIZED end-to-end, not as
+a pure transform: three event batches are committed sequentially
+through the atomic commit log into a scratch table, then read back —
+including a cross-version diff via the retained previous version.
+
+The reference's closest shape is the nightly upsert replay
+(etl_sales/db/db_helpers.py:25-40 ON DUPLICATE KEY UPDATE +
+update_raw_stock_movements.py's watermark batching); the versioned
+commit log is the crash-safe Spark-side completion of it.
+
+The DuckDB oracle re-derives the final state (and the previous
+version's state) purely relationally, so the driver's hash gate
+verifies the whole write→commit→resolve→read cycle: if the sink
+dropped a row, double-applied a batch, resolved the wrong version, or
+leaked uncommitted staging into a read, the values diverge.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import dbl, query
+
+_B2 = "2024-01-10 00:00:00"
+_B3 = "2024-01-20 00:00:00"
+
+
+@query(
+    "upsert_versioned_batch_diff",
+    oracle=f"""
+    WITH latest_all AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts DESC) AS rn
+      FROM events
+    ),
+    v3 AS (SELECT user_id, d, value, ts FROM latest_all WHERE rn = 1),
+    latest_pre AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, value, ts,
+        ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                           ORDER BY ts DESC) AS rn
+      FROM events WHERE ts < TIMESTAMP '{_B3}'
+    ),
+    v2 AS (SELECT user_id, d, value, ts FROM latest_pre WHERE rn = 1)
+    SELECT v3.user_id, v3.d,
+      CAST(v3.value AS DOUBLE) AS latest_value,
+      v3.ts AS latest_ts,
+      CAST(v2.value AS DOUBLE) AS prev_value
+    FROM v3 LEFT JOIN v2 ON v3.user_id = v2.user_id AND v3.d = v2.d
+    WHERE v3.ts >= TIMESTAMP '{_B3}'
+    """,
+    tags=("S7", "S8", "S10", "atomic-commit"),
+)
+def upsert_versioned_batch_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What did the last batch change? — three sequential keep-latest
+    upserts (S7/S8) through the ATOMIC commit log (io/atomic.py), then
+    a diff of the final version against the retained previous one
+    (``read_committed(at=seq-1)`` — the bounded time travel the
+    immutable-version layout gives for free).
+
+    Per (user, day): the post-final-batch latest value/ts, plus the
+    value that key had in the PREVIOUS committed version (NULL = the
+    key first appeared in the last batch). Only keys the last batch
+    touched are returned — the audit question every incremental load
+    asks ("show me what tonight's run changed"), answered here from
+    the commit log alone, no CDC feed.
+
+    Every upsert is a real materialized commit (staging dir + CAS
+    sequence claim + marker), and reads resolve through the commit
+    log, so this query puts the crash-safe sink's full protocol under
+    the driver's value-hash gate at every round. The scratch table
+    lives in a process-private temp dir; the result is
+    localCheckpoint-ed off it before cleanup.
+
+    Scale: batch merges shuffle on the upsert key only; the diff joins
+    two committed versions partition-pruned to nothing extra — and at
+    100 TB the same protocol applies per bucket directory of
+    merge_upsert_partitioned (io/sinks.py) rather than whole-table.
+    """
+    from osmart_etl_spark.io.atomic import read_committed, upsert_versioned
+
+    ev = read_table(spark, sf_dir, "events")
+    cols = ["user_id", F.to_date("ts").alias("d"), "value", "ts"]
+    b2, b3 = F.lit(_B2).cast("timestamp"), F.lit(_B3).cast("timestamp")
+    batches = [
+        ev.filter(F.col("ts") < b2).select(*cols),
+        ev.filter((F.col("ts") >= b2) & (F.col("ts") < b3)).select(*cols),
+        ev.filter(F.col("ts") >= b3).select(*cols),
+    ]
+    tmp = tempfile.mkdtemp(prefix="osmart_versioned_")
+    try:
+        table = f"{tmp}/user_day_latest"
+        # keep_versions=2 retains exactly the previous version for the
+        # diff; each commit's CAS claims the next sequence number.
+        for batch in batches:
+            last = upsert_versioned(
+                spark, batch, table, keys=["user_id", "d"], order_col="ts"
+            )
+        cur = read_committed(spark, table)
+        prev = read_committed(spark, table, at=last - 1).select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("d").alias("p_d"),
+            F.col("value").alias("prev_value"),
+        )
+        out = (
+            cur.filter(F.col("ts") >= b3)
+            .join(
+                prev,
+                (F.col("user_id") == F.col("p_user_id"))
+                & (F.col("d") == F.col("p_d")),
+                "left",
+            )
+            .select(
+                "user_id",
+                "d",
+                dbl(F.col("value")).alias("latest_value"),
+                F.col("ts").alias("latest_ts"),
+                dbl(F.col("prev_value")).alias("prev_value"),
+            )
+        )
+        # materialize off the scratch files before they are removed
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
