@@ -101,85 +101,106 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold needs) is exactly what this audit is for; the verdicts
     are deterministic data on both engines either way.
 
-    Scale shape: signatures are the zero-extra-shuffle wide K-vector
-    (one partial-aggregated groupBy), pairs broadcast into both the
-    component-match join and the array-intersect exact side — cost is
-    |candidates|-proportional, never corpus².
+    Scale shape (round 7, fully fused): ONE shuffle total on the build
+    side — raw documents repartitioned by doc_id, then explode + md5 +
+    the K universal-hash minima AND the shingle set collected in a
+    single groupBy that reuses that distribution (no second exchange,
+    verified no partial-agg stage in the plan). Band keys come straight
+    off the wide K-vector (no per-(doc,band) groupBy), and the estimate
+    + exact Jaccard are computed in ONE candidate-bounded join pair:
+    broadcast(cand) ⋈ combined on id_a (map-side), then that
+    candidate-sized result broadcast into the id_b lookup (map-side) —
+    n_match is K column equalities, not a 16-row-per-doc self-join +
+    re-agg. Cost is |candidates|-proportional, never corpus².
+
+    Measured (tools/time_query.py, sf0.1, local[32], best of 3 with
+    cache cleared between runs): 7.2 s (round-6 two-pass form) →
+    2.84 s fused, on the same box same session. Evidence table in
+    SCALE.md round 7.
     """
+    from osmart_etl_spark.io.sources import default_parallelism
     from osmart_etl_spark.ops.dedup import (
+        MINHASH_P,
+        _minhash_seed,
+        base_shingle_hash,
         candidate_pairs,
-        lsh_band_keys,
-        minhash_signatures,
-        shingle_sets,
+        shingle_array,
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
-    # Fill the cache ONCE in parallel before the plan fans out (the
-    # setsim_exact_join pattern, SCALE.md round 5): the est/exact/cand
-    # subtrees otherwise serialize behind cold-cache write locks.
-    sets.count()
-    shingle_rows = sets.select("doc_id", F.explode("__sh").alias("shingle"))
-    # ONE K-minhash build feeds BOTH the LSH band keys (-> candidates)
-    # and the component-match estimate; before round 6 the band-key path
-    # re-derived the same md5 + universal-hash aggregate from scratch,
-    # and the unpersisted sigs frame was recomputed for each side of
-    # the est self-join (measured: the two duplicated hash passes were
-    # the query's dominant cost, 5.8 s -> ~2 s at sf0.1).
-    sigs = minhash_signatures(shingle_rows, "doc_id", num_hashes=_K).persist()
-    sigs.count()
-    bands = lsh_band_keys(sigs, "doc_id", rows_per_band=4)
-    cand = candidate_pairs(bands, "doc_id").persist()
-    est = (
-        sigs.select(F.col("doc_id").alias("id_a"), "k", F.col("minhash").alias("ma"))
-        .join(F.broadcast(cand), "id_a")
-        .join(
-            sigs.select(
-                F.col("doc_id").alias("id_b"), "k", F.col("minhash").alias("mb")
-            ),
-            ["id_b", "k"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.sum(F.when(F.col("ma") == F.col("mb"), 1).otherwise(0)).alias(
-                "n_match"
+    n_parts = default_parallelism(spark)
+    aggs = [F.collect_list("__s").alias("__sh")]
+    for k in range(_K):
+        a_k, b_k = _minhash_seed(k)
+        aggs.append(F.min((F.col("__h") * a_k + b_k) % MINHASH_P).alias(f"__mh{k}"))
+    # repartition BY doc_id: the groupBy reuses this distribution, so the
+    # only shuffle carries raw text — explode/md5/agg all run post-shuffle
+    # on n_parts tasks (single-file parquet would otherwise be 1 task).
+    combined = (
+        d.repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(shingle_array(F.col("text"), k=5)).alias("__s"))
+        .select("doc_id", "__s", base_shingle_hash(F.col("__s")).alias("__h"))
+        .groupBy("doc_id")
+        .agg(*aggs)
+        .persist()
+    )
+    combined.count()  # one parallel cache fill; everything below is in-memory
+    n_bands = _K // 4
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"__mh{b * 4 + r}").cast("string")
+                        for r in range(4)
+                    ],
+                ).alias("band_key"),
             )
-        )
+            for b in range(n_bands)
+        ]
     )
-    a = sets.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sh_a"))
-    b = sets.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sh_b"))
-    # NOT semi-filtering b to candidate ids first: measured 3.2 -> 3.8 s
-    # at sf0.1 — the extra broadcast barrier costs more than shuffling
-    # the non-candidate arrays at this corpus size (same finding as
-    # jaccard_verify_hybrid's pre-prune crossover in ops/dedup.py).
-    exact = (
-        a.join(F.broadcast(cand), "id_a")
-        .join(b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("n_inter"),
-            F.size("sh_a").cast("bigint").alias("n_a"),
-            F.size("sh_b").cast("bigint").alias("n_b"),
-        )
+    bands = combined.select(
+        "doc_id", F.explode(band_structs).alias("__b")
+    ).select("doc_id", "__b.band", "__b.band_key")
+    cand = candidate_pairs(bands, "doc_id")
+    a_side = combined.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("__sh").alias("sh_a"),
+        *[F.col(f"__mh{k}").alias(f"__ma{k}") for k in range(_K)],
     )
-    est_j = F.col("n_match").cast("double") / _K
-    exact_j = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    b_side = combined.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("__sh").alias("sh_b"),
+        *[F.col(f"__mh{k}").alias(f"__mb{k}") for k in range(_K)],
+    )
+    # Join 1: broadcast the pair list, stream the cached combined frame.
+    # Join 2: the result is candidate-bounded (pairs + one shingle array
+    # each), so IT broadcasts into the id_b lookup — both joins map-side.
+    half = a_side.join(F.broadcast(cand), "id_a")
+    pairs = b_side.join(F.broadcast(half), "id_b")
+    n_match = sum(
+        F.when(F.col(f"__ma{k}") == F.col(f"__mb{k}"), 1).otherwise(0)
+        for k in range(_K)
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint")
+    est_j = n_match.cast("double") / _K
+    exact_j = n_inter.cast("double") / (
+        F.size("sh_a").cast("bigint")
+        + F.size("sh_b").cast("bigint")
+        - n_inter
     ).cast("double")
-    return (
-        est.join(exact, ["id_a", "id_b"])
-        .select(
-            "id_a",
-            "id_b",
-            est_j.alias("est_jaccard"),
-            exact_j.alias("exact_jaccard"),
-            (
-                F.abs(est_j - exact_j)
-                <= F.greatest(
-                    F.lit(3) * F.sqrt(exact_j * (F.lit(1) - exact_j) / _K),
-                    F.lit(1.0 / _K),
-                )
-            ).alias("within_3sigma"),
-        )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        est_j.alias("est_jaccard"),
+        exact_j.alias("exact_jaccard"),
+        (
+            F.abs(est_j - exact_j)
+            <= F.greatest(
+                F.lit(3) * F.sqrt(exact_j * (F.lit(1) - exact_j) / _K),
+                F.lit(1.0 / _K),
+            )
+        ).alias("within_3sigma"),
     )
