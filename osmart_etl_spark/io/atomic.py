@@ -23,13 +23,17 @@ JsonLinesWriter: stage under job-token names, publish via a manifest):
 - A writer stages a complete new version directory first (crash here
   leaves orphaned staging; the live table is untouched).
 - Publishing claims the sequence number with ONE exclusive create of
-  ``_commits/<seq>.lock`` (``overwrite=False`` — atomic at the HDFS
-  namenode, checked on local FS; one contended filename per sequence),
-  then binds the claimed sequence to the staged token with the empty
-  ``<seq>-<token>`` marker. Two racing writers cannot both claim a
-  sequence: first wins, the loser's merge was based on a stale
-  snapshot and must re-run — a real CAS, unlike the
-  single-writer-by-convention contract of ``merge_accumulate``.
+  ``_commits/<seq>.lock`` (atomic at the HDFS namenode; on ``file:``
+  paths via POSIX ``O_CREAT|O_EXCL`` on the driver, because Hadoop's
+  RawLocalFileSystem implements ``overwrite=False`` as a non-atomic
+  exists-then-create; one contended filename per sequence), then binds
+  the claimed sequence to the staged token with the empty
+  ``<seq>-<token>`` marker. A CAS writer (``expected_seq`` set) claims
+  EXACTLY ``expected_seq+1``, so two racing writers cannot both claim
+  a sequence and a racer that committed first is always detected:
+  first wins, the loser's merge was based on a stale snapshot and must
+  re-run — a real CAS, unlike the single-writer-by-convention contract
+  of ``merge_accumulate``.
 - Readers resolve the highest committed sequence and read that version
   directory only: they never observe a partial write, and a reader
   mid-scan keeps a consistent snapshot because version directories are
@@ -52,6 +56,7 @@ protocol per-bucket unchanged).
 
 from __future__ import annotations
 
+import os
 import re
 import uuid
 
@@ -71,6 +76,29 @@ def _fs(spark: SparkSession, path: str):
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
+
+
+def _exclusive_create(spark: SparkSession, path: str) -> None:
+    """Create an empty file, failing with ``FileExistsError`` if it
+    already exists — the CAS primitive, and it must be TRULY atomic.
+
+    Hadoop's ``fs.create(p, overwrite=False)`` is atomic at the HDFS
+    namenode, but ``RawLocalFileSystem`` implements it as
+    exists()-then-create — a check/act race. For ``file:`` paths the
+    claim therefore goes through POSIX ``O_CREAT|O_EXCL`` on the
+    driver, which the kernel guarantees exclusive."""
+    jvm, fs, hpath = _fs(spark, path)
+    if fs.getUri().getScheme() == "file":
+        local = hpath.toUri().getPath()
+        fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+        return
+    try:
+        fs.create(hpath, False).close()
+    except Exception as exc:  # py4j surfaces FileAlreadyExistsException
+        if "AlreadyExists" in str(exc.__class__) + str(exc):
+            raise FileExistsError(path) from exc
+        raise
 
 
 def _listdir(spark: SparkSession, path: str) -> list[str]:
@@ -160,30 +188,47 @@ def commit_version(
         )
     commits_dir = f"{base}/_commits"
     fs.mkdirs(jvm.org.apache.hadoop.fs.Path(commits_dir))
-    # Next sequence skips DEAD CLAIMS too (a lock whose marker never
-    # appeared — crashed claimant): sequences are claimed, never reused.
-    lock_seqs = [
-        int(m.group(1))
-        for m in (_LOCK_RE.match(n) for n in _listdir(spark, commits_dir))
-        if m
-    ]
-    next_seq = max([last_seq, *lock_seqs]) + 1
+    if expected_seq is not None:
+        # CAS path: claim EXACTLY expected_seq + 1. Claiming any later
+        # number would reopen the skip-ahead hole (round-7 fix): a racer
+        # that claimed AND committed expected_seq+1 in the window between
+        # our log read above and a lock scan here would pass unnoticed —
+        # our exclusive create at a higher sequence would succeed and
+        # silently supersede the racer's version with a merge derived
+        # from a stale snapshot. With the exact claim, any occupant of
+        # expected_seq+1 (committed racer OR a crashed claimant's dead
+        # lock) surfaces as ConcurrentCommitError; a dead claim makes
+        # that conflict spurious until the TTL GC sweeps it — a bounded
+        # liveness cost, never a lost update.
+        next_seq = expected_seq + 1
+    else:
+        # Blind write (create / overwrite-latest — no derived-from
+        # contract to protect): next sequence skips DEAD CLAIMS too (a
+        # lock whose marker never appeared): claimed, never reused.
+        lock_seqs = [
+            int(m.group(1))
+            for m in (_LOCK_RE.match(n) for n in _listdir(spark, commits_dir))
+            if m
+        ]
+        next_seq = max([last_seq, *lock_seqs]) + 1
 
-    # Publish phase 1 — CLAIM the sequence number: one create-exclusive
+    # Publish phase 1 — CLAIM the sequence number: one exclusive create
     # of ``<seq>.lock``. A single contended filename per sequence is
     # what makes this a real CAS (the token-suffixed marker alone is
     # not: two racers would create two different filenames for the same
-    # sequence and both "succeed"). ``overwrite=False`` is atomic at
-    # the HDFS namenode and checked on local FS; a rename would NOT
-    # work as the primitive because Hadoop's local filesystem maps it
-    # to POSIX rename(2), which silently replaces the destination.
-    lock = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{next_seq:08d}.lock")
+    # sequence and both "succeed"). The create is namenode-atomic on
+    # HDFS and O_CREAT|O_EXCL-atomic on local paths (_exclusive_create);
+    # a rename would NOT work as the primitive because Hadoop's local
+    # filesystem maps it to POSIX rename(2), which silently replaces
+    # the destination. Once we hold the lock for expected_seq+1, no
+    # other writer can publish that sequence (markers require the
+    # lock), so no post-claim log re-read is needed: any concurrent
+    # commit either landed before our staleness check (caught there) or
+    # needed this very lock (caught here).
     try:
-        fs.create(lock, False).close()
-    except Exception as exc:  # py4j surfaces FileAlreadyExistsException
-        if "AlreadyExists" not in str(exc.__class__) + str(exc):
-            raise
-        # a racer claimed next_seq between our log read and the claim
+        _exclusive_create(spark, f"{commits_dir}/{next_seq:08d}.lock")
+    except FileExistsError as exc:
+        # a racer (or a crashed claimant) holds next_seq
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{token}"), True)
         raise ConcurrentCommitError(
             f"{base}: lost publish race for seq {next_seq}"

@@ -398,12 +398,15 @@ def _fake_decode_image(payload: bytes) -> np.ndarray:
     """STUB — deterministic fake decoder for lossy-VP8 WebP and unknown
     image formats (PNG, JPEG, and lossless-VP8L WebP decode for real
     above): a real implementation calls PIL/opencv here. The fake
-    derives an 8-dim feature from payload bytes so the plumbing
-    (batching, schema, determinism) is testable, and raises
-    ``FakeDecodeFeature`` so the row is tagged ``fake_decoder``, not
-    ``ok``."""
+    derives a 4-dim feature from payload bytes — FOUR dims to match
+    ``_quadrant_feature``, because a media_type's feature dimensionality
+    must not depend on which codec decoded the row (a mixed webp corpus
+    with real VP8L and fake VP8 rows would otherwise yield ragged
+    vectors; ADVICE r7). The plumbing (batching, schema, determinism)
+    stays testable, and ``FakeDecodeFeature`` tags the row
+    ``fake_decoder``, not ``ok``."""
     arr = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
-    raise FakeDecodeFeature(arr.reshape(8, 8).mean(axis=1) / 255.0)
+    raise FakeDecodeFeature(arr.reshape(4, 16).mean(axis=1) / 255.0)
 
 
 # ---------------------------------------------------------------------------

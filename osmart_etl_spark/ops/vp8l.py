@@ -568,6 +568,23 @@ def _apply_inverse_transforms(pixels, transforms, xsize, ysize):
 # ---------------------------------------------------------------------------
 # public decode API
 
+#: Max accepted pixel count. A tiny crafted header can declare
+#: 16384×16384 (268M pixels) and stall a pure-Python mapInPandas worker
+#: for hours / exhaust memory from a few bytes of payload — a
+#: valid-header slow path the corrupt-payload ValueError contract would
+#: otherwise miss (ADVICE r7). 4 MP covers every realistic test/corpus
+#: asset for a per-image featurizer; beyond it we fast-fail exactly like
+#: the JPEG zero-padding guard (tests/test_multimodal.py).
+VP8L_MAX_PIXELS = 4 * 1024 * 1024
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w * h > VP8L_MAX_PIXELS:
+        raise ValueError(
+            f"VP8L: declared {w}x{h} exceeds the {VP8L_MAX_PIXELS}-pixel "
+            "decode cap (header-bomb guard)"
+        )
+
 
 def _argb_to_rgba(pixels, w, h) -> np.ndarray:
     arr = np.asarray(pixels, dtype=np.uint32).reshape(h, w)
@@ -590,6 +607,7 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     br.read_bits(1)  # alpha-used hint
     if br.read_bits(3) != 0:
         raise ValueError("VP8L: unsupported version")
+    _check_dims(w, h)
     pixels, transforms, final_w = _decode_image_stream(br, w, h, True)
     pixels, out_w = _apply_inverse_transforms(pixels, transforms, final_w, h)
     if out_w != w:
@@ -637,6 +655,7 @@ def decode_webp_alpha(payload: bytes) -> np.ndarray:
         raise ValueError("WebP: short VP8X chunk")
     w = int.from_bytes(vp8x[4:7], "little") + 1
     h = int.from_bytes(vp8x[7:10], "little") + 1
+    _check_dims(w, h)
     alph = chunks[b"ALPH"]
     if not alph:
         raise ValueError("WebP: empty ALPH chunk")

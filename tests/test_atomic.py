@@ -168,6 +168,47 @@ def test_publish_race_on_same_seq(spark, tmp_path):
     assert sum(n.startswith("_v-") for n in atomic._listdir(spark, t)) == 2
 
 
+def test_skip_ahead_window_closed(spark, tmp_path, monkeypatch):
+    """Round-7 ADVICE hole: a racer claims AND commits expected_seq+1
+    in the window after this writer's commit-log read. The CAS writer
+    must lose (it derived from a now-stale snapshot) — it must NOT
+    claim a higher sequence and silently supersede the racer."""
+    t = str(tmp_path / "tbl")
+    seq1 = commit_version(spark, _mk(spark, [(1, "a", 10)]), t)
+    assert seq1 == 1
+    tok1 = current_version(spark, t)[1]
+
+    # The racer's committed seq-2 lock + marker are already on disk…
+    (tmp_path / "tbl" / "_v-bbbbbbbbbbbb").mkdir()
+    (tmp_path / "tbl" / "_commits" / "00000002.lock").write_text("")
+    (tmp_path / "tbl" / "_commits" / "00000002-bbbbbbbbbbbb").write_text("")
+    # …but this writer's log read happened BEFORE the racer landed:
+    monkeypatch.setattr(atomic, "_commit_log", lambda s, b: [(1, tok1)])
+    with pytest.raises(ConcurrentCommitError):
+        commit_version(spark, _mk(spark, [(1, "stalemerge", 99)]), t, expected_seq=1)
+    monkeypatch.undo()
+    # racer's version is still the committed one; loser staging cleaned
+    assert current_version(spark, t) == (2, "bbbbbbbbbbbb")
+    assert sum(n.startswith("_v-") for n in atomic._listdir(spark, t)) == 2
+
+
+def test_dead_claim_blocks_cas_until_gc_sweep(spark, tmp_path):
+    """A crashed claimant's markerless lock at expected_seq+1 makes a
+    CAS writer fail with a SPURIOUS ConcurrentCommitError (never a lost
+    update); the TTL GC sweeps the dead claim, after which the retry
+    succeeds at the same sequence."""
+    t = str(tmp_path / "tbl")
+    commit_version(spark, _mk(spark, [(1, "a", 10)]), t)
+    (tmp_path / "tbl" / "_commits" / "00000002.lock").write_text("")
+    with pytest.raises(ConcurrentCommitError):
+        commit_version(spark, _mk(spark, [(1, "b", 20)]), t, expected_seq=1)
+    # past the TTL the dead claim is debris; sweep and retry
+    atomic._gc(spark, t, keep_versions=2, orphan_ttl_s=0.0)
+    seq = commit_version(spark, _mk(spark, [(1, "b", 20)]), t, expected_seq=1)
+    assert seq == 2
+    assert {r["v"] for r in read_committed(spark, t).collect()} == {"b"}
+
+
 def test_time_travel_within_retention(spark, tmp_path):
     t = str(tmp_path / "tbl")
     commit_version(spark, _mk(spark, [(1, "a", 10)]), t)

@@ -23,7 +23,9 @@ def test_extract_features_plumbing(spark):
     assert len(by_status["fake_decoder"]) == 20
     assert len(by_status["stub_not_implemented"]) == 10
     img = next(r for r in by_status["fake_decoder"] if r["media_type"] == "image")
-    assert len(img["feature"]) == 8
+    # fake image features are 4-dim — SAME width as the real
+    # _quadrant_feature, so a mixed real/fake corpus is never ragged
+    assert len(img["feature"]) == 4
     assert all(0.0 <= x <= 1.0 for x in img["feature"])
     # determinism across runs (same payload → same feature)
     rows2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
@@ -625,7 +627,9 @@ def test_webp_lossy_payload_is_not_ok(spark):
     )
     rows = extract_features(media).collect()
     assert rows[0]["decode_status"] == "fake_decoder"
-    assert rows[0]["feature"] is not None and len(rows[0]["feature"]) == 8
+    # 4-dim: fake image features match _quadrant_feature's width so a
+    # mixed real-VP8L/fake-VP8 webp corpus is never ragged (ADVICE r7)
+    assert rows[0]["feature"] is not None and len(rows[0]["feature"]) == 4
     # same payload, same feature — the fake is deterministic
     rows2 = extract_features(media).collect()
     assert rows2[0]["feature"] == rows[0]["feature"]

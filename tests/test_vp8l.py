@@ -224,6 +224,38 @@ def test_vp8l_corrupt_payloads_valueerror_only():
             pass
 
 
+def test_vp8l_header_bomb_dimension_cap():
+    """A few-byte payload whose valid header declares 16384x16384 must
+    fast-fail with ValueError (pixel-count cap) instead of stalling a
+    worker for hours in the pure-Python pixel loops (ADVICE r7)."""
+    from osmart_etl_spark.ops.vp8l import (
+        VP8L_MAX_PIXELS,
+        decode_vp8l,
+        decode_webp_alpha,
+    )
+
+    # VP8L chunk: signature 0x2F then 14-bit (w-1), 14-bit (h-1) LSB-first
+    bits = 0
+    bits |= (16384 - 1) << 0
+    bits |= (16384 - 1) << 14
+    # alpha hint (1 bit) + version (3 bits) = 0
+    payload = bytes([0x2F]) + bits.to_bytes(4, "little") + b"\x00" * 4
+    with pytest.raises(ValueError, match="pixel"):
+        decode_vp8l(payload)
+    assert 16384 * 16384 > VP8L_MAX_PIXELS
+
+    # same guard on the VP8X/ALPH path (24-bit canvas dims)
+    vp8x = bytes(4) + (16383).to_bytes(3, "little") + (16383).to_bytes(3, "little")
+    alph = b"\x01" + b"\x00" * 8
+    riff = (
+        b"RIFF" + (0).to_bytes(4, "little") + b"WEBP"
+        + b"VP8X" + len(vp8x).to_bytes(4, "little") + vp8x
+        + b"ALPH" + len(alph).to_bytes(4, "little") + alph + b"\x00"
+    )
+    with pytest.raises(ValueError, match="pixel"):
+        decode_webp_alpha(riff)
+
+
 def test_webp_lossless_payload_end_to_end_spark(spark):
     """A VP8L payload flows through extract_features with
     decode_status 'ok' and the exact feature of the decoded RGBA —
