@@ -23,7 +23,8 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from osmart_etl_spark.io.sinks import upsert_parquet, write_append
+from osmart_etl_spark.io.atomic import read_committed, upsert_versioned
+from osmart_etl_spark.io.sinks import write_append
 from osmart_etl_spark.ops.windows import change_points, replay_running_balance
 from osmart_etl_spark.streaming.incremental import WatermarkStore, run_incremental
 
@@ -205,8 +206,8 @@ def run_stock_points_incremental(
         row = mv.agg(F.max(F.to_date("fecha")).alias("m")).first()
         new_wm_holder[0] = row["m"].isoformat() if row["m"] is not None else None
         try:
-            prior = spark_.read.parquet(points_path)
-        except Exception:
+            prior = read_committed(spark_, points_path)
+        except FileNotFoundError:
             prior = None
         pts = compute_stock_points(mv, prior, spark_)
         return pts.withColumn("updated_at", F.current_timestamp())
@@ -215,7 +216,9 @@ def run_stock_points_incremental(
         if jdbc:
             # one evaluation feeding both sinks (see pipelines/sales.py)
             batch = batch.localCheckpoint(eager=True)
-        upsert_parquet(
+        # Round 7: atomic versioned sink (see pipelines/sales.py) —
+        # crash-safe publish, CAS against concurrent duplicate runs.
+        upsert_versioned(
             spark, batch, points_path,
             keys=["art_id", "point_date"], order_col="updated_at",
         )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osmart_etl_spark.io.sinks import upsert_parquet
+from osmart_etl_spark.io.atomic import upsert_versioned
 from osmart_etl_spark.ops.relational import (
     conditional_override,
     enrich_extract,
@@ -107,7 +107,14 @@ def run_sales_incremental(
             # source files landing between the two actions would reach
             # the DB but not the lake (silent divergence).
             batch = batch.localCheckpoint(eager=True)
-        upsert_parquet(
+        # Round 7: the lake upsert goes through the manifest-committed
+        # atomic sink (io/atomic.upsert_versioned) — a crash anywhere
+        # mid-write leaves the previous version fully readable, and a
+        # concurrent duplicate run surfaces as ConcurrentCommitError
+        # instead of a silent lost update. The old in-place
+        # ``upsert_parquet`` (io/sinks.py) is no longer reachable from
+        # pipeline code; read the sink back via atomic.read_committed.
+        upsert_versioned(
             spark, batch, sink_path,
             keys=["user_id", "tienda", "source_system"],
             order_col="extracted_at",

@@ -13,6 +13,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from osmart_etl_spark.io.atomic import read_committed
+
 DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
@@ -309,7 +311,7 @@ def test_sales_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     )
     assert wm3 == wm1 + 2
 
-    lake = spark.read.parquet(sink)
+    lake = read_committed(spark, sink)
     db = jdbc_scan(spark, derby_url, "ventas_limpias", driver=DRIVER)
     key = lambda r: (r["user_id"], r["tienda"], r["source_system"])  # noqa: E731
     lake_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in lake.collect()}
@@ -372,7 +374,7 @@ def test_stock_points_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
 
     lake = {
         (r["art_id"], r["point_date"]): round(r["sod_stock"], 6)
-        for r in spark.read.parquet(points).collect()
+        for r in read_committed(spark, points).collect()
     }
     db = {
         (r["art_id"], r["point_date"]): round(r["sod_stock"], 6)
@@ -405,7 +407,7 @@ def test_orchestrated_tick_with_reconcile_against_db(spark, derby_url, tmp_path)
         jdbc_points={"url": derby_url, "table": "orch_points", "driver": DRIVER},
     )
     assert not report.failed, report.failed
-    lake = spark.read.parquet(str(tmp_path / "points")).select(
+    lake = read_committed(spark, str(tmp_path / "points")).select(
         "art_id", "point_date", F.col("sod_stock").cast("double").alias("sim")
     )
     prod = jdbc_scan(spark, derby_url, "orch_points", driver=DRIVER).select(

@@ -10,6 +10,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
+from osmart_etl_spark.io.atomic import read_committed
+
 from tests.conftest import SF_SMALL
 
 
@@ -66,7 +68,7 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
     assert wm1 is not None
-    n1 = spark.read.parquet(sink).count()
+    n1 = read_committed(spark, sink).count()
     assert n1 > 0
 
     wm2 = run_sales_incremental(
@@ -88,7 +90,7 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
     assert wm3 == wm1 + 2
-    final = spark.read.parquet(sink)
+    final = read_committed(spark, sink)
     # still one row per (user, tienda, source_system)
     assert final.groupBy("user_id", "tienda", "source_system").count().filter(
         F.col("count") > 1
@@ -96,6 +98,67 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
     # user 1 row reflects ONLY the incremental slice (per-batch agg upsert)
     u1 = final.filter(F.col("user_id") == 1).collect()[0]
     assert float(u1["total_venta"]) == 15.0
+
+
+def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
+    spark, tmp_path, events_parquet, monkeypatch
+):
+    """Round-7 adoption check: the SALES PIPELINE's actual sink is the
+    atomic versioned table, so a crash between staging and publish
+    during an incremental run leaves the previously committed batch
+    fully readable, the watermark un-advanced, and a rerun recovers."""
+    import datetime as dtm
+
+    from osmart_etl_spark.io import atomic
+    from osmart_etl_spark.pipelines.sales import run_sales_incremental
+
+    sink = str(tmp_path / "ventas")
+    wmp = str(tmp_path / "wm")
+    wm1 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    v1 = sorted(tuple(r) for r in read_committed(spark, sink).drop(
+        "extracted_at", "last_event_id"
+    ).collect())
+
+    new = spark.createDataFrame(
+        [(wm1 + 1, dtm.datetime(2025, 2, 1, 9), 2, "purchase", 42.0, "{}")],
+        spark.read.parquet(events_parquet).schema,
+    )
+    new.write.mode("append").parquet(events_parquet)
+
+    class Boom(RuntimeError):
+        pass
+
+    real_log = atomic._commit_log
+    calls = {"n": 0}
+
+    def die_at_publish(spark_, base):
+        # first call inside commit_version happens AFTER staging —
+        # dying here models a crash between the two phases mid-pipeline
+        calls["n"] += 1
+        raise Boom()
+
+    monkeypatch.setattr(atomic, "_commit_log", die_at_publish)
+    with pytest.raises(Boom):
+        run_sales_incremental(
+            spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+        )
+    monkeypatch.setattr(atomic, "_commit_log", real_log)
+
+    # previous version intact, watermark NOT advanced past wm1
+    assert sorted(
+        tuple(r)
+        for r in read_committed(spark, sink).drop(
+            "extracted_at", "last_event_id"
+        ).collect()
+    ) == v1
+    # rerun picks the delta up and commits it
+    wm3 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm3 == wm1 + 1
+    assert read_committed(spark, sink).filter(F.col("user_id") == 2).count() >= 1
 
 
 def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
@@ -137,7 +200,7 @@ def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
 
     incremental = {
         (r["art_id"], r["point_date"]): r["sod_stock"]
-        for r in spark.read.parquet(points).collect()
+        for r in read_committed(spark, points).collect()
     }
 
     full = compute_stock_points(normalize_movements(events), None, spark)
@@ -155,7 +218,7 @@ def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
     inc_dense = {
         (r["art_id"], r["cal_date"]): r["sod_stock"]
         for r in sparse_decode(
-            spark.read.parquet(points), spark, lo, hi, ["art_id"]
+            read_committed(spark, points), spark, lo, hi, ["art_id"]
         ).collect()
     }
     full_dense = {
@@ -219,7 +282,7 @@ def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
     assert report.succeeded == [
         "sales:tienda_01", "raw_movements:tienda_01", "stock_points:tienda_01"
     ]
-    assert spark.read.parquet(str(tmp_path / "points")).count() > 0
+    assert read_committed(spark, str(tmp_path / "points")).count() > 0
 
     # failure isolation: second tick against a broken events path for a
     # second store — first store is a no-op success, bad store records
@@ -271,7 +334,7 @@ def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
     )
     # watermark and points never reach the incomplete-day region
     assert wm is not None and wm <= "2024-01-15"
-    max_pt = spark.read.parquet(pts_cut).agg(F.max("point_date").alias("m")).first()["m"]
+    max_pt = read_committed(spark, pts_cut).agg(F.max("point_date").alias("m")).first()["m"]
     assert max_pt <= cutoff  # spine extends to max movement day + 1 == cutoff at most
 
 
