@@ -23,14 +23,20 @@ Two tiers of codec honesty:
   4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
   YCbCr->RGB; plus a baseline 4:4:4 encoder for fixtures). Progressive
   JPEG raises ValueError -> decode_status, never a job failure.
-- Lossless WebP (VP8L) is implemented FOR REAL in pure numpy
-  (``ops/vp8l.py``: RFC 9649 bitstream — canonical/meta Huffman, LZ77
-  with the 2D distance map, color cache, predictor/cross-color/
+- WebP is implemented FOR REAL in pure numpy in BOTH forms: lossless
+  VP8L (``ops/vp8l.py``: RFC 9649 bitstream — canonical/meta Huffman,
+  LZ77 with the 2D distance map, color cache, predictor/cross-color/
   subtract-green/color-indexing inverse transforms, plus the ALPH
-  lossless alpha-plane form and a literal-only encoder for fixtures).
-- Remaining COMPRESSED formats (lossy-VP8 webp/mp3/h264…) need
-  PIL/libsndfile/ffmpeg, absent from this container — those paths are
-  stubbed behind ``DECODERS``: each stub either raises
+  lossless alpha-plane form and a literal-only encoder for fixtures)
+  and, since round 7, lossy VP8 key frames (``ops/vp8.py``: RFC 6386
+  boolean arithmetic decoder, intra prediction incl. all ten 4x4
+  sub-modes, token-tree residuals, inverse DCT/WHT, normal in-loop
+  deblocking, YUV420->RGB — validated bit-exact against the system
+  libwebp across random encoder outputs, plus a prediction-only
+  encoder for fixtures).
+- Remaining COMPRESSED formats (mp3/h264…) need libsndfile/ffmpeg,
+  absent from this container — those paths are stubbed behind
+  ``DECODERS``: each stub either raises
   NotImplementedError (-> decode_status ``stub_not_implemented``) or
   raises ``FakeDecodeFeature`` with a deterministic fake feature
   (-> decode_status ``fake_decoder``). A stub NEVER reports ``ok`` —
@@ -357,11 +363,13 @@ def _decode_image(payload: bytes) -> np.ndarray:
     pure-stdlib codec above, JPEG payloads decode FOR REAL via the
     pure-numpy codec (ops/jpeg.py — T.81 sequential AND progressive
     DCT with 4:4:4/4:2:2/4:2:0 and restart markers; arithmetic/
-    hierarchical/12-bit raise ValueError -> decode_status), lossless
-    WebP (VP8L) decodes FOR REAL via ops/vp8l.py (RFC 9649 bitstream:
-    Huffman/meta-Huffman, LZ77 + color cache, all four inverse
-    transforms); all featurize like raw images. Only lossy-VP8 WebP
-    and unknown formats fall through to the deterministic fake
+    hierarchical/12-bit raise ValueError -> decode_status), and WebP
+    decodes FOR REAL in both forms — lossless VP8L via ops/vp8l.py
+    (RFC 9649) and, since round 7, lossy VP8 key frames via ops/vp8.py
+    (RFC 6386: boolean decoder, intra prediction, token trees, inverse
+    DCT/WHT, in-loop deblocking — validated bit-exact against the
+    system libwebp). All featurize like raw images. Only unknown image
+    formats fall through to the deterministic fake
     (-> decode_status 'fake_decoder')."""
     if payload[:8] == _PNG_MAGIC:
         return _quadrant_feature(decode_png(payload))
@@ -375,10 +383,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from osmart_etl_spark.ops.vp8l import decode_webp
 
-        try:
-            return _quadrant_feature(decode_webp(payload))
-        except NotImplementedError:
-            pass  # lossy VP8: no real decoder -> labeled fake below
+        return _quadrant_feature(decode_webp(payload))
     return _fake_decode_image(payload)
 
 
@@ -395,9 +400,9 @@ class FakeDecodeFeature(Exception):
 
 
 def _fake_decode_image(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake decoder for lossy-VP8 WebP and unknown
-    image formats (PNG, JPEG, and lossless-VP8L WebP decode for real
-    above): a real implementation calls PIL/opencv here. The fake
+    """STUB — deterministic fake decoder for unknown image formats
+    (PNG, JPEG, and BOTH WebP forms decode for real above): a real
+    implementation calls PIL/opencv here. The fake
     derives a 4-dim feature from payload bytes — FOUR dims to match
     ``_quadrant_feature``, because a media_type's feature dimensionality
     must not depend on which codec decoded the row (a mixed webp corpus

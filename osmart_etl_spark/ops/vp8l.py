@@ -9,10 +9,11 @@ Decoder surface:
 
 - ``decode_webp(payload)``   — RIFF container walk; ``VP8L`` chunk (bare
   or inside a ``VP8X`` extended file) decodes FOR REAL to an RGBA
-  uint8 array.  Lossy ``VP8 `` raises NotImplementedError (a VP8
-  intra-frame decoder is a separate codec; that path stays behind the
-  clearly-marked fake in ops/multimodal.py).  Corrupt payloads raise
-  ValueError only — the mapInPandas decode_status contract.
+  uint8 array.  Lossy ``VP8 `` also decodes FOR REAL since round 7,
+  dispatched to ops/vp8.py (RFC 6386 key-frame decoder, bit-exact vs
+  the system libwebp), with an extended file's ALPH plane composed
+  into the alpha channel.  Corrupt payloads raise ValueError only —
+  the mapInPandas decode_status contract.
 - ``decode_webp_alpha(payload)`` — the ``ALPH`` chunk of an extended
   WebP: raw (compression 0) or VP8L-coded (compression 1, the headerless
   "implicit dimensions" stream form), plus the three alpha prediction
@@ -630,15 +631,25 @@ def _riff_chunks(payload: bytes):
 
 def decode_webp(payload: bytes) -> np.ndarray:
     """RGBA uint8 (h, w, 4) from a WebP file. Lossless (VP8L) decodes
-    for real; lossy (VP8) raises NotImplementedError — the caller
-    (ops/multimodal._decode_image) routes that to the labeled fake."""
+    for real via this module; lossy (VP8 key frame) decodes for real
+    via ops/vp8.py (RFC 6386 — round 7, validated bit-exact against
+    the system libwebp); an extended file's ALPH plane composes into
+    the alpha channel."""
     chunks = dict(_riff_chunks(payload))
     if b"VP8L" in chunks:
         return decode_vp8l(chunks[b"VP8L"])
     if b"VP8 " in chunks:
-        raise NotImplementedError(
-            "lossy VP8 WebP needs a VP8 intra-frame decoder (not implemented)"
-        )
+        from osmart_etl_spark.ops.vp8 import decode_vp8
+
+        rgb = decode_vp8(chunks[b"VP8 "])
+        h, w = rgb.shape[:2]
+        if b"ALPH" in chunks and b"VP8X" in chunks:
+            alpha = decode_webp_alpha(payload)
+            if alpha.shape != (h, w):
+                raise ValueError("WebP: ALPH dimensions disagree with VP8 frame")
+        else:
+            alpha = np.full((h, w), 255, dtype=np.uint8)
+        return np.dstack([rgb, alpha])
     raise ValueError("WebP: no VP8L/VP8 image chunk")
 
 

@@ -612,24 +612,19 @@ def test_jpeg_corrupt_payloads_valueerror_only_and_fast():
     assert time.time() - t_start < 30.0
 
 
-def test_webp_lossy_payload_is_not_ok(spark):
-    """A lossy-VP8 WebP payload must NOT come back decode_status='ok':
-    no real VP8 decoder exists in-container, so the deterministic fake
-    tags the row fake_decoder (VERDICT r5 #1 — fabricated features must
-    be distinguishable from real decodes) while still emitting a
-    deterministic feature so the plumbing stays testable."""
+def test_webp_corrupt_payload_is_decode_error_not_fake(spark):
+    """Round 7: lossy VP8 decodes FOR REAL (ops/vp8.py), so a webp
+    payload is never routed to the fake decoder — a corrupt VP8 chunk
+    surfaces as decode_error (honest failure), and the fake_decoder
+    status is reserved for formats with no in-repo codec (non-WAV
+    audio). Real-lossy-webp 'ok' coverage lives in tests/test_vp8.py."""
     from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, extract_features
 
-    body = b"WEBPVP8 " + bytes(range(40))
+    body = b"WEBPVP8 " + bytes([24]) + bytes(range(39))
     payload = b"RIFF" + len(body).to_bytes(4, "little") + body
     media = spark.createDataFrame(
         [(1, "image", payload, len(payload), 8, 8, None)], MEDIA_SCHEMA
     )
     rows = extract_features(media).collect()
-    assert rows[0]["decode_status"] == "fake_decoder"
-    # 4-dim: fake image features match _quadrant_feature's width so a
-    # mixed real-VP8L/fake-VP8 webp corpus is never ragged (ADVICE r7)
-    assert rows[0]["feature"] is not None and len(rows[0]["feature"]) == 4
-    # same payload, same feature — the fake is deterministic
-    rows2 = extract_features(media).collect()
-    assert rows2[0]["feature"] == rows[0]["feature"]
+    assert rows[0]["decode_status"] == "decode_error"
+    assert rows[0]["feature"] is None
