@@ -17,7 +17,10 @@ Two tiers of codec honesty:
   — 8-bit non-interlaced grey/RGB/grey-alpha/RGBA.
 - WAV (RIFF/PCM 8- and 16-bit) is implemented FOR REAL in pure
   stdlib+numpy (``decode_wav`` / ``encode_wav``: RIFF chunk walk, PCM
-  sample decode, RMS+ZCR featurizer).
+  sample decode, RMS+ZCR featurizer); AIFF/AIFC (PCM BE/'sowt' LE,
+  G.711 ulaw/alaw) and AU/Sun audio likewise via ``ops/audio.py``
+  (round 7 — G.711 bit-exact vs the stdlib audioop reference,
+  third-party PSF pluck fixtures differential vs the WAV sibling).
 - JPEG is implemented FOR REAL in pure numpy (``ops/jpeg.py``: T.81
   baseline sequential — Huffman entropy decode, dequant, 8x8 IDCT,
   4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
@@ -514,17 +517,31 @@ def _wav_feature(samples: np.ndarray) -> np.ndarray:
 
 def _decode_audio(payload: bytes) -> np.ndarray:
     """Audio feature dispatch: RIFF/WAVE payloads decode FOR REAL via
-    the pure-stdlib PCM codec and featurize with RMS+ZCR windows; other
-    compressed formats (mp3/ogg/flac) fall through to the deterministic
-    fake until their libraries exist in the container."""
+    the pure-stdlib PCM codec, and — since round 7 — AIFF/AIFC (incl.
+    the G.711 ulaw/alaw compression types and the 'sowt' LE form) and
+    AU/Sun audio decode FOR REAL via ops/audio.py; all featurize with
+    the same RMS+ZCR windows. Genuinely compressed formats
+    (mp3/ogg/flac) fall through to the deterministic fake until their
+    libraries exist in the container."""
     if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
         samples, _rate = decode_wav(payload)
+        return _wav_feature(samples)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        from osmart_etl_spark.ops.audio import decode_aiff
+
+        samples, _rate = decode_aiff(payload)
+        return _wav_feature(samples)
+    if payload[:4] == b".snd":
+        from osmart_etl_spark.ops.audio import decode_au
+
+        samples, _rate = decode_au(payload)
         return _wav_feature(samples)
     return _fake_decode_audio(payload)
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake for non-WAV compressed audio: a real
+    """STUB — deterministic fake for genuinely compressed audio
+    (mp3/ogg/flac; WAV, AIFF/AIFC and AU decode for real above): a real
     implementation calls soundfile/librosa here. 8-dim to match the
     real WAV featurizer (2*_AUDIO_N_FRAMES) — a media_type's feature
     dimensionality must not depend on which codec decoded the row, or
