@@ -20,7 +20,9 @@ Two tiers of codec honesty:
   sample decode, RMS+ZCR featurizer); AIFF/AIFC (PCM BE/'sowt' LE,
   G.711 ulaw/alaw) and AU/Sun audio likewise via ``ops/audio.py``
   (round 7 — G.711 bit-exact vs the stdlib audioop reference,
-  third-party PSF pluck fixtures differential vs the WAV sibling).
+  third-party PSF pluck fixtures differential vs the WAV sibling);
+  FLAC likewise via ``ops/flac.py`` (RFC 9639: Rice/fixed/LPC
+  subframes, stereo decorrelation, CRC-8/CRC-16/MD5 all verified).
 - JPEG is implemented FOR REAL in pure numpy (``ops/jpeg.py``: T.81
   baseline sequential — Huffman entropy decode, dequant, 8x8 IDCT,
   4:4:4/4:2:2/4:2:0 chroma upsampling, restart markers, BT.601
@@ -519,10 +521,11 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     """Audio feature dispatch: RIFF/WAVE payloads decode FOR REAL via
     the pure-stdlib PCM codec, and — since round 7 — AIFF/AIFC (incl.
     the G.711 ulaw/alaw compression types and the 'sowt' LE form) and
-    AU/Sun audio decode FOR REAL via ops/audio.py; all featurize with
-    the same RMS+ZCR windows. Genuinely compressed formats
-    (mp3/ogg/flac) fall through to the deterministic fake until their
-    libraries exist in the container."""
+    AU/Sun audio decode FOR REAL via ops/audio.py, and FLAC decodes
+    FOR REAL via the RFC 9639 codec in ops/flac.py (CRC-8/CRC-16/MD5
+    verified); all featurize with the same RMS+ZCR windows. The
+    remaining genuinely lossy formats (mp3/ogg) fall through to the
+    deterministic fake until their libraries exist in the container."""
     if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
         samples, _rate = decode_wav(payload)
         return _wav_feature(samples)
@@ -536,12 +539,17 @@ def _decode_audio(payload: bytes) -> np.ndarray:
 
         samples, _rate = decode_au(payload)
         return _wav_feature(samples)
+    if payload[:4] == b"fLaC":
+        from osmart_etl_spark.ops.flac import decode_flac
+
+        samples, _rate = decode_flac(payload)
+        return _wav_feature(samples)
     return _fake_decode_audio(payload)
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
-    """STUB — deterministic fake for genuinely compressed audio
-    (mp3/ogg/flac; WAV, AIFF/AIFC and AU decode for real above): a real
+    """STUB — deterministic fake for genuinely lossy compressed audio
+    (mp3/ogg; WAV, AIFF/AIFC, AU and FLAC decode for real above): a real
     implementation calls soundfile/librosa here. 8-dim to match the
     real WAV featurizer (2*_AUDIO_N_FRAMES) — a media_type's feature
     dimensionality must not depend on which codec decoded the row, or
