@@ -39,8 +39,12 @@ Two tiers of codec honesty:
   deblocking, YUV420->RGB — validated bit-exact against the system
   libwebp across random encoder outputs, plus a prediction-only
   encoder for fixtures).
-- Remaining COMPRESSED formats (mp3/h264…) need libsndfile/ffmpeg,
-  absent from this container — those paths are stubbed behind
+- Video decodes FOR REAL for Y4M (YUV4MPEG2 raw planar YUV, BT.601
+  conversion) and AVI/MJPEG (per-frame T.81 JPEG incl. the omitted-DHT
+  quirk) via ``ops/video.py`` (round 7).
+- Remaining COMPRESSED formats (mp3/ogg audio, inter-frame video like
+  H.264/VP9) need libsndfile/ffmpeg, absent from this container —
+  those paths are stubbed behind
   ``DECODERS``: each stub either raises
   NotImplementedError (-> decode_status ``stub_not_implemented``) or
   raises ``FakeDecodeFeature`` with a deterministic fake feature
@@ -559,9 +563,47 @@ def _fake_decode_audio(payload: bytes) -> np.ndarray:
     raise FakeDecodeFeature(arr.reshape(2 * _AUDIO_N_FRAMES, 4).std(axis=1) / 255.0)
 
 
+_VIDEO_SAMPLE_K = 8
+
+
+def _sample_evenly(frames: list, k: int) -> list:
+    """Up to k frames at evenly spaced indices (always includes the
+    first and last frame when n > 1) — deterministic, order-preserving."""
+    n = len(frames)
+    if n <= k:
+        return frames
+    idx = sorted({(i * (n - 1)) // (k - 1) for i in range(k)})
+    return [frames[i] for i in idx]
+
+
+def _video_feature(frames: list) -> np.ndarray:
+    """REAL video featurizer: evenly sample up to 8 frames, take the
+    4-dim quadrant feature of each, and emit per-quadrant mean + std
+    across the samples (8-dim float32, fixed for all video rows — a
+    single-frame video simply has zero temporal std)."""
+    feats = np.stack([_quadrant_feature(f) for f in _sample_evenly(frames, _VIDEO_SAMPLE_K)])
+    return np.concatenate([feats.mean(axis=0), feats.std(axis=0)]).astype(np.float32)
+
+
 def _decode_video(payload: bytes) -> np.ndarray:
-    """STUB — video decode requires ffmpeg bindings, absent here."""
-    raise NotImplementedError("video decode requires ffmpeg (not in container)")
+    """Video feature dispatch: Y4M (YUV4MPEG2 raw planar YUV) and
+    AVI/MJPEG (per-frame baseline JPEG incl. the omitted-DHT quirk)
+    decode FOR REAL via ops/video.py — pure numpy + the in-tree T.81
+    codec, no ffmpeg. Inter-frame codecs (MP4/H.264, VP9, MKV) remain
+    an HONEST stub: NotImplementedError -> decode_status
+    'stub_not_implemented', never a fabricated feature tagged 'ok'."""
+    if payload[:9] == b"YUV4MPEG2":
+        from osmart_etl_spark.ops.video import decode_y4m
+
+        return _video_feature(decode_y4m(payload))
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from osmart_etl_spark.ops.video import decode_avi
+
+        return _video_feature(decode_avi(payload))
+    raise NotImplementedError(
+        "inter-frame video codecs need ffmpeg (not in container); "
+        "Y4M and AVI/MJPEG decode for real via ops/video.py"
+    )
 
 
 DECODERS = {
