@@ -377,9 +377,11 @@ def _decode_image(payload: bytes) -> np.ndarray:
     (RFC 9649) and, since round 7, lossy VP8 key frames via ops/vp8.py
     (RFC 6386: boolean decoder, intra prediction, token trees, inverse
     DCT/WHT, in-loop deblocking — validated bit-exact against the
-    system libwebp). All featurize like raw images. Only unknown image
-    formats fall through to the deterministic fake
-    (-> decode_status 'fake_decoder')."""
+    system libwebp), and GIF decodes FOR REAL via ops/gif.py (LZW,
+    interlace, animation composition; third-party-fixture validated).
+    All featurize like raw images. Only unknown image formats fall
+    through to the deterministic fake (-> decode_status
+    'fake_decoder')."""
     if payload[:8] == _PNG_MAGIC:
         return _quadrant_feature(decode_png(payload))
     if payload[:2] == b"\xff\xd8":
@@ -393,6 +395,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from osmart_etl_spark.ops.vp8l import decode_webp
 
         return _quadrant_feature(decode_webp(payload))
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from osmart_etl_spark.ops.gif import decode_gif
+
+        # still GIFs have one frame; for animations the first composed
+        # canvas is the representative image-tier feature
+        return _quadrant_feature(decode_gif(payload)[0])
     return _fake_decode_image(payload)
 
 
