@@ -1,0 +1,157 @@
+"""Statistical language-model quality filtering over ``documents``
+(BASELINE.json extension surface — first-class component).
+
+The CCNet / RedPajama-style pipeline scores every document under an
+n-gram LM trained on the corpus itself and drops perplexity outliers
+(too high = gibberish / OCR noise; too low = boilerplate). Here the LM
+is an add-one-smoothed bigram model trained ON the corpus being
+filtered — the full train+score loop as ONE declarative DAG, which is
+the Spark-first shape of KenLM-based filtering (reference repo has no
+text surface; this is extension tier).
+
+Float-parity strategy (the driver hash-compares values bit-exactly):
+each bigram's negative log-likelihood is a single ``ln`` of a rational
+``(c2+1)/(c1+V)`` — both engines call libm on identical doubles (the
+``benford_digit_audit`` precedent) — and is quantized to DECIMAL(18,9)
+BEFORE the per-document SUM so aggregation is exact and
+order-independent (doubles would be association-sensitive across 32
+shuffle partitions). The decimal totals stay under 2^53 so the final
+cast back to DOUBLE is exact.
+
+Scale story (100 TB): the model tables are Zipf-bounded — c2 (bigram
+counts) and c1 (prefix counts) shuffle on their own keys with map-side
+partial aggregation; the scoring joins are plain shuffle hash joins on
+those keys (bigram skew = stopword pairs — AQE skew-join splits them).
+Per-doc duplicate bigrams are pre-aggregated (doc_id, w1, w2, m) before
+the join, so the join input is bounded by distinct-bigrams-per-doc, not
+token count. V is a scalar broadcast. No UDFs anywhere — the whole
+train+score pipeline is codegen'd joins/aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import query
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+#: keep-gate on avg bigram NLL (nats). ln(V)≈10 is the smoothed-miss
+#: ceiling at sf0.1 vocab; 8.0 keeps in-distribution prose and drops
+#: unseen-heavy outliers. A fixed literal so both engines compare the
+#: same constant.
+_NLL_KEEP_THRESHOLD = 8.0
+
+
+def _bigrams(doc_tokens: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) one row per bigram occurrence — JVM-side array
+    ops: zip the token array with itself shifted by one."""
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return (
+        doc_tokens.filter(n >= 2)
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+    )
+
+
+@query(
+    "lm_perplexity_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+    v AS (
+      SELECT COUNT(DISTINCT x) AS v
+      FROM (SELECT unnest(t) AS x FROM toks)
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(-ln((CAST(c2.c2 AS DOUBLE) + 1.0)
+                 / (CAST(c1.c1 AS DOUBLE) + CAST(v.v AS DOUBLE)))
+             AS DECIMAL(18,9)) AS nll
+      FROM bg
+      JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      JOIN c1 ON bg.w1 = c1.w1
+      CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      CAST(a.total AS DOUBLE) AS total_nll,
+      CAST(a.total AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS avg_nll,
+      CASE WHEN a.n_bigrams IS NULL THEN FALSE
+           ELSE CAST(a.total AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+                < {_NLL_KEEP_THRESHOLD!r} END AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("ext-text", "lm-filter", "quality"),
+)
+def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train an add-one bigram LM on the corpus, score every document's
+    average bigram NLL under it, and gate on a fixed threshold — the
+    CCNet-style perplexity filter as one Catalyst DAG."""
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
+    )
+    bg = _bigrams(doc_tokens)
+
+    # per-doc duplicate bigrams pre-aggregated ONCE and persisted: occ
+    # feeds the scoring join AND both model tables, so the corpus is
+    # tokenized/exploded a single time (c2/c1 fold the persisted rows,
+    # they don't re-scan 100 TB of text)
+    occ = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
+    c1 = occ.groupBy("w1").agg(F.sum("m").alias("c1"))
+    vocab = doc_tokens.select(F.explode("t").alias("x")).agg(
+        F.countDistinct("x").alias("v")
+    )
+    p = (F.col("c2").cast("double") + F.lit(1.0)) / (
+        F.col("c1").cast("double") + F.col("v").cast("double")
+    )
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "m",
+            (-F.log(p)).cast("decimal(18,9)").alias("nll"),
+        )
+    )
+    # m as decimal(10,0): decimal(18,9) * bigint would exceed Spark's
+    # 38-digit ceiling and silently truncate the 9th fractional digit
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("nll") * F.col("m").cast("decimal(10,0)")).alias("total"),
+    )
+    avg = F.col("total").cast("double") / F.col("n_bigrams").cast("double")
+    return docs.join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("total").cast("double").alias("total_nll"),
+        avg.alias("avg_nll"),
+        F.when(F.col("n_bigrams").isNull(), F.lit(False))
+        .otherwise(avg < F.lit(_NLL_KEEP_THRESHOLD))
+        .alias("keep"),
+    )
