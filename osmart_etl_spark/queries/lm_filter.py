@@ -155,3 +155,138 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(avg < F.lit(_NLL_KEEP_THRESHOLD))
         .alias("keep"),
     )
+
+
+#: DSIR hashed-feature space. The paper uses 10k buckets; 64 keeps the
+#: weight table readable at test SF — the SHAPE (hash → bucket →
+#: importance log-ratio) is scale-free, only this literal grows.
+_DSIR_BUCKETS = 64
+_DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, lang,
+        ('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 7))::BIGINT
+          % {_DSIR_BUCKETS} AS b
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    cs AS (SELECT b, COUNT(*) AS cs FROM bg GROUP BY b),
+    ct AS (
+      SELECT b, COUNT(*) AS ct FROM bg
+      WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY b
+    ),
+    tot AS (
+      SELECT
+        SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}' THEN 1 ELSE 0 END) AS t_n,
+        COUNT(*) AS s_n
+      FROM bg
+    ),
+    w AS (
+      SELECT cs.b,
+        CAST(ln(
+          ((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0)
+             / (CAST(tot.t_n AS DOUBLE) + {float(_DSIR_BUCKETS)!r}))
+          / ((CAST(cs.cs AS DOUBLE) + 1.0)
+             / (CAST(tot.s_n AS DOUBLE) + {float(_DSIR_BUCKETS)!r}))
+        ) AS DECIMAL(18,9)) AS lw
+      FROM cs LEFT JOIN ct ON cs.b = ct.b CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT bg.doc_id, COUNT(*) AS n, SUM(w.lw) AS lw
+      FROM bg JOIN w ON bg.b = w.b GROUP BY bg.doc_id
+    )
+    SELECT d.doc_id, d.lang,
+      CAST(COALESCE(a.n, 0) AS BIGINT) AS n_bigrams,
+      CAST(a.lw AS DOUBLE) AS log_weight,
+      CASE WHEN a.lw IS NULL THEN FALSE
+           ELSE CAST(a.lw AS DOUBLE) > 0.0 END AS selected
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("ext-text", "lm-filter", "data-selection"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023):
+    score every document by the log importance ratio between a target
+    distribution (here: the 'en' slice of the corpus) and the raw
+    distribution, both estimated over HASHED bigram features — the
+    published trick that makes LM-quality data selection linear-time.
+
+    Spark-first shape: bigrams hash (md5, engine-portable) into
+    {_DSIR_BUCKETS} buckets; both feature distributions are one
+    groupBy over the persisted (doc, bucket, multiplicity) table; the
+    per-bucket log-ratio table is tiny and BROADCAST to the scoring
+    join, so at 100 TB the only corpus-sized shuffles are the two
+    bucket aggregations (map-side combined, {_DSIR_BUCKETS} keys).
+    Per-bucket log-weights are decimal-quantized pre-sum (same
+    exactness discipline as lm_perplexity_filter above).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id",
+        "lang",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
+    )
+    n = F.size("t")
+    pairs = F.zip_with(
+        F.slice("t", 1, n - 1),
+        F.slice("t", 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 7), 16, 10).cast("bigint")
+        % _DSIR_BUCKETS
+    )
+    occ = (
+        doc_tokens.filter(n >= 2)
+        .select("doc_id", "lang", F.explode(pairs).alias("g"))
+        .select("doc_id", "lang", bucket.alias("b"))
+        .groupBy("doc_id", "lang", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist()
+    )
+    is_target = F.col("lang") == _DSIR_TARGET_LANG
+    cs = occ.groupBy("b").agg(F.sum("m").alias("cs"))
+    ct = occ.filter(is_target).groupBy("b").agg(F.sum("m").alias("ct"))
+    tot = occ.agg(
+        F.sum(F.when(is_target, F.col("m")).otherwise(F.lit(0))).alias("t_n"),
+        F.sum("m").alias("s_n"),
+    )
+    bd = float(_DSIR_BUCKETS)
+    lw = F.log(
+        (
+            (F.coalesce(F.col("ct"), F.lit(0)).cast("double") + F.lit(1.0))
+            / (F.col("t_n").cast("double") + F.lit(bd))
+        )
+        / (
+            (F.col("cs").cast("double") + F.lit(1.0))
+            / (F.col("s_n").cast("double") + F.lit(bd))
+        )
+    ).cast("decimal(18,9)")
+    weights = (
+        cs.join(ct, ["b"], "left").join(F.broadcast(tot)).select("b", lw.alias("lw"))
+    )
+    agg = (
+        occ.join(F.broadcast(weights), ["b"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n"),
+            F.sum(F.col("lw") * F.col("m").cast("decimal(10,0)")).alias("lw"),
+        )
+    )
+    lw_d = F.col("lw").cast("double")
+    return docs.join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        "lang",
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        lw_d.alias("log_weight"),
+        F.when(F.col("lw").isNull(), F.lit(False))
+        .otherwise(lw_d > F.lit(0.0))
+        .alias("selected"),
+    )
