@@ -290,3 +290,113 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(lw_d > F.lit(0.0))
         .alias("selected"),
     )
+
+
+#: Fixed logistic-regression weights for the quality classifier — the
+#: fasttext-style "trained classifier applied at corpus scale" stage
+#: (GPT-3 / LLaMA pipelines). Literals so both engines compute the
+#: identical fixed-order double expression; the contract is the SHAPE
+#: (featurize -> linear score -> sigmoid -> gate), not these values.
+_QC_BIAS = -1.0
+_QC_W_STOP = 6.0
+_QC_W_TOKLEN = 0.2
+_QC_W_ALPHA = 2.0
+_QC_W_DIGIT = -4.0
+
+_STOP_SQL = "['the','a','of','and','is','to','in']"
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH feat AS (
+      SELECT doc_id,
+        len({_TOKS}) AS n_tokens,
+        len(list_filter({_TOKS}, x -> list_contains({_STOP_SQL}, x))) AS n_stop,
+        list_reduce(list_prepend(0, list_transform({_TOKS}, x -> len(x))),
+                    (a, b) -> a + b) AS tok_chars,
+        length(text) AS n_chars,
+        length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ),
+    x AS (
+      SELECT doc_id,
+        CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS stop_ratio,
+        CASE WHEN n_tokens = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS mean_tok_len,
+        CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS alpha_ratio,
+        CASE WHEN n_chars = 0 THEN CAST(0 AS DOUBLE)
+             ELSE CAST(n_digit AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS digit_ratio
+      FROM feat
+    )
+    SELECT doc_id, stop_ratio, mean_tok_len, alpha_ratio, digit_ratio,
+      CAST(CAST(1.0 / (1.0 + exp(-({_QC_BIAS!r}
+        + {_QC_W_STOP!r} * stop_ratio
+        + {_QC_W_TOKLEN!r} * mean_tok_len
+        + {_QC_W_ALPHA!r} * alpha_ratio
+        + {_QC_W_DIGIT!r} * digit_ratio))) AS DECIMAL(18,9)) AS DOUBLE)
+        AS quality_prob,
+      ({_QC_BIAS!r}
+        + {_QC_W_STOP!r} * stop_ratio
+        + {_QC_W_TOKLEN!r} * mean_tok_len
+        + {_QC_W_ALPHA!r} * alpha_ratio
+        + {_QC_W_DIGIT!r} * digit_ratio) > 0.0 AS keep
+    FROM x
+    """,
+    tags=("ext-text", "quality", "classifier"),
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight logistic classifier
+    (the fasttext-style quality gate of GPT-3/LLaMA data pipelines)
+    applied corpus-wide as ONE zero-shuffle projection — featurize,
+    linear score, sigmoid, gate, all whole-stage-codegen'd; no UDF, no
+    shuffle, scales with the scan. The keep gate compares the linear
+    score against 0 (identical to prob > 0.5 but libm-free)."""
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+    n_tokens = F.size(t)
+    n_stop = F.size(F.filter(t, lambda x: x.isin("the", "a", "of", "and", "is", "to", "in")))
+    tok_chars = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda a, b: a + b
+    )
+    n_chars = F.length("text")
+    n_alpha = F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+    n_digit = F.length(F.regexp_replace("text", "[^0-9]", ""))
+
+    def ratio(num, den):
+        return F.when(den == 0, F.lit(0.0)).otherwise(
+            num.cast("double") / den.cast("double")
+        )
+
+    feat = docs.select(
+        "doc_id",
+        ratio(n_stop, n_tokens).alias("stop_ratio"),
+        ratio(tok_chars, n_tokens).alias("mean_tok_len"),
+        ratio(n_alpha, n_chars).alias("alpha_ratio"),
+        ratio(n_digit, n_chars).alias("digit_ratio"),
+    )
+    z = (
+        F.lit(_QC_BIAS)
+        + F.lit(_QC_W_STOP) * F.col("stop_ratio")
+        + F.lit(_QC_W_TOKLEN) * F.col("mean_tok_len")
+        + F.lit(_QC_W_ALPHA) * F.col("alpha_ratio")
+        + F.lit(_QC_W_DIGIT) * F.col("digit_ratio")
+    )
+    return feat.select(
+        "doc_id",
+        "stop_ratio",
+        "mean_tok_len",
+        "alpha_ratio",
+        "digit_ratio",
+        # quantized to 9 decimals: JVM Math.exp and libm exp disagree
+        # by 1 ulp on ~0.5% of inputs (measured), so the raw double is
+        # not hash-stable across engines
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)))
+        .cast("decimal(18,9)")
+        .cast("double")
+        .alias("quality_prob"),
+        (z > F.lit(0.0)).alias("keep"),
+    )
