@@ -1,0 +1,292 @@
+"""REAL decoders for the simple uncompressed image containers — PNM
+(PBM/PGM/PPM, both ASCII P1-P3 and binary P4-P6), Windows BMP (8-bit
+palette, 24-bit BGR, 32-bit BGRA/bitfields), and Sun Raster — in pure
+numpy/stdlib.
+
+These are the formats scientific/legacy corpora actually carry next to
+PNG/JPEG; all are headers + raw samples, so the decode cost is a
+memoryview reshape, and a corrupt payload fails fast with ValueError
+(surfaced as decode_status by ops/multimodal, never a job failure).
+Validated against genuine third-party files (CPython's PSF-licensed
+python.{{bmp,ppm,pgm,pbm,ras}} — the BMP and RAS decode pixel-exactly
+equal to the PPM sibling, an independent cross-format ground truth;
+see tests/test_imagefmt.py).
+
+Header-bomb contract (ADVICE r7): declared dimensions are capped at
+``_MAX_PIXELS`` before any allocation.
+
+Reference parity: the reference repo has no image surface — extension
+tier alongside ops/jpeg.py / ops/gif.py / ops/vp8l.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_MAX_PIXELS = 1 << 24
+
+
+def _check_dims(w: int, h: int) -> None:
+    if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
+        raise ValueError(f"image dimensions {w}x{h} out of bounds")
+
+
+# ---------------------------------------------------------------------------
+# PNM — PBM/PGM/PPM
+# ---------------------------------------------------------------------------
+
+_PNM_CHANNELS = {b"P1": 1, b"P2": 1, b"P3": 3, b"P4": 1, b"P5": 1, b"P6": 3}
+
+
+def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
+    """Read n whitespace-separated integers, honoring '#' comments."""
+    out: list[int] = []
+    cur = -1
+    while len(out) < n and pos < len(payload):
+        c = payload[pos]
+        if c == 0x23:  # '#' comment to EOL
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        if 0x30 <= c <= 0x39:
+            cur = (0 if cur < 0 else cur * 10) + (c - 0x30)
+        else:
+            if not (c in (9, 10, 13, 32) or c == 11 or c == 12):
+                raise ValueError(f"unexpected byte 0x{c:02x} in PNM header/data")
+            if cur >= 0:
+                out.append(cur)
+                cur = -1
+        pos += 1
+    if cur >= 0 and len(out) < n:
+        out.append(cur)
+    if len(out) < n:
+        raise ValueError("truncated PNM payload")
+    return out, pos
+
+
+def decode_pnm(payload: bytes) -> np.ndarray:
+    """REAL PNM decode -> H×W×C uint8 (C = 1 for PBM/PGM, 3 for PPM).
+    PBM bits map 1->0 (black) and 0->255 per the netpbm convention;
+    maxval other than 255 is scaled exactly via integer rounding."""
+    magic = payload[:2]
+    if magic not in _PNM_CHANNELS:
+        raise ValueError("not a PNM payload")
+    ch = _PNM_CHANNELS[magic]
+    ascii_form = magic in (b"P1", b"P2", b"P3")
+    bitmap = magic in (b"P1", b"P4")
+    n_hdr = 2 if bitmap else 3
+    hdr, pos = _pnm_tokens(payload, n_hdr, 2)
+    w, h = hdr[0], hdr[1]
+    _check_dims(w, h)
+    maxval = 1 if bitmap else hdr[2]
+    if not 1 <= maxval <= 255:
+        raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
+    n_samples = w * h * ch
+    if ascii_form:
+        vals, _ = _pnm_tokens(payload, n_samples, pos)
+        arr = np.array(vals, dtype=np.uint16)
+    elif magic == b"P4":  # packed bits, rows padded to whole bytes
+        row_bytes = (w + 7) // 8
+        need = row_bytes * h
+        if len(payload) - pos < need:
+            raise ValueError("truncated P4 payload")
+        bits = np.unpackbits(
+            np.frombuffer(payload, np.uint8, need, pos).reshape(h, row_bytes), axis=1
+        )[:, :w]
+        return np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
+    else:
+        if len(payload) - pos < n_samples:
+            raise ValueError("truncated PNM payload")
+        arr = np.frombuffer(payload, np.uint8, n_samples, pos).astype(np.uint16)
+    if (arr > maxval).any():
+        raise ValueError("PNM sample exceeds declared maxval")
+    if bitmap:  # P1: 1 = black
+        out = np.where(arr == 1, 0, 255).astype(np.uint8)
+    elif maxval == 255:
+        out = arr.astype(np.uint8)
+    else:  # exact integer rescale (round half up, both engines N/A — pure python)
+        out = ((arr * 255 * 2 + maxval) // (2 * maxval)).astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def encode_pnm(img: np.ndarray, ascii_form: bool = False) -> bytes:
+    """Fixture encoder: H×W×1 -> PGM, H×W×3 -> PPM (maxval 255)."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    if ch == 1:
+        magic = b"P2" if ascii_form else b"P5"
+    elif ch == 3:
+        magic = b"P3" if ascii_form else b"P6"
+    else:
+        raise ValueError("PNM supports 1 or 3 channels")
+    hdr = magic + b"\n%d %d\n255\n" % (w, h)
+    if ascii_form:
+        return hdr + b" ".join(b"%d" % v for v in img.reshape(-1)) + b"\n"
+    return hdr + img.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decode -> H×W×3 (24-bit/8-bit palette) or H×W×4
+    (32-bit) uint8. Handles BITMAPINFOHEADER and the V4/V5 extensions,
+    bottom-up and top-down row order, 4-byte row padding, BI_RGB and
+    BI_BITFIELDS with byte-aligned masks (the common case)."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a BMP payload")
+    data_off = int.from_bytes(payload[10:14], "little")
+    hdr_size = int.from_bytes(payload[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError(f"unsupported BMP header size {hdr_size} (OS/2 core?)")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    top_down = h < 0
+    h = abs(h)
+    _check_dims(w, h)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if comp not in (0, 3):
+        raise ValueError(f"unsupported BMP compression {comp} (RLE not supported)")
+    n_colors = int.from_bytes(payload[46:50], "little")
+
+    if bpp == 32:
+        # default BGRA; BI_BITFIELDS masks must be byte-aligned
+        order = [2, 1, 0, 3]  # payload byte idx -> (R,G,B,A) source
+        if comp == 3:
+            masks = [
+                int.from_bytes(payload[54 + 4 * i : 58 + 4 * i], "little")
+                for i in range(3)
+            ]
+            shifts = []
+            for m in masks:
+                if m not in (0xFF, 0xFF00, 0xFF0000, 0xFF000000):
+                    raise ValueError(f"unsupported non-byte-aligned BMP mask {m:#x}")
+                shifts.append(m.bit_length() // 8 - 1)
+            order = shifts + [({0, 1, 2, 3} - set(shifts)).pop()]
+        row = w * 4
+        need = row * h
+        if len(payload) - data_off < need:
+            raise ValueError("truncated BMP pixel data")
+        px = np.frombuffer(payload, np.uint8, need, data_off).reshape(h, w, 4)
+        out = px[:, :, order]
+    elif bpp == 24:
+        row = (w * 3 + 3) & ~3
+        need = row * h
+        if len(payload) - data_off < need:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(payload, np.uint8, need, data_off).reshape(h, row)
+        out = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    elif bpp == 8:
+        n_pal = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, np.uint8, 4 * n_pal, pal_off).reshape(n_pal, 4)
+        row = (w + 3) & ~3
+        need = row * h
+        if len(payload) - data_off < need:
+            raise ValueError("truncated BMP pixel data")
+        idx = np.frombuffer(payload, np.uint8, need, data_off).reshape(h, row)[:, :w]
+        if int(idx.max()) >= n_pal:
+            raise ValueError("BMP palette index out of range")
+        out = pal[idx][:, :, [2, 1, 0]]  # BGRX palette entries -> RGB
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return np.ascontiguousarray(out if top_down else out[::-1])
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Fixture encoder: H×W×3 uint8 -> 24-bit bottom-up BI_RGB BMP."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError("encode_bmp expects H×W×3")
+    row = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        line = img[y, :, ::-1].tobytes()
+        body += line + b"\x00" * (row - len(line))
+    info = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(body).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    off = 14 + 40
+    hdr = b"BM" + (off + len(body)).to_bytes(4, "little") + b"\x00" * 4 + off.to_bytes(4, "little")
+    return hdr + info + bytes(body)
+
+
+# ---------------------------------------------------------------------------
+# Sun Raster
+# ---------------------------------------------------------------------------
+
+_RAS_MAGIC = 0x59A66A95
+
+
+def decode_ras(payload: bytes) -> np.ndarray:
+    """REAL Sun Raster decode -> H×W×C uint8 (standard/old type, depth
+    1/8/24/32, optional RGB colormap; rows padded to 16 bits; RT_BYTE_
+    ENCODED RLE is rejected with ValueError)."""
+    if len(payload) < 32 or int.from_bytes(payload[0:4], "big") != _RAS_MAGIC:
+        raise ValueError("not a Sun Raster payload")
+    w = int.from_bytes(payload[4:8], "big")
+    h = int.from_bytes(payload[8:12], "big")
+    depth = int.from_bytes(payload[12:16], "big")
+    rtype = int.from_bytes(payload[20:24], "big")
+    maptype = int.from_bytes(payload[24:28], "big")
+    maplen = int.from_bytes(payload[28:32], "big")
+    _check_dims(w, h)
+    if rtype not in (0, 1, 3):  # old, standard, RGB order
+        raise ValueError(f"unsupported Sun Raster type {rtype} (RLE not supported)")
+    pos = 32
+    cmap = None
+    if maptype == 1 and maplen:
+        if maplen % 3:
+            raise ValueError("malformed Sun Raster colormap")
+        n = maplen // 3
+        raw = np.frombuffer(payload, np.uint8, maplen, pos)
+        cmap = np.stack([raw[:n], raw[n : 2 * n], raw[2 * n :]], axis=1)
+        pos += maplen
+    elif maplen:
+        pos += maplen  # raw colormap type: skip
+    if depth == 24 or depth == 32:
+        bpp = depth // 8
+        row = (w * bpp + 1) & ~1
+        need = row * h
+        if len(payload) - pos < need:
+            raise ValueError("truncated Sun Raster pixel data")
+        rows = np.frombuffer(payload, np.uint8, need, pos).reshape(h, row)
+        px = rows[:, : w * bpp].reshape(h, w, bpp)
+        if depth == 32:
+            px = px[:, :, 1:]  # x-B-G-R / x-R-G-B: drop pad byte
+        # standard type stores BGR; RT_FORMAT_RGB (3) stores RGB
+        return np.ascontiguousarray(px if rtype == 3 else px[:, :, ::-1])
+    if depth == 8:
+        row = (w + 1) & ~1
+        need = row * h
+        if len(payload) - pos < need:
+            raise ValueError("truncated Sun Raster pixel data")
+        idx = np.frombuffer(payload, np.uint8, need, pos).reshape(h, row)[:, :w]
+        if cmap is not None:
+            if int(idx.max()) >= cmap.shape[0]:
+                raise ValueError("Sun Raster colormap index out of range")
+            return np.ascontiguousarray(cmap[idx])
+        return idx[:, :, None].copy()
+    if depth == 1:
+        row_bytes = ((w + 15) // 16) * 2
+        need = row_bytes * h
+        if len(payload) - pos < need:
+            raise ValueError("truncated Sun Raster pixel data")
+        bits = np.unpackbits(
+            np.frombuffer(payload, np.uint8, need, pos).reshape(h, row_bytes), axis=1
+        )[:, :w]
+        return np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
+    raise ValueError(f"unsupported Sun Raster depth {depth}")

@@ -401,6 +401,18 @@ def _decode_image(payload: bytes) -> np.ndarray:
         # still GIFs have one frame; for animations the first composed
         # canvas is the representative image-tier feature
         return _quadrant_feature(decode_gif(payload)[0])
+    if payload[:1] == b"P" and payload[1:2] in b"123456":
+        from osmart_etl_spark.ops.imagefmt import decode_pnm
+
+        return _quadrant_feature(decode_pnm(payload))
+    if payload[:2] == b"BM":
+        from osmart_etl_spark.ops.imagefmt import decode_bmp
+
+        return _quadrant_feature(decode_bmp(payload))
+    if payload[:4] == b"\x59\xa6\x6a\x95":
+        from osmart_etl_spark.ops.imagefmt import decode_ras
+
+        return _quadrant_feature(decode_ras(payload))
     return _fake_decode_image(payload)
 
 
