@@ -1,14 +1,15 @@
-"""REAL decoders for the simple uncompressed image containers — PNM
-(PBM/PGM/PPM, both ASCII P1-P3 and binary P4-P6), Windows BMP (8-bit
-palette, 24-bit BGR, 32-bit BGRA/bitfields), and Sun Raster — in pure
-numpy/stdlib.
+"""REAL decoders for the simple image containers — PNM (PBM/PGM/PPM,
+both ASCII P1-P3 and binary P4-P6), Windows BMP (8-bit palette, 24-bit
+BGR, 32-bit BGRA/bitfields), Sun Raster, and baseline TIFF (II/MM,
+uncompressed + PackBits, gray/RGB/RGBA/palette, strip layout) — in
+pure numpy/stdlib.
 
 These are the formats scientific/legacy corpora actually carry next to
 PNG/JPEG; all are headers + raw samples, so the decode cost is a
 memoryview reshape, and a corrupt payload fails fast with ValueError
 (surfaced as decode_status by ops/multimodal, never a job failure).
 Validated against genuine third-party files (CPython's PSF-licensed
-python.{{bmp,ppm,pgm,pbm,ras}} — the BMP and RAS decode pixel-exactly
+python.{bmp,ppm,pgm,pbm,ras,tiff} — BMP, RAS and TIFF decode pixel-exactly
 equal to the PPM sibling, an independent cross-format ground truth;
 see tests/test_imagefmt.py).
 
@@ -290,3 +291,127 @@ def decode_ras(payload: bytes) -> np.ndarray:
         )[:, :w]
         return np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
     raise ValueError(f"unsupported Sun Raster depth {depth}")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline): II/MM byte orders, 8-bit samples, compression 1
+# (none) and 32773 (PackBits), photometric 0/1 (grayscale incl.
+# MinIsWhite inversion), 2 (RGB/RGBA), 3 (palette), strip layout,
+# planar configuration 1. Everything else (LZW/JPEG-in-TIFF, tiles,
+# 16-bit, planar=2) raises ValueError -> decode_status, never a wrong
+# image.
+# ---------------------------------------------------------------------------
+
+
+def _packbits(data: bytes, expected: int) -> bytes:
+    """Apple PackBits RLE (TIFF compression 32773)."""
+    out = bytearray()
+    pos = 0
+    while len(out) < expected and pos < len(data):
+        n = data[pos]
+        pos += 1
+        if n < 128:  # literal run of n+1 bytes
+            out += data[pos : pos + n + 1]
+            pos += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if pos >= len(data):
+                raise ValueError("truncated PackBits stream")
+            out += bytes([data[pos]]) * (257 - n)
+            pos += 1
+        # n == 128: no-op per spec
+    if len(out) < expected:
+        raise ValueError("PackBits stream ended early")
+    return bytes(out[:expected])
+
+
+def decode_tiff(payload: bytes) -> np.ndarray:
+    """REAL baseline TIFF decode -> H×W×C uint8 (C = samples/pixel for
+    photometric 0/1/2; palette expands to 3)."""
+    import struct
+
+    if payload[:4] == b"II*\x00":
+        bo = "<"
+    elif payload[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload")
+
+    def u16(off: int) -> int:
+        if off < 0 or off + 2 > len(payload):
+            raise ValueError("truncated TIFF structure")
+        return struct.unpack_from(bo + "H", payload, off)[0]
+
+    def u32(off: int) -> int:
+        if off < 0 or off + 4 > len(payload):
+            raise ValueError("truncated TIFF structure")
+        return struct.unpack_from(bo + "I", payload, off)[0]
+
+    ifd = u32(4)
+    n_entries = u16(ifd)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        e = ifd + 2 + 12 * i
+        tag, typ, cnt = u16(e), u16(e + 2), u32(e + 4)
+        if typ not in type_size:
+            continue
+        total = type_size[typ] * cnt
+        off = e + 8 if total <= 4 else u32(e + 8)
+        vals: list[int] = []
+        for k in range(cnt if typ != 5 else 0):
+            vals.append(u16(off + 2 * k) if typ == 3 else
+                        u32(off + 4 * k) if typ == 4 else payload[off + k])
+        tags[tag] = vals
+
+    def one(tag: int, default: int | None = None) -> int:
+        if tag in tags and tags[tag]:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"TIFF missing required tag {tag}")
+        return default
+
+    w, h = one(256), one(257)
+    _check_dims(w, h)
+    comp = one(259, 1)
+    photo = one(262)
+    spp = one(277, 1)
+    rows_per_strip = one(278, h)
+    bps = tags.get(258, [8])
+    if any(b != 8 for b in bps) or one(284, 1) != 1:
+        raise ValueError("unsupported TIFF sample layout (8-bit chunky only)")
+    if comp not in (1, 32773):
+        raise ValueError(f"unsupported TIFF compression {comp}")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip layout")
+
+    row_bytes = w * spp
+    raw = bytearray()
+    remaining_rows = h
+    for off, cnt in zip(offsets, counts):
+        strip_rows = min(rows_per_strip, remaining_rows)
+        expected = strip_rows * row_bytes
+        chunk = payload[off : off + cnt]
+        if len(chunk) < cnt:
+            raise ValueError("truncated TIFF strip")
+        raw += chunk if comp == 1 else _packbits(chunk, expected)
+        remaining_rows -= strip_rows
+    if len(raw) < h * row_bytes:
+        raise ValueError("TIFF strips shorter than image")
+    img = np.frombuffer(bytes(raw), np.uint8, h * row_bytes).reshape(h, w, spp)
+
+    if photo in (0, 1):
+        return np.ascontiguousarray(255 - img if photo == 0 else img)
+    if photo == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples")
+        return np.ascontiguousarray(img)
+    if photo == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) != 3 * 256:
+            raise ValueError("palette TIFF without a 256-entry colormap")
+        # TIFF colormaps are 16-bit; 8-bit value = high byte
+        pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(np.uint8)
+        return np.ascontiguousarray(pal[img[:, :, 0]])
+    raise ValueError(f"unsupported TIFF photometric {photo}")

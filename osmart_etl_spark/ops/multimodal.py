@@ -413,6 +413,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from osmart_etl_spark.ops.imagefmt import decode_ras
 
         return _quadrant_feature(decode_ras(payload))
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from osmart_etl_spark.ops.imagefmt import decode_tiff
+
+        return _quadrant_feature(decode_tiff(payload))
     return _fake_decode_image(payload)
 
 

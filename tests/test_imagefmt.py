@@ -1,9 +1,10 @@
-"""Simple image containers (ops/imagefmt.py): PNM, BMP, Sun Raster.
+"""Simple image containers (ops/imagefmt.py): PNM, BMP, Sun Raster, TIFF.
 
 The headline evidence is cross-format: CPython's PSF-licensed
 python.bmp (32-bit BI_BITFIELDS, V4 header) and python.ras (standard
 BGR Sun Raster) must decode PIXEL-EXACTLY equal to python.ppm decoded
-independently — three genuine third-party encoders of the same image
+independently (and likewise python.tiff) — four genuine third-party
+encoders of the same image
 agreeing bit-for-bit through three different code paths."""
 
 from __future__ import annotations
@@ -140,3 +141,98 @@ def test_extract_features_pnm_bmp_ok(spark):
     assert got[0]["decode_status"] == "ok" and got[1]["decode_status"] == "ok"
     # same pixels through two containers -> identical features
     assert got[0]["feature"] == got[1]["feature"]
+
+
+def test_tiff_third_party_pixel_exact_vs_ppm():
+    from osmart_etl_spark.ops.imagefmt import decode_pnm, decode_tiff
+
+    tif = _read_fixture("python.tiff")
+    if tif is None:
+        pytest.skip("CPython imghdrdata fixtures not present")
+    t = decode_tiff(tif)
+    assert t.shape == (16, 16, 4)  # RGBA, uncompressed, little-endian
+    assert np.array_equal(t[..., :3], decode_pnm(_PPM))
+
+
+def test_tiff_packbits_and_byteorder():
+    """Hand-built TIFFs: PackBits-compressed grayscale in big-endian
+    (MM) form must decode to the same pixels as its raw II twin."""
+    import struct
+
+    from osmart_etl_spark.ops.imagefmt import decode_tiff
+
+    rng = np.random.default_rng(8)
+    # runs + literals to exercise both PackBits branches
+    row = bytes([7] * 10 + list(rng.integers(0, 256, 6))) 
+    img = np.frombuffer(row * 4, np.uint8).reshape(4, 16)
+
+    def pb_encode(data: bytes) -> bytes:
+        # naive: encode each run >=3 as a run, else literals
+        out = bytearray()
+        i = 0
+        while i < len(data):
+            j = i
+            while j + 1 < len(data) and data[j + 1] == data[i] and j - i < 127:
+                j += 1
+            if j - i >= 2:
+                out += bytes([257 - (j - i + 1), data[i]])
+                i = j + 1
+            else:
+                k = i
+                lit = bytearray()
+                while k < len(data) and len(lit) < 128:
+                    if k + 2 < len(data) and data[k] == data[k + 1] == data[k + 2]:
+                        break
+                    lit.append(data[k])
+                    k += 1
+                out += bytes([len(lit) - 1]) + lit
+                i = k
+        return bytes(out)
+
+    def build(bo: str, comp: int, pixel_bytes: bytes) -> bytes:
+        entries = [
+            (256, 3, 1, 16), (257, 3, 1, 4), (258, 3, 1, 8), (259, 3, 1, comp),
+            (262, 3, 1, 1), (273, 4, 1, 0), (277, 3, 1, 1), (278, 3, 1, 4),
+            (279, 4, 1, len(pixel_bytes)),
+        ]
+        ifd_off = 8
+        data_off = ifd_off + 2 + 12 * len(entries) + 4
+        out = bytearray()
+        out += (b"II*\x00" if bo == "<" else b"MM\x00*")
+        out += struct.pack(bo + "I", ifd_off)
+        out += struct.pack(bo + "H", len(entries))
+        for tag, typ, cnt, val in entries:
+            if tag == 273:
+                val = data_off
+            out += struct.pack(bo + "HHI", tag, typ, cnt)
+            out += struct.pack(bo + "I", val << 16 if (typ == 3 and bo == ">") else val)
+        out += struct.pack(bo + "I", 0)  # next IFD
+        out += pixel_bytes
+        return bytes(out)
+
+    raw = img.tobytes()
+    a = decode_tiff(build("<", 1, raw))
+    b = decode_tiff(build(">", 32773, pb_encode(raw)))
+    assert np.array_equal(a[:, :, 0], img)
+    assert np.array_equal(a, b)
+
+
+def test_tiff_rejects_unsupported():
+    from osmart_etl_spark.ops.imagefmt import decode_tiff
+
+    with pytest.raises(ValueError):
+        decode_tiff(b"II*\x00" + b"\x00" * 20)
+    tif = _read_fixture("python.tiff")
+    if tif is not None:
+        # flip the compression tag to LZW (5): honest rejection
+        mutated = bytearray(tif)
+        # compression entry value offset: find tag 259 in IFD
+        import struct
+        ifd = struct.unpack_from("<I", mutated, 4)[0]
+        n = struct.unpack_from("<H", mutated, ifd)[0]
+        for i in range(n):
+            e = ifd + 2 + 12 * i
+            if struct.unpack_from("<H", mutated, e)[0] == 259:
+                struct.pack_into("<I", mutated, e + 8, 5)
+        with pytest.raises(ValueError):
+            decode_tiff(bytes(mutated))
