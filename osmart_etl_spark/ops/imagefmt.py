@@ -2,14 +2,16 @@
 both ASCII P1-P3 and binary P4-P6), Windows BMP (8-bit palette, 24-bit
 BGR, 32-bit BGRA/bitfields), Sun Raster, and baseline TIFF (II/MM,
 uncompressed + PackBits, gray/RGB/RGBA/palette, strip layout) — in
-pure numpy/stdlib.
+pure numpy/stdlib — plus SGI RGB (verbatim + RLE) and XBM (the X11
+C-source bitmap).
 
 These are the formats scientific/legacy corpora actually carry next to
 PNG/JPEG; all are headers + raw samples, so the decode cost is a
 memoryview reshape, and a corrupt payload fails fast with ValueError
 (surfaced as decode_status by ops/multimodal, never a job failure).
 Validated against genuine third-party files (CPython's PSF-licensed
-python.{bmp,ppm,pgm,pbm,ras,tiff} — BMP, RAS and TIFF decode pixel-exactly
+python.{bmp,ppm,pgm,pbm,ras,tiff,sgi,xbm} — BMP, RAS, TIFF and SGI
+decode pixel-exactly
 equal to the PPM sibling, an independent cross-format ground truth;
 see tests/test_imagefmt.py).
 
@@ -415,3 +417,100 @@ def decode_tiff(payload: bytes) -> np.ndarray:
         pal = (np.array(cmap, dtype=np.uint16).reshape(3, 256).T >> 8).astype(np.uint8)
         return np.ascontiguousarray(pal[img[:, :, 0]])
     raise ValueError(f"unsupported TIFF photometric {photo}")
+
+
+# ---------------------------------------------------------------------------
+# SGI RGB (.sgi/.rgb): 512-byte big-endian header, verbatim or RLE
+# storage, 1 byte/channel, 1-4 channels, bottom-up rows.
+# ---------------------------------------------------------------------------
+
+
+def decode_sgi(payload: bytes) -> np.ndarray:
+    """REAL SGI image decode -> H×W×C uint8 (C = zsize; bottom-up rows
+    flipped to top-down). RLE (storage 1) and verbatim (storage 0);
+    2 bytes/channel is rejected."""
+    import struct
+
+    if len(payload) < 512 or payload[:2] != b"\x01\xda":
+        raise ValueError("not an SGI image payload")
+    storage, bpc = payload[2], payload[3]
+    dim, w, h, z = struct.unpack(">HHHH", payload[4:12])
+    if bpc != 1:
+        raise ValueError("unsupported SGI bytes-per-channel (1 only)")
+    if dim == 1:
+        h, z = 1, 1
+    elif dim == 2:
+        z = 1
+    _check_dims(w, h)
+    if not 1 <= z <= 4:
+        raise ValueError(f"unsupported SGI channel count {z}")
+    out = np.empty((h, w, z), dtype=np.uint8)
+    if storage == 0:  # verbatim: channel planes of h rows each
+        need = w * h * z
+        if len(payload) - 512 < need:
+            raise ValueError("truncated SGI pixel data")
+        planes = np.frombuffer(payload, np.uint8, need, 512).reshape(z, h, w)
+        out = np.ascontiguousarray(planes.transpose(1, 2, 0)[::-1])
+        return out
+    if storage != 1:
+        raise ValueError(f"unsupported SGI storage {storage}")
+    n_rows = h * z
+    tab_end = 512 + 8 * n_rows
+    if len(payload) < tab_end:
+        raise ValueError("truncated SGI RLE tables")
+    starts = np.frombuffer(payload, ">u4", n_rows, 512)
+    lengths = np.frombuffer(payload, ">u4", n_rows, 512 + 4 * n_rows)
+    for c in range(z):
+        for row in range(h):
+            off = int(starts[c * h + row])
+            end = off + int(lengths[c * h + row])
+            if end > len(payload):
+                raise ValueError("SGI RLE row outside payload")
+            line = bytearray()
+            pos = off
+            while pos < end:
+                ctrl = payload[pos]
+                pos += 1
+                count = ctrl & 0x7F
+                if count == 0:
+                    break
+                if ctrl & 0x80:  # literal
+                    line += payload[pos : pos + count]
+                    pos += count
+                else:  # run
+                    line += bytes([payload[pos]]) * count
+                    pos += 1
+            if len(line) < w:
+                raise ValueError("SGI RLE row shorter than width")
+            out[h - 1 - row, :, c] = np.frombuffer(bytes(line[:w]), np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# XBM: the X11 C-source bitmap (text format), LSB-first bits, 1 = set
+# (foreground/black, like PBM).
+# ---------------------------------------------------------------------------
+
+
+def decode_xbm(payload: bytes) -> np.ndarray:
+    """REAL XBM decode -> H×W×1 uint8 (set bits -> 0, clear -> 255)."""
+    import re
+
+    try:
+        text = payload.decode("ascii")
+    except UnicodeDecodeError as exc:
+        raise ValueError("XBM payload is not ASCII") from exc
+    mw = re.search(r"#define\s+\w*_?width\s+(\d+)", text)
+    mh = re.search(r"#define\s+\w*_?height\s+(\d+)", text)
+    body = re.search(r"\{([^}]*)\}", text, re.S)
+    if not (mw and mh and body):
+        raise ValueError("not an XBM payload")
+    w, h = int(mw.group(1)), int(mh.group(1))
+    _check_dims(w, h)
+    vals = [int(v, 0) for v in re.findall(r"0[xX][0-9a-fA-F]+|\d+", body.group(1))]
+    row_bytes = (w + 7) // 8
+    if len(vals) < row_bytes * h or any(not 0 <= v <= 255 for v in vals):
+        raise ValueError("truncated or malformed XBM bit array")
+    arr = np.array(vals[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
+    bits = np.unpackbits(arr, axis=1, bitorder="little")[:, :w]
+    return np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]

@@ -417,6 +417,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from osmart_etl_spark.ops.imagefmt import decode_tiff
 
         return _quadrant_feature(decode_tiff(payload))
+    if payload[:2] == b"\x01\xda":
+        from osmart_etl_spark.ops.imagefmt import decode_sgi
+
+        return _quadrant_feature(decode_sgi(payload))
+    if payload[:7] == b"#define":
+        from osmart_etl_spark.ops.imagefmt import decode_xbm
+
+        return _quadrant_feature(decode_xbm(payload))
     return _fake_decode_image(payload)
 
 

@@ -236,3 +236,54 @@ def test_tiff_rejects_unsupported():
                 struct.pack_into("<I", mutated, e + 8, 5)
         with pytest.raises(ValueError):
             decode_tiff(bytes(mutated))
+
+
+def test_sgi_rle_third_party_pixel_exact_vs_ppm():
+    from osmart_etl_spark.ops.imagefmt import decode_pnm, decode_sgi
+
+    sgi = _read_fixture("python.sgi")
+    if sgi is None:
+        pytest.skip("CPython imghdrdata fixtures not present")
+    img = decode_sgi(sgi)
+    assert img.shape == (16, 16, 4)  # RLE-stored RGBA
+    assert np.array_equal(img[..., :3], decode_pnm(_PPM))
+
+
+def test_xbm_third_party_bit_exact_vs_pbm():
+    from osmart_etl_spark.ops.imagefmt import decode_pnm, decode_xbm
+
+    xbm, pbm = _read_fixture("python.xbm"), _read_fixture("python.pbm")
+    if xbm is None or pbm is None:
+        pytest.skip("CPython imghdrdata fixtures not present")
+    assert np.array_equal(decode_xbm(xbm), decode_pnm(pbm))
+
+
+def test_jpeg_third_party_fixture_close_to_ppm():
+    """The lossy cross-check: CPython's libjpeg-encoded python.jpg must
+    decode through the in-tree T.81 codec to within normal quantization
+    error of the PPM ground truth (this is a LOSSY format — the bound
+    is a sanity band, the bit-exact JPEG evidence lives in
+    tests/test_jpeg via pinned fixtures)."""
+    from osmart_etl_spark.ops.imagefmt import decode_pnm
+    from osmart_etl_spark.ops.jpeg import decode_jpeg
+
+    jpg = _read_fixture("python.jpg")
+    raw_jpg = _read_fixture("python-raw.jpg")
+    if jpg is None or raw_jpg is None:
+        pytest.skip("CPython imghdrdata fixtures not present")
+    ppm = decode_pnm(_PPM).astype(int)
+    for payload in (jpg, raw_jpg):
+        img = decode_jpeg(payload).astype(int)
+        assert img.shape == (16, 16, 3)
+        assert np.abs(img - ppm).mean() < 12.0
+
+
+def test_sgi_xbm_error_contract():
+    from osmart_etl_spark.ops.imagefmt import decode_sgi, decode_xbm
+
+    with pytest.raises(ValueError):
+        decode_sgi(b"\x01\xda" + b"\x00" * 30)  # truncated header
+    with pytest.raises(ValueError):
+        decode_xbm(b"#define w 4\nnot a bitmap")
+    with pytest.raises(ValueError):
+        decode_xbm(b"#define x_width 30000\n#define x_height 30000\nstatic char x_bits[] = {0x00};")
