@@ -254,6 +254,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         if block != 0x2C:
             raise ValueError(f"unknown GIF block 0x{block:02x}")
         # image descriptor
+        if pos + 9 > len(payload):
+            raise ValueError("truncated GIF image descriptor")
         left = int.from_bytes(payload[pos : pos + 2], "little")
         top = int.from_bytes(payload[pos + 2 : pos + 4], "little")
         fw = int.from_bytes(payload[pos + 4 : pos + 6], "little")

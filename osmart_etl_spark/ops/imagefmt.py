@@ -359,6 +359,8 @@ def decode_tiff(payload: bytes) -> np.ndarray:
             continue
         total = type_size[typ] * cnt
         off = e + 8 if total <= 4 else u32(e + 8)
+        if off < 0 or off + total > len(payload):
+            raise ValueError("TIFF tag values outside payload")
         vals: list[int] = []
         for k in range(cnt if typ != 5 else 0):
             vals.append(u16(off + 2 * k) if typ == 3 else
