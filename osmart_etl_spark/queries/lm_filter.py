@@ -400,3 +400,74 @@ def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("quality_prob"),
         (z > F.lit(0.0)).alias("keep"),
     )
+
+
+_ZIPF_TOP = 100
+
+
+@query(
+    "zipf_vocab_audit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS}) AS token FROM documents
+    ),
+    counts AS (
+      SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT SUM(cnt) AS total, COUNT(*) AS vocab FROM counts
+    ),
+    ranked AS (
+      SELECT token, cnt,
+        ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank
+      FROM counts
+    )
+    SELECT r.rank, r.token, CAST(r.cnt AS BIGINT) AS cnt,
+      CAST(r.cnt AS DOUBLE) / CAST(t.total AS DOUBLE) AS freq,
+      CAST(r.cnt * r.rank AS BIGINT) AS zipf_product,
+      CAST(t.total AS BIGINT) AS corpus_tokens,
+      CAST(t.vocab AS BIGINT) AS vocab_size
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.rank <= {_ZIPF_TOP}
+    """,
+    tags=("ext-text", "corpus-stats"),
+)
+def zipf_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary audit: the top-{_ZIPF_TOP} rank-frequency
+    table with the Zipf product cnt*rank (≈ constant for natural
+    language — the standard sanity check that a corpus is prose, not
+    logs or spam) plus corpus totals for Heaps-law tracking across
+    snapshots.
+
+    Scale shape: one explode + one token-keyed count agg (map-side
+    combined); the rank is a TOP-{_ZIPF_TOP} TakeOrdered over the
+    counts table (vocab-sized, NOT corpus-sized), and the totals are a
+    2-column scalar broadcast. Unique tiebreaker (token asc) per the
+    W6 rule so the rank is deterministic."""
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != F.lit(""))
+        ).alias("token")
+    )
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    tot = counts.agg(
+        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    ranked = (
+        counts.orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(_ZIPF_TOP)
+        .withColumn("rank", F.row_number().over(w))
+    )
+    return ranked.join(F.broadcast(tot)).select(
+        F.col("rank").cast("bigint").alias("rank"),
+        "token",
+        F.col("cnt").cast("bigint").alias("cnt"),
+        (F.col("cnt").cast("double") / F.col("total").cast("double")).alias("freq"),
+        (F.col("cnt") * F.col("rank")).cast("bigint").alias("zipf_product"),
+        F.col("total").cast("bigint").alias("corpus_tokens"),
+        F.col("vocab").cast("bigint").alias("vocab_size"),
+    )
