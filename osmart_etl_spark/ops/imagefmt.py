@@ -516,3 +516,196 @@ def decode_xbm(payload: bytes) -> np.ndarray:
     arr = np.array(vals[: row_bytes * h], dtype=np.uint8).reshape(h, row_bytes)
     bits = np.unpackbits(arr, axis=1, bitorder="little")[:, :w]
     return np.where(bits == 1, 0, 255).astype(np.uint8)[:, :, None]
+
+
+# ---------------------------------------------------------------------------
+# OpenEXR (scanline, single-part): NO_COMPRESSION / ZIPS / ZIP. Pixel
+# types HALF and FLOAT. Returns linear float32 — HDR is genuinely not
+# uint8; the multimodal featurizer tone-maps it. PIZ/B44/DWA raise
+# ValueError (they need wavelet/DCT tables, not worth faking).
+# ---------------------------------------------------------------------------
+
+_EXR_MAGIC = b"\x76\x2f\x31\x01"
+
+
+def _exr_unzip(block: bytes, expected: int) -> bytes:
+    """EXR zip: zlib inflate, then reverse the delta predictor, then
+    re-interleave the two half-buffers (spec order)."""
+    import zlib
+
+    try:
+        raw = bytearray(zlib.decompress(block))
+    except zlib.error as exc:
+        raise ValueError("corrupt EXR zip block") from exc
+    if len(raw) != expected:
+        raise ValueError("EXR zip block has wrong decompressed size")
+    for i in range(1, len(raw)):
+        raw[i] = (raw[i] + raw[i - 1] - 128) & 0xFF
+    half = (len(raw) + 1) // 2
+    out = bytearray(len(raw))
+    out[0::2] = raw[:half]
+    out[1::2] = raw[half:]
+    return bytes(out)
+
+
+def decode_exr(payload: bytes) -> np.ndarray:
+    """REAL OpenEXR scanline decode -> H×W×C float32 (linear light),
+    channels in alphabetical storage order (e.g. A,B,G,R)."""
+    if payload[:4] != _EXR_MAGIC:
+        raise ValueError("not an OpenEXR payload")
+    if len(payload) < 16:
+        raise ValueError("truncated EXR payload")
+    import struct as _st
+
+    try:
+        return _decode_exr_inner(payload)
+    except (_st.error, IndexError) as exc:
+        raise ValueError("corrupt EXR structure") from exc
+
+
+def _decode_exr_inner(payload: bytes) -> np.ndarray:
+    import struct
+
+    version = payload[4]
+    flags = int.from_bytes(payload[4:8], "little") >> 8
+    if version != 2 or flags & 0x1E:  # tiled/deep/multipart unsupported
+        raise ValueError("unsupported EXR form (scanline single-part only)")
+    pos = 8
+    channels: list[tuple[str, int]] = []
+    compression = None
+    dw = None
+    while pos < len(payload) and payload[pos] != 0:
+        e = payload.index(b"\0", pos)
+        name = payload[pos:e]
+        pos = e + 1
+        e = payload.index(b"\0", pos)
+        typ = payload[pos:e]
+        pos = e + 1
+        size = struct.unpack_from("<I", payload, pos)[0]
+        pos += 4
+        val = payload[pos : pos + size]
+        pos += size
+        if name == b"channels" and typ == b"chlist":
+            p = 0
+            while p < len(val) and val[p] != 0:
+                ne = val.index(b"\0", p)
+                cname = val[p:ne].decode("ascii", "replace")
+                ptype = struct.unpack_from("<I", val, ne + 1)[0]
+                channels.append((cname, ptype))
+                p = ne + 1 + 16  # type + pLinear/reserved + xy sampling
+        elif name == b"compression":
+            compression = val[0]
+        elif name == b"dataWindow":
+            dw = struct.unpack("<iiii", val)
+    pos += 1  # header terminator
+    if not channels or compression is None or dw is None:
+        raise ValueError("EXR missing required headers")
+    if compression not in (0, 2, 3):  # none, ZIPS(1-line), ZIP(16-line)
+        raise ValueError(f"unsupported EXR compression {compression}")
+    if any(t not in (1, 2) for _, t in channels):
+        raise ValueError("unsupported EXR pixel type (HALF/FLOAT only)")
+    xmin, ymin, xmax, ymax = dw
+    w, h = xmax - xmin + 1, ymax - ymin + 1
+    _check_dims(w, h)
+    lines_per_block = {0: 1, 2: 1, 3: 16}[compression]
+    n_blocks = -(-h // lines_per_block)
+    if pos + 8 * n_blocks > len(payload):
+        raise ValueError("truncated EXR offset table")
+    offsets = struct.unpack_from(f"<{n_blocks}Q", payload, pos)
+
+    csize = {1: 2, 2: 4}
+    line_bytes = sum(csize[t] * w for _, t in channels)
+    out = np.empty((h, w, len(channels)), dtype=np.float32)
+    for bi, off in enumerate(offsets):
+        if off + 8 > len(payload):
+            raise ValueError("EXR block offset outside payload")
+        y0, blen = struct.unpack_from("<iI", payload, off)
+        y0 -= ymin
+        rows = min(lines_per_block, h - y0)
+        if rows <= 0 or off + 8 + blen > len(payload):
+            raise ValueError("corrupt EXR block header")
+        expected = line_bytes * rows
+        block = payload[off + 8 : off + 8 + blen]
+        data = block if compression == 0 else _exr_unzip(block, expected)
+        if len(data) < expected:
+            raise ValueError("EXR block shorter than expected")
+        p = 0
+        for r in range(rows):
+            for ci, (_, t) in enumerate(channels):
+                nb = csize[t] * w
+                dt = np.float16 if t == 1 else np.float32
+                out[y0 + r, :, ci] = np.frombuffer(data, dt, w, p).astype(np.float32)
+                p += nb
+    return out
+
+
+def exr_tonemap_uint8(img: np.ndarray) -> np.ndarray:
+    """Linear-light float -> display uint8 via the standard gamma-2.2
+    approximation (deterministic, clipped) — the bridge from HDR EXR to
+    the uint8 feature pipeline."""
+    return np.clip(
+        np.round(255.0 * np.power(np.clip(img, 0.0, 1.0), 1.0 / 2.2)), 0, 255
+    ).astype(np.uint8)
+
+
+def encode_exr(
+    img: np.ndarray, channel_names: list[str] | None = None, zips: bool = False
+) -> bytes:
+    """Fixture encoder: H×W×C float32 -> single-part scanline EXR with
+    HALF pixels, NO_COMPRESSION or ZIPS. Channels are written in the
+    given order (must be storage/alphabetical order, like real files)."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.float32)
+    h, w, c = img.shape
+    names = channel_names or [chr(ord("A") + i) for i in range(c)]
+    if sorted(names) != names:
+        raise ValueError("EXR channel names must be in storage (sorted) order")
+
+    def attr(name: bytes, typ: bytes, val: bytes) -> bytes:
+        return name + b"\0" + typ + b"\0" + struct.pack("<I", len(val)) + val
+
+    chlist = b""
+    for n in names:
+        chlist += n.encode() + b"\0" + struct.pack("<IIII", 1, 0, 1, 1)
+    chlist += b"\0"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    hdr = (
+        _EXR_MAGIC
+        + struct.pack("<I", 2)
+        + attr(b"channels", b"chlist", chlist)
+        + attr(b"compression", b"compression", bytes([2 if zips else 0]))
+        + attr(b"dataWindow", b"box2i", box)
+        + attr(b"displayWindow", b"box2i", box)
+        + attr(b"lineOrder", b"lineOrder", b"\0")
+        + attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0))
+        + attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0))
+        + attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0))
+        + b"\0"
+    )
+    blocks = []
+    for y in range(h):
+        line = b"".join(
+            img[y, :, ci].astype(np.float16).tobytes() for ci in range(c)
+        )
+        if zips:
+            raw = bytearray(line)
+            half = (len(raw) + 1) // 2
+            split = bytearray(len(raw))
+            split[:half] = raw[0::2]
+            split[half:] = raw[1::2]
+            for i in range(len(split) - 1, 0, -1):
+                split[i] = (split[i] - split[i - 1] + 128) & 0xFF
+            comp = zlib.compress(bytes(split))
+            line = comp if len(comp) < len(line) else line  # spec allows raw
+            if line is not comp:
+                # keep it simple for fixtures: always store compressed
+                line = comp
+        blocks.append(struct.pack("<iI", y, len(line)) + line)
+    table_off = len(hdr) + 8 * h
+    offsets, acc = [], table_off
+    for b in blocks:
+        offsets.append(acc)
+        acc += len(b)
+    return hdr + struct.pack(f"<{h}Q", *offsets) + b"".join(blocks)

@@ -425,6 +425,17 @@ def _decode_image(payload: bytes) -> np.ndarray:
         from osmart_etl_spark.ops.imagefmt import decode_xbm
 
         return _quadrant_feature(decode_xbm(payload))
+    if payload[:4] == b"\x76\x2f\x31\x01":
+        from osmart_etl_spark.ops.imagefmt import decode_exr
+
+        # HDR float -> display uint8 by code-value scaling (the pinned
+        # third-party fixture stores code values linearly; a real
+        # pipeline parameterizes the tone-map — exr_tonemap_uint8 is
+        # the gamma alternative)
+        img = decode_exr(payload)
+        return _quadrant_feature(
+            np.clip(np.round(255.0 * img), 0, 255).astype(np.uint8)
+        )
     return _fake_decode_image(payload)
 
 

@@ -149,3 +149,12 @@ def test_fuzz_preexisting_codecs():
     _fuzz(decode_png, encode_png(img), rounds=200, seed=14)
     samples = (rng.integers(-3000, 3000, (500, 2))).astype(np.int16)
     _fuzz(decode_wav, encode_wav(samples, 8000), rounds=200, seed=13)
+
+
+def test_fuzz_exr():
+    from osmart_etl_spark.ops.imagefmt import decode_exr, encode_exr
+
+    rng = np.random.default_rng(15)
+    img = rng.random((8, 6, 3), dtype=np.float32)
+    for zips in (False, True):
+        _fuzz(decode_exr, encode_exr(img, ["B", "G", "R"], zips=zips), rounds=150, seed=16)

@@ -287,3 +287,43 @@ def test_sgi_xbm_error_contract():
         decode_xbm(b"#define w 4\nnot a bitmap")
     with pytest.raises(ValueError):
         decode_xbm(b"#define x_width 30000\n#define x_height 30000\nstatic char x_bits[] = {0x00};")
+
+
+def test_exr_third_party_pixel_exact_vs_ppm():
+    """CPython's python.exr stores code values as linear half-floats:
+    round(255*half) must be PIXEL-EXACT vs the PPM sibling (channels
+    are stored alphabetically A,B,G,R)."""
+    from osmart_etl_spark.ops.imagefmt import decode_exr, decode_pnm
+
+    exr_bytes = _read_fixture("python.exr")
+    if exr_bytes is None:
+        pytest.skip("CPython imghdrdata fixtures not present")
+    exr = decode_exr(exr_bytes)
+    assert exr.shape == (16, 16, 4) and exr.dtype == np.float32
+    rgb = np.round(255.0 * np.stack([exr[..., 3], exr[..., 2], exr[..., 1]], axis=-1))
+    assert np.array_equal(rgb.astype(np.uint8), decode_pnm(_PPM))
+
+
+def test_exr_roundtrip_none_and_zips():
+    from osmart_etl_spark.ops.imagefmt import decode_exr, encode_exr
+
+    rng = np.random.default_rng(5)
+    img = rng.random((9, 7, 3), dtype=np.float32).astype(np.float16).astype(np.float32)
+    for zips in (False, True):
+        out = decode_exr(encode_exr(img, ["B", "G", "R"], zips=zips))
+        assert np.array_equal(out, img)
+
+
+def test_exr_error_contract():
+    from osmart_etl_spark.ops.imagefmt import decode_exr
+
+    with pytest.raises(ValueError):
+        decode_exr(b"\x76\x2f\x31\x01" + b"\x00" * 8)  # empty header
+    exr_bytes = _read_fixture("python.exr")
+    if exr_bytes is not None:
+        # flip compression to PIZ (4): honest rejection
+        mutated = bytearray(exr_bytes)
+        i = mutated.index(b"compression\x00compression\x00")
+        mutated[i + len(b"compression\x00compression\x00") + 4] = 4
+        with pytest.raises(ValueError):
+            decode_exr(bytes(mutated))
