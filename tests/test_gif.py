@@ -158,3 +158,39 @@ def test_extract_features_gif_ok(spark):
     row = extract_features(df).collect()[0]
     assert row["decode_status"] == "ok"
     assert len(row["feature"]) == 4
+
+
+def test_gif_bulk_third_party_stdlib_icons():
+    """Every GIF shipped with the container's CPython/Tix installs
+    (~30 genuine files from different encoders and eras, some
+    interlaced, some with local palettes/transparency) must decode
+    without error to a plausible RGBA canvas. No pinned pixels — this
+    is breadth coverage; the pinned-pixel depth test is above."""
+    import glob
+    import os
+
+    roots = [
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/idlelib/Icons",
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/Tix8.4.3/bitmaps",
+        "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/test",
+    ]
+    paths = sorted(
+        p
+        for root in roots
+        if os.path.isdir(root)
+        for p in glob.glob(os.path.join(root, "**", "*.gif"), recursive=True)
+        if os.path.getsize(p) < 512 * 1024
+    )
+    if len(paths) < 5:
+        pytest.skip("stdlib GIF corpus not present")
+    from osmart_etl_spark.ops.gif import decode_gif
+
+    decoded = 0
+    for p in paths:
+        with open(p, "rb") as f:
+            frames = decode_gif(f.read())
+        assert frames and all(
+            f.ndim == 3 and f.shape[2] == 4 and f.size > 0 for f in frames
+        ), p
+        decoded += 1
+    assert decoded >= 5
