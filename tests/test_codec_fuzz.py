@@ -92,35 +92,17 @@ def test_fuzz_imagefmt(fmt):
     elif fmt == "bmp":
         payload, decode = imagefmt.encode_bmp(img), imagefmt.decode_bmp
     elif fmt == "ras":
-        import os
+        from tests.imghdr_fixtures import fixture
 
-        path = (
-            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-            "python3.11/test/imghdrdata/python.ras"
-        )
-        if not os.path.exists(path):
-            pytest.skip("ras fixture not present")
-        payload, decode = open(path, "rb").read(), imagefmt.decode_ras
+        payload, decode = fixture("python.ras"), imagefmt.decode_ras
     elif fmt == "tiff":
-        import os
+        from tests.imghdr_fixtures import fixture
 
-        path = (
-            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-            "python3.11/test/imghdrdata/python.tiff"
-        )
-        if not os.path.exists(path):
-            pytest.skip("tiff fixture not present")
-        payload, decode = open(path, "rb").read(), imagefmt.decode_tiff
+        payload, decode = fixture("python.tiff"), imagefmt.decode_tiff
     elif fmt == "sgi":
-        import os
+        from tests.imghdr_fixtures import fixture
 
-        path = (
-            "/mnt/sandboxing/model_tools_env/v1/python/install/lib/"
-            "python3.11/test/imghdrdata/python.sgi"
-        )
-        if not os.path.exists(path):
-            pytest.skip("sgi fixture not present")
-        payload, decode = open(path, "rb").read(), imagefmt.decode_sgi
+        payload, decode = fixture("python.sgi"), imagefmt.decode_sgi
     else:
         payload = (
             b"#define f_width 10\n#define f_height 12\n"

@@ -32,20 +32,10 @@ _PPM = base64.b64decode(
     "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA=="
 )
 
-_FIXDIR = (
-    "/mnt/sandboxing/model_tools_env/v1/python/install/lib/python3.11/"
-    "test/imghdrdata"
-)
-
-
 def _read_fixture(name: str) -> bytes | None:
-    import os
+    from tests.imghdr_fixtures import FIXTURES, fixture
 
-    path = os.path.join(_FIXDIR, name)
-    if os.path.exists(path):
-        with open(path, "rb") as f:
-            return f.read()
-    return None
+    return fixture(name) if name in FIXTURES else None
 
 
 def test_bmp_and_ras_pixel_exact_vs_ppm_sibling():
