@@ -26,6 +26,12 @@ Per-doc duplicate bigrams are pre-aggregated (doc_id, w1, w2, m) before
 the join, so the join input is bounded by distinct-bigrams-per-doc, not
 token count. V is a scalar broadcast. No UDFs anywhere — the whole
 train+score pipeline is codegen'd joins/aggregations.
+
+The persisted occ table trades one corpus re-scan for
+MEMORY_AND_DISK storage of the distinct-bigram rows (smaller than the
+exploded stream but still corpus-order). On a storage-constrained
+cluster drop the .persist() and accept a third scan — the DAG is
+correct either way; the choice is a deployment knob, not semantics.
 """
 
 from __future__ import annotations
