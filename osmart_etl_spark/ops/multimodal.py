@@ -14,7 +14,7 @@ Two tiers of codec honesty:
   and the ``resize_raw_images`` operator.
 - PNG is implemented FOR REAL in pure stdlib+numpy (``decode_png`` /
   ``encode_png``: chunk parse, zlib inflate, the five scanline filters)
-  — 8-bit non-interlaced grey/RGB/grey-alpha/RGBA.
+  — 8/16-bit grey/RGB/grey-alpha/RGBA, palette incl. tRNS, Adam7.
 - WAV (RIFF/PCM 8- and 16-bit) is implemented FOR REAL in pure
   stdlib+numpy (``decode_wav`` / ``encode_wav``: RIFF chunk walk, PCM
   sample decode, RMS+ZCR featurizer); AIFF/AIFC (PCM BE/'sowt' LE,
@@ -181,10 +181,11 @@ def _decode_raw_image_feature(payload: bytes, meta: dict) -> np.ndarray:
 # PNG — REAL pure-stdlib codec (zlib inflate + scanline unfiltering in
 # numpy). No PIL/libpng needed: the container lacks image libraries, but
 # PNG's critical path is just DEFLATE + five byte-filters (RFC 2083).
-# Supported: 8-bit depth, greyscale/RGB/grey-alpha/RGBA color types,
-# non-interlaced — the overwhelming majority of real-world PNGs.
-# Unsupported shapes (16-bit, palette, Adam7) raise ValueError, which the
-# mapInPandas operators surface as a decode_status, never a job failure.
+# Supported: 8- and 16-bit depths (16-bit renders its high byte),
+# greyscale/RGB/grey-alpha/RGBA + 1/2/4/8-bit palette (with tRNS), both
+# non-interlaced and Adam7 — the full practical PNG surface. Malformed
+# payloads raise ValueError, which the mapInPandas operators surface as
+# a decode_status, never a job failure.
 
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
@@ -198,10 +199,73 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the per-scanline filters over ph lines of stride bytes
+    starting at raw[off]; returns (ph, stride) uint8."""
+    out = np.zeros((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        base = off + y * (stride + 1)
+        ft = raw[base]
+        cur = raw[base + 1 : base + 1 + stride]
+        if ft == 0:
+            rec = np.frombuffer(cur, dtype=np.uint8).astype(np.int32)
+        elif ft == 2:  # Up — fully vectorized
+            rec = (np.frombuffer(cur, dtype=np.uint8) + prev) % 256
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
+            rec_b = bytearray(stride)
+            for i in range(stride):
+                a = rec_b[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                if ft == 1:
+                    pred = a
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pred = _paeth(a, b, c)
+                rec_b[i] = (cur[i] + pred) & 0xFF
+            rec = np.frombuffer(bytes(rec_b), dtype=np.uint8).astype(np.int32)
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _png_samples(
+    rows: np.ndarray, pw: int, channels: int, bit_depth: int, paletted: bool
+) -> np.ndarray:
+    """Filtered-removed scanline bytes -> samples: (ph, pw) palette
+    indices, or (ph, pw, channels) uint8 (16-bit scaled via high
+    byte)."""
+    ph = rows.shape[0]
+    if paletted:
+        if bit_depth == 8:
+            return rows[:, :pw]
+        bits = np.unpackbits(rows, axis=1)
+        idx = np.zeros((ph, pw), dtype=np.uint8)
+        for b in range(bit_depth):
+            idx = (idx << 1) | bits[:, b::bit_depth][:, :pw]
+        return idx
+    if bit_depth == 8:
+        return rows[:, : pw * channels].reshape(ph, pw, channels)
+    # 16-bit big-endian: the 8-bit rendering is the high byte
+    return rows[:, : pw * channels * 2 : 2].reshape(ph, pw, channels)
+
+
+# Adam7 pass grid: (x0, y0, dx, dy) per spec
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode: parse chunks, inflate IDAT with zlib, reverse
-    the per-scanline filters (None/Sub/Up/Average/Paeth), return
-    H×W×C uint8."""
+    the per-scanline filters (None/Sub/Up/Average/Paeth), reassemble
+    Adam7 interlace when present, return H×W×C uint8 (16-bit samples
+    render as their high byte)."""
     import zlib
 
     if payload[:8] != _PNG_MAGIC:
@@ -229,16 +293,18 @@ def decode_png(payload: bytes) -> np.ndarray:
     height = int.from_bytes(ihdr[4:8], "big")
     bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
     paletted = color_type == 3
-    ok_shape = interlace == 0 and (
-        (bit_depth == 8 and color_type in _PNG_CHANNELS)
+    ok_shape = interlace in (0, 1) and (
+        (bit_depth in (8, 16) and color_type in _PNG_CHANNELS)
         or (paletted and bit_depth in (1, 2, 4, 8))
     )
     if not ok_shape:
         raise ValueError(
             f"unsupported PNG shape: depth={bit_depth} color_type={color_type} "
-            f"interlace={interlace} (8-bit non-interlaced 0/2/4/6, or "
-            f"1/2/4/8-bit palette, only)"
+            f"interlace={interlace} (8/16-bit 0/2/4/6 or 1/2/4/8-bit "
+            f"palette, interlace 0/1, only)"
         )
+    if width <= 0 or height <= 0 or width * height > (1 << 24):
+        raise ValueError(f"PNG dimensions {width}x{height} out of bounds")
     if paletted and (plte is None or len(plte) % 3):
         raise ValueError("paletted PNG missing/malformed PLTE chunk")
     channels = 1 if paletted else _PNG_CHANNELS[color_type]
@@ -249,51 +315,44 @@ def decode_png(payload: bytes) -> np.ndarray:
         # mapInPandas operators turn that into a decode_error row, never
         # a job failure
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
-    stride = (width * channels * bit_depth + 7) // 8
-    if len(raw) != height * (stride + 1):
-        raise ValueError(
-            f"PNG scanline data length {len(raw)} != {height * (stride + 1)}"
-        )
-    out = np.zeros((height, stride), dtype=np.uint8)
+
+    def stride_of(pw: int) -> int:
+        return (pw * channels * bit_depth + 7) // 8
+
     bpp = max(1, channels * bit_depth // 8)  # filter byte distance
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(height):
-        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        ft, cur = line[0], bytearray(line[1:])
-        if ft == 0:
-            rec = np.frombuffer(bytes(cur), dtype=np.uint8).astype(np.int32)
-        elif ft == 2:  # Up — fully vectorized
-            rec = (np.frombuffer(bytes(cur), dtype=np.uint8) + prev) % 256
-        elif ft in (1, 3, 4):  # Sub/Average/Paeth — sequential in x
-            rec_b = bytearray(stride)
-            for i in range(stride):
-                a = rec_b[i - bpp] if i >= bpp else 0
-                b = int(prev[i])
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                if ft == 1:
-                    pred = a
-                elif ft == 3:
-                    pred = (a + b) // 2
-                else:
-                    pred = _paeth(a, b, c)
-                rec_b[i] = (cur[i] + pred) & 0xFF
-            rec = np.frombuffer(bytes(rec_b), dtype=np.uint8).astype(np.int32)
+    if interlace == 0:
+        stride = stride_of(width)
+        if len(raw) != height * (stride + 1):
+            raise ValueError(
+                f"PNG scanline data length {len(raw)} != {height * (stride + 1)}"
+            )
+        rows = _png_unfilter(raw, 0, height, stride, bpp)
+        samples = _png_samples(rows, width, channels, bit_depth, paletted)
+    else:  # Adam7: 7 independently-filtered sub-images scattered back
+        if paletted:
+            samples = np.zeros((height, width), dtype=np.uint8)
         else:
-            raise ValueError(f"unknown PNG filter type {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
+            samples = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = stride_of(pw)
+            need = ph * (stride + 1)
+            if off + need > len(raw):
+                raise ValueError("truncated Adam7 pass data")
+            rows = _png_unfilter(raw, off, ph, stride, bpp)
+            off += need
+            samples[y0::dy, x0::dx] = _png_samples(
+                rows, pw, channels, bit_depth, paletted
+            )
+        if off != len(raw):
+            raise ValueError("Adam7 data length mismatch")
     if not paletted:
-        return out.reshape(height, width, channels)
-    # palette expansion: unpack sub-byte indices (MSB-first per spec),
-    # then gather RGB from PLTE (+ alpha from tRNS when present)
-    if bit_depth == 8:
-        idx = out[:, :width]
-    else:
-        bits = np.unpackbits(out, axis=1)
-        per = bit_depth
-        idx = np.zeros((height, width), dtype=np.uint8)
-        for b in range(per):
-            idx = (idx << 1) | bits[:, b::per][:, :width]
+        return samples
+    idx = samples
     pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if idx.max() >= pal.shape[0]:
         raise ValueError("palette index out of range")

@@ -628,3 +628,66 @@ def test_webp_corrupt_payload_is_decode_error_not_fake(spark):
     rows = extract_features(media).collect()
     assert rows[0]["decode_status"] == "decode_error"
     assert rows[0]["feature"] is None
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Hand-muxed Adam7 PNG (7 independently-filtered passes) must
+    decode to the same pixels as the non-interlaced encoding — the
+    deinterlacer is validated against the straight path."""
+    import zlib
+
+    import numpy as np
+
+    from osmart_etl_spark.ops.multimodal import _PNG_MAGIC, decode_png
+
+    rng = np.random.default_rng(21)
+    for h, w, c, color_type in ((13, 11, 3, 2), (8, 8, 1, 0), (5, 17, 4, 6)):
+        img = rng.integers(0, 256, (h, w, c), dtype=np.uint8)
+        passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                  (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        raw = bytearray()
+        for x0, y0, dx, dy in passes:
+            sub = img[y0::dy, x0::dx]
+            if sub.size == 0:
+                continue
+            for y in range(sub.shape[0]):
+                raw += b"\x00" + sub[y].tobytes()  # filter None
+
+        def chunk(typ, data):
+            return (len(data).to_bytes(4, "big") + typ + data
+                    + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+        ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, color_type, 0, 0, 1]))  # interlace=1
+        payload = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(bytes(raw)))
+                   + chunk(b"IEND", b""))
+        got = decode_png(payload)
+        assert np.array_equal(got, img), (h, w, c)
+
+
+def test_png_16bit_high_byte():
+    import zlib
+
+    import numpy as np
+
+    from osmart_etl_spark.ops.multimodal import _PNG_MAGIC, decode_png
+
+    rng = np.random.default_rng(22)
+    h, w = 6, 9
+    hi = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    lo = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    samples = (hi.astype(np.uint16) << 8) | lo
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00" + samples[y].astype(">u2").tobytes()
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    ihdr = w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([16, 2, 0, 0, 0])
+    payload = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    assert np.array_equal(decode_png(payload), hi)
