@@ -64,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 _MARKER_RE = re.compile(r"^(\d{8})-([0-9a-f]{12})$")
 _LOCK_RE = re.compile(r"^(\d{8})\.lock$")
+_MIGRATION_SENTINEL = "_legacy-migration"
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -297,9 +298,11 @@ def _gc(
             # markerless lock is a dead claim (TTL-gated: inside the
             # TTL it may be a live writer between claim and marker)
             fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
-        elif not m and not lk and _old_enough(full):
+        elif not m and not lk and name != _MIGRATION_SENTINEL and _old_enough(full):
             # foreign debris (e.g. an editor/tool temp file) — swept on
-            # the same TTL so resolution listings stay small
+            # the same TTL so resolution listings stay small (the
+            # migration sentinel is exempt: it must survive arbitrarily
+            # long crash gaps so the legacy sweep can resume)
             fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
 
 
@@ -322,21 +325,69 @@ def upsert_versioned(
     - a crash at ANY point leaves the previous version fully readable;
     - a concurrent upsert is detected (CAS on the sequence), not
       silently lost.
-    """
-    cur = current_version(spark, table)
-    if cur is None:
-        from osmart_etl_spark.io.sinks import upsert_keep_latest
 
-        merged = upsert_keep_latest(None, new, keys, order_col)
-        return commit_version(
-            spark, merged, table, expected_seq=None, keep_versions=keep_versions
-        )
+    Legacy migration (round-8 ADVICE): pointing this sink at an
+    existing PLAIN-parquet table (no ``_commits`` log — the old
+    ``upsert_parquet`` layout) used to drop its rows silently, because
+    the separate WatermarkStore had already marked the source events
+    processed so they would never be recomputed. Now the first
+    versioned commit ADOPTS the legacy files as the prior snapshot:
+    merge(legacy, new) is committed as version 1 and the plain files
+    are then removed. Crash-safety: a ``_commits/_legacy-migration``
+    sentinel is created before the publish and removed only after the
+    legacy sweep completes, so a crash anywhere in between resumes the
+    sweep on the next call; plain data files found WITHOUT the
+    sentinel on an already-versioned table are foreign (not ours to
+    delete) and raise loudly instead.
+    """
     from osmart_etl_spark.io.sinks import upsert_keep_latest
 
-    old = read_committed(spark, table)
+    base = table.rstrip("/")
+    cur = current_version(spark, base)
+    jvm, fs, _ = _fs(spark, base)
+    legacy = [n for n in _listdir(spark, base) if not n.startswith(("_", "."))]
+    sentinel = jvm.org.apache.hadoop.fs.Path(f"{base}/_commits/{_MIGRATION_SENTINEL}")
+
+    def _sweep_legacy() -> None:
+        for n in legacy:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{n}"), True)
+
+    if cur is None:
+        if legacy:
+            # adopt the plain-parquet table as the prior snapshot; the
+            # read's file listing is resolved before commit_version
+            # stages under ``_v-<token>``, and the legacy files are only
+            # deleted after the merged version is durably committed
+            old = spark.read.parquet(base)
+            merged = upsert_keep_latest(old, new, keys, order_col)
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{base}/_commits"))
+            fs.create(sentinel, True).close()
+            seq = commit_version(
+                spark, merged, base, expected_seq=0, keep_versions=keep_versions
+            )
+            _sweep_legacy()
+            fs.delete(sentinel, False)
+            return seq
+        merged = upsert_keep_latest(None, new, keys, order_col)
+        return commit_version(
+            spark, merged, base, expected_seq=None, keep_versions=keep_versions
+        )
+
+    if legacy:
+        if not fs.exists(sentinel):
+            raise RuntimeError(
+                f"{base}: plain data files {legacy} coexist with a commit log "
+                "and no migration sentinel — refusing to guess whether they "
+                "were already merged. Move them aside or re-point the sink."
+            )
+        _sweep_legacy()  # resume a crashed migration's sweep (already in v1)
+    if fs.exists(sentinel):
+        fs.delete(sentinel, False)
+
+    old = read_committed(spark, base)
     merged = upsert_keep_latest(old, new, keys, order_col)
     return commit_version(
-        spark, merged, table, expected_seq=cur[0], keep_versions=keep_versions
+        spark, merged, base, expected_seq=cur[0], keep_versions=keep_versions
     )
 
 

@@ -204,6 +204,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
     one per frame (a still GIF yields a single frame)."""
     if payload[:6] not in _GIF_MAGICS:
         raise ValueError("not a GIF payload (bad signature)")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header (needs 13 bytes)")
     w = int.from_bytes(payload[6:8], "little")
     h = int.from_bytes(payload[8:10], "little")
     if w <= 0 or h <= 0 or w * h > _MAX_PIXELS:
@@ -241,6 +243,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension
+            if pos >= len(payload):
+                raise ValueError("truncated GIF extension label")
             label = payload[pos]
             pos += 1
             if label == 0xF9:  # graphic control
@@ -271,6 +275,8 @@ def decode_gif(payload: bytes) -> list[np.ndarray]:
             pos += 3 * n
         if pal is None:
             raise ValueError("GIF frame has neither global nor local palette")
+        if pos >= len(payload):
+            raise ValueError("truncated GIF LZW minimum-code byte")
         min_code = payload[pos]
         pos += 1
         data, pos = read_subblocks(pos)

@@ -41,8 +41,16 @@ def _check_dims(w: int, h: int) -> None:
 _PNM_CHANNELS = {b"P1": 1, b"P2": 1, b"P3": 3, b"P4": 1, b"P5": 1, b"P6": 3}
 
 
-def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
-    """Read n whitespace-separated integers, honoring '#' comments."""
+def _pnm_tokens(
+    payload: bytes, n: int, pos: int, single_digit: bool = False
+) -> tuple[list[int], int]:
+    """Read n whitespace-separated integers, honoring '#' comments.
+
+    ``single_digit=True`` is the P1 raster rule: every '0'/'1' digit is
+    its own sample and the separating whitespace is optional, so a row
+    written as ``0110`` is four pixels (round-8 ADVICE — the accumulating
+    tokenizer read it as the number 110 and rejected spec-legal files).
+    """
     out: list[int] = []
     cur = -1
     while len(out) < n and pos < len(payload):
@@ -52,7 +60,10 @@ def _pnm_tokens(payload: bytes, n: int, pos: int) -> tuple[list[int], int]:
                 pos += 1
             continue
         if 0x30 <= c <= 0x39:
-            cur = (0 if cur < 0 else cur * 10) + (c - 0x30)
+            if single_digit:
+                out.append(c - 0x30)
+            else:
+                cur = (0 if cur < 0 else cur * 10) + (c - 0x30)
         else:
             if not (c in (9, 10, 13, 32) or c == 11 or c == 12):
                 raise ValueError(f"unexpected byte 0x{c:02x} in PNM header/data")
@@ -86,7 +97,7 @@ def decode_pnm(payload: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNM maxval {maxval} (8-bit only)")
     n_samples = w * h * ch
     if ascii_form:
-        vals, _ = _pnm_tokens(payload, n_samples, pos)
+        vals, _ = _pnm_tokens(payload, n_samples, pos, single_digit=(magic == b"P1"))
         arr = np.array(vals, dtype=np.uint16)
     elif magic == b"P4":  # packed bits, rows padded to whole bytes
         row_bytes = (w + 7) // 8

@@ -1169,6 +1169,79 @@ def dedup_span_excision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_excision(d, "doc_id", "text", k=8)
 
 
+def _span_oracle(k: int) -> str:
+    """Cross-doc span-excision oracle parameterized by the window size
+    (= the ExactSubstr minimum span length L — see
+    ``dedup_span_excision_minlen``)."""
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    occ AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+             md5(array_to_string(t[u.i:u.i+{k - 1}], ' ')) AS g
+      FROM toks, unnest(range(1, len(t) - {k} + 2)) AS u(i)
+      WHERE len(t) >= {k}
+    ),
+    dup AS (
+      SELECT g FROM occ GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (g)
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN lag(pos) OVER w IS NULL
+                    OR pos - lag(pos) OVER w > {k} THEN 1 ELSE 0 END AS ns
+      FROM hits
+      WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS UNBOUNDED PRECEDING) AS isl
+      FROM flagged
+    )
+    SELECT doc_id,
+           MIN(pos) AS span_start,
+           CAST(MAX(pos) + {k} AS BIGINT) AS span_end,
+           CAST(MAX(pos) + {k} - MIN(pos) AS BIGINT) AS span_len,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+    """
+
+
+_MINLEN_L = 16
+
+
+@query(
+    "dedup_span_excision_minlen",
+    oracle=_span_oracle(_MINLEN_L),
+    tags=("ext-text", "dedup", "span-excision"),
+)
+def dedup_span_excision_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr with the paper's MINIMUM SPAN LENGTH made explicit
+    (Lee et al. 2022 use L=50 BPE tokens; the synthetic docs average
+    ~50 whitespace tokens, so L={_MINLEN_L} exercises the same regime).
+
+    The min-length rule costs nothing extra relationally: a position
+    lies inside a cross-doc duplicated substring of length >= L iff it
+    lies inside a duplicated L-token window (any position of a
+    duplicated substring s with |s| >= L sits in some L-window fully
+    inside s, and that window occurs wherever s occurs; conversely a
+    duplicated L-window IS such a substring). So
+    ``span_excision(k=L)`` computes the EXACT ExactSubstr-L cover —
+    not an approximation — and the default k=8 variant is exactly
+    L=8. ``tests/test_span_exactsubstr.py`` proves the equivalence
+    against a quadratic pairwise common-substring DP oracle for
+    several L on planted-duplicate corpora.
+    """
+    from osmart_etl_spark.ops.dedup import span_excision
+
+    d = read_table(spark, sf_dir, "documents")
+    return span_excision(d, "doc_id", "text", k=_MINLEN_L)
+
+
 @query(
     "dedup_intra_doc_spans",
     oracle=f"""

@@ -236,3 +236,61 @@ def test_compact_versioned_preserves_data_and_counts_files(spark, tmp_path):
     assert {r["k"] for r in read_committed(spark, t, at=1).collect()} == set(
         range(1000)
     )
+
+
+def test_legacy_plain_parquet_adopted_on_first_versioned_commit(spark, tmp_path):
+    """Round-8 ADVICE: switching a sink from upsert_parquet to
+    upsert_versioned must not silently drop the previously landed rows
+    — the first versioned commit adopts them as the prior snapshot."""
+    t = str(tmp_path / "tbl")
+    _mk(spark, [(1, "a", 10), (2, "b", 10)]).write.parquet(t)  # legacy layout
+    upsert_versioned(spark, _mk(spark, [(2, "B", 20), (3, "c", 5)]), t, ["k"], "ts")
+    got = {r["k"]: (r["v"], r["ts"]) for r in read_committed(spark, t).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 5)}
+    # legacy plain files removed; only _-prefixed versioned layout remains
+    names = atomic._listdir(spark, t)
+    assert all(n.startswith(("_", ".")) for n in names), names
+    # and the table keeps working as a normal versioned sink afterwards
+    upsert_versioned(spark, _mk(spark, [(1, "A", 30)]), t, ["k"], "ts")
+    got = {r["k"]: r["v"] for r in read_committed(spark, t).collect()}
+    assert got == {1: "A", 2: "B", 3: "c"}
+
+
+def test_crashed_legacy_migration_sweep_resumes(spark, tmp_path, monkeypatch):
+    """Crash between the migration commit and the legacy sweep: the
+    sentinel survives, so the next upsert finishes the sweep instead of
+    refusing (and the rows are not double-counted — keep-latest)."""
+    t = str(tmp_path / "tbl")
+    _mk(spark, [(1, "a", 10)]).write.parquet(t)
+    real_commit = atomic.commit_version
+
+    def crash_after_commit(*a, **kw):
+        real_commit(*a, **kw)
+        raise RuntimeError("simulated crash before legacy sweep")
+
+    monkeypatch.setattr(atomic, "commit_version", crash_after_commit)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        upsert_versioned(spark, _mk(spark, [(2, "b", 20)]), t, ["k"], "ts")
+    monkeypatch.undo()
+    # v1 committed, legacy files still on disk, sentinel present
+    assert current_version(spark, t)[0] == 1
+    assert any(not n.startswith(("_", ".")) for n in atomic._listdir(spark, t))
+    upsert_versioned(spark, _mk(spark, [(3, "c", 30)]), t, ["k"], "ts")
+    got = {r["k"]: r["v"] for r in read_committed(spark, t).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}
+    names = atomic._listdir(spark, t)
+    assert all(n.startswith(("_", ".")) for n in names), names
+    assert atomic._MIGRATION_SENTINEL not in atomic._listdir(spark, f"{t}/_commits")
+
+
+def test_foreign_plain_files_on_versioned_table_fail_loudly(spark, tmp_path):
+    """Plain data files on an already-versioned table WITHOUT the
+    migration sentinel are not ours to delete — loud error, no guess."""
+    t = str(tmp_path / "tbl")
+    upsert_versioned(spark, _mk(spark, [(1, "a", 10)]), t, ["k"], "ts")
+    (tmp_path / "tbl" / "stray.parquet").write_bytes(b"not ours")
+    with pytest.raises(RuntimeError, match="migration sentinel"):
+        upsert_versioned(spark, _mk(spark, [(2, "b", 20)]), t, ["k"], "ts")
+    # the stray file is untouched and the table is still readable
+    assert (tmp_path / "tbl" / "stray.parquet").exists()
+    assert current_version(spark, t)[0] == 1

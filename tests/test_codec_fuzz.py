@@ -133,6 +133,60 @@ def test_fuzz_preexisting_codecs():
     _fuzz(decode_wav, encode_wav(samples, 8000), rounds=200, seed=13)
 
 
+def _sweep_truncations(decode, payload: bytes) -> None:
+    """Exhaustive truncation sweep: EVERY prefix of a valid payload must
+    decode or raise ValueError — never IndexError (round-8 ADVICE: the
+    random fuzz missed decode_gif(payload[:9]) by seed luck)."""
+    for k in range(len(payload)):
+        try:
+            decode(payload[:k])
+        except ValueError:
+            pass
+
+
+def test_truncation_sweep_all_codecs():
+    from osmart_etl_spark.ops.flac import decode_flac, encode_flac
+    from osmart_etl_spark.ops.gif import decode_gif, encode_gif
+    from osmart_etl_spark.ops.jpeg import decode_jpeg, encode_jpeg
+    from osmart_etl_spark.ops.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+    from osmart_etl_spark.ops import imagefmt
+    from osmart_etl_spark.ops.video import (
+        decode_avi,
+        decode_y4m,
+        encode_avi_mjpeg,
+        encode_y4m,
+    )
+    from osmart_etl_spark.ops.vp8l import decode_webp, encode_webp
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    _sweep_truncations(decode_gif, encode_gif([rng.integers(0, 8, (8, 6), dtype=np.uint8)], pal))
+    _sweep_truncations(decode_jpeg, encode_jpeg(img))
+    _sweep_truncations(decode_png, encode_png(img))
+    _sweep_truncations(decode_webp, encode_webp(img))
+    _sweep_truncations(imagefmt.decode_pnm, imagefmt.encode_pnm(img))
+    _sweep_truncations(imagefmt.decode_bmp, imagefmt.encode_bmp(img))
+    _sweep_truncations(imagefmt.decode_exr, imagefmt.encode_exr(rng.random((4, 3, 3), dtype=np.float32), ["B", "G", "R"]))
+    samples = (rng.integers(-2000, 2000, (64, 2))).astype(np.int32)
+    _sweep_truncations(decode_flac, encode_flac(samples, rate=8000, bps=16))
+    _sweep_truncations(decode_wav, encode_wav(samples.astype(np.int16), 8000))
+    frames = [
+        (
+            rng.integers(0, 256, (4, 4), dtype=np.uint8),
+            rng.integers(0, 256, (2, 2), dtype=np.uint8),
+            rng.integers(0, 256, (2, 2), dtype=np.uint8),
+        )
+    ]
+    _sweep_truncations(decode_y4m, encode_y4m(frames, 4, 4))
+    _sweep_truncations(decode_avi, encode_avi_mjpeg([encode_jpeg(img)], 6, 8))
+
+
 def test_fuzz_exr():
     from osmart_etl_spark.ops.imagefmt import decode_exr, encode_exr
 

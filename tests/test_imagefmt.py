@@ -79,6 +79,20 @@ def test_pnm_roundtrip_binary_and_ascii():
     assert np.array_equal(decode_pnm(encode_pnm(grey, ascii_form=True))[:, :, 0], grey)
 
 
+def test_p1_ascii_pbm_without_separating_whitespace():
+    """P1 rasters may pack digits with no whitespace ('0110' = 4 pixels) —
+    spec-legal per netpbm; round-8 ADVICE fix."""
+    from osmart_etl_spark.ops.imagefmt import decode_pnm
+
+    img = decode_pnm(b"P1\n4 2\n0110\n1001\n")
+    assert img.shape == (2, 4, 1)
+    # 1 = black (0), 0 = white (255)
+    assert [int(x) for x in img[0, :, 0]] == [255, 0, 0, 255]
+    assert [int(x) for x in img[1, :, 0]] == [0, 255, 255, 0]
+    # mixed: separated and packed forms decode identically
+    assert np.array_equal(decode_pnm(b"P1 4 2 0 1 1 0 1 0 0 1"), img)
+
+
 def test_pnm_comments_and_maxval_rescale():
     from osmart_etl_spark.ops.imagefmt import decode_pnm
 
