@@ -72,6 +72,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
+    DoubleType,
     FloatType,
     IntegerType,
     LongType,
@@ -630,8 +632,14 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     AU/Sun audio decode FOR REAL via ops/audio.py, and FLAC decodes
     FOR REAL via the RFC 9639 codec in ops/flac.py (CRC-8/CRC-16/MD5
     verified); all featurize with the same RMS+ZCR windows. The
-    remaining genuinely lossy formats (mp3/ogg) fall through to the
-    deterministic fake until their libraries exist in the container."""
+    remaining lossy formats (mp3/ogg) fall through to the deterministic
+    fake PERMANENTLY IN THIS CONTAINER — a documented decision, not a
+    TODO: their sample reconstruction requires large normative constant
+    tables (ISO 11172-3 B.7 Huffman + B.3 synthesis window; Vorbis
+    floor/residue codebook setup) that no container library, fixture,
+    or reference decoder exists to validate against (see ops/mp3.py's
+    docstring for the search evidence). MP3 STRUCTURE still parses for
+    real — ``audio_stream_info`` below probes it via ops/mp3.py."""
     if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
         samples, _rate = decode_wav(payload)
         return _wav_feature(samples)
@@ -713,6 +721,99 @@ DECODERS = {
     "audio": _decode_audio,
     "video": _decode_video,
 }
+
+
+AUDIO_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("bitrate_kbps", IntegerType(), True),
+        StructField("cbr", BooleanType(), True),
+        StructField("probe_status", StringType(), False),
+    ]
+)
+
+
+def _probe_audio_one(payload: bytes) -> tuple:
+    """(container, rate, channels, duration_s, kbps, cbr) for one audio
+    payload. WAV/AIFF/AU/FLAC probe via their REAL in-tree decoders;
+    MP3 probes via the REAL structural parser in ops/mp3.py (no PCM
+    decode needed — and none exists for mp3, see that module's
+    docstring). Unknown formats raise ValueError."""
+    if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
+        samples, rate = decode_wav(payload)
+        return ("wav", rate, samples.shape[1] if samples.ndim > 1 else 1,
+                len(samples) / rate, None, True)
+    if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
+        from osmart_etl_spark.ops.audio import decode_aiff
+
+        samples, rate = decode_aiff(payload)
+        return ("aiff", rate, samples.shape[1] if samples.ndim > 1 else 1,
+                len(samples) / rate, None, True)
+    if payload[:4] == b".snd":
+        from osmart_etl_spark.ops.audio import decode_au
+
+        samples, rate = decode_au(payload)
+        return ("au", rate, samples.shape[1] if samples.ndim > 1 else 1,
+                len(samples) / rate, None, True)
+    if payload[:4] == b"fLaC":
+        from osmart_etl_spark.ops.flac import decode_flac
+
+        samples, rate = decode_flac(payload)
+        return ("flac", rate, samples.shape[1] if samples.ndim > 1 else 1,
+                len(samples) / rate, None, True)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 2 and payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0
+    ):
+        from osmart_etl_spark.ops.mp3 import probe_mp3
+
+        info = probe_mp3(payload)
+        return ("mp3", info["sample_rate"], info["channels"],
+                info["duration_s"], info["bitrate_kbps"], info["cbr"])
+    raise ValueError("unknown audio container")
+
+
+def audio_stream_info(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """REAL audio triage over ``mapInPandas``: per-row container,
+    sample rate, channel count, duration, and (for mp3) bitrate/CBR —
+    the metadata a 100 TB crawl pipeline filters on before ever
+    committing to sample-level decode. Same scale shape as
+    ``extract_features``: per-row work inside the scan, zero shuffle,
+    malformed rows become ``probe_status='probe_error'`` data."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("media_id", "container", "sample_rate", "channels",
+                    "duration_s", "bitrate_kbps", "cbr", "probe_status")}
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                if row["media_type"] != "audio" or row["payload"] is None:
+                    for k in ("container", "sample_rate", "channels",
+                              "duration_s", "bitrate_kbps", "cbr"):
+                        out[k].append(None)
+                    out["probe_status"].append("not_audio")
+                    continue
+                try:
+                    c, r, ch, d, kbps, cbr = _probe_audio_one(bytes(row["payload"]))
+                    out["container"].append(c)
+                    out["sample_rate"].append(r)
+                    out["channels"].append(ch)
+                    out["duration_s"].append(d)
+                    out["bitrate_kbps"].append(kbps)
+                    out["cbr"].append(cbr)
+                    out["probe_status"].append("ok")
+                except ValueError:
+                    for k in ("container", "sample_rate", "channels",
+                              "duration_s", "bitrate_kbps", "cbr"):
+                        out[k].append(None)
+                    out["probe_status"].append("probe_error")
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_INFO_SCHEMA)
 
 
 def resize_raw_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:

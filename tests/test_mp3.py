@@ -1,0 +1,174 @@
+"""MP3 bitstream-structure codec (ops/mp3.py): third-party fixture
+conformance, synthetic-silence ground truth across versions/modes,
+CRC-16 verification, reservoir/side-info validation, the strict error
+contract (ValueError only), and the audio_stream_info triage operator.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+
+from osmart_etl_spark.ops.mp3 import (
+    encode_mp3_silence,
+    parse_frames,
+    probe_mp3,
+)
+
+_THIRD_PARTY = (
+    "/usr/lib/google-cloud-sdk/platform/gsutil/gslib/tests/test_data/test.mp3"
+)
+
+
+def _fixture() -> bytes | None:
+    if os.path.exists(_THIRD_PARTY):
+        with open(_THIRD_PARTY, "rb") as fh:
+            return fh.read()
+    return None
+
+
+@pytest.mark.skipif(_fixture() is None, reason="gsutil test.mp3 absent")
+def test_third_party_stream_parses_end_to_end():
+    """The container's third-party MP3: every frame header, frame
+    length, and Layer III side-info field must parse and validate, and
+    the frame walk must land EXACTLY on the stream end — 45 frames of
+    chained arithmetic leave no room for a wrong table or field width."""
+    data = _fixture()
+    info = probe_mp3(data)
+    assert info["version"] == "2" and info["layer"] == 3
+    assert info["sample_rate"] == 22050 and info["mode"] == "mono"
+    assert info["cbr"] and info["bitrate_kbps"] == 64
+    assert info["n_frames"] == 45
+    assert abs(info["duration_s"] - 45 * 576 / 22050) < 1e-9
+    # audio bytes == file minus the 32-byte ID3v2 prefix (exact landing)
+    assert info["audio_bytes"] == len(data) - 32
+    frames = parse_frames(data)
+    assert all(f.frame_len in (208, 209) for f in frames)  # 72*64000/22050 + pad
+    # side-info sanity on the real stream: every granule in range
+    for f in frames:
+        for gr in f.granules:
+            for g in gr:
+                assert 0 <= g.big_values <= 288
+                assert 0 <= g.part2_3_length < 4096
+
+
+@pytest.mark.parametrize(
+    "kw,version,mode",
+    [
+        (dict(mpeg1=True, mono=True), "1", "mono"),
+        (dict(mpeg1=True, mono=False), "1", "stereo"),
+        (dict(mpeg1=False, mono=True), "2", "mono"),
+        (dict(mpeg1=False, mono=False), "2", "stereo"),
+    ],
+)
+def test_silence_roundtrip(kw, version, mode):
+    payload = encode_mp3_silence(6, **kw)
+    info = probe_mp3(payload)
+    assert info["version"] == version and info["mode"] == mode
+    assert info["n_frames"] == 6 and info["cbr"]
+    samples = 1152 if version == "1" else 576
+    assert abs(info["duration_s"] - 6 * samples / info["sample_rate"]) < 1e-9
+
+
+def test_crc16_verifies_and_detects_corruption():
+    payload = bytearray(encode_mp3_silence(4, with_crc=True))
+    info = probe_mp3(bytes(payload))
+    assert info["crc_protected"]
+    assert info["crc_ok_frames"] == 4 and info["crc_bad_frames"] == 0
+    # flip one side-info bit in frame 2 -> exactly one CRC failure
+    frames = parse_frames(bytes(payload))
+    payload[frames[2].offset + 7] ^= 0x10
+    info2 = probe_mp3(bytes(payload))
+    assert info2["crc_ok_frames"] == 3 and info2["crc_bad_frames"] == 1
+
+
+def test_structural_violations_raise_value_error():
+    good = encode_mp3_silence(4)
+    # mid-stream desync
+    broken = bytearray(good)
+    frames = parse_frames(good)
+    broken[frames[1].offset] = 0x00
+    with pytest.raises(ValueError, match="sync lost"):
+        parse_frames(bytes(broken))
+    # truncated final frame
+    with pytest.raises(ValueError, match="truncated|trailing"):
+        parse_frames(good[:-10])
+    # reserved Huffman table selected (set table_select bits to 14):
+    # craft by patching side info of a stereo frame is intricate —
+    # instead check main_data_begin reservoir violation, which the
+    # first frame can never satisfy when nonzero
+    b = bytearray(good)
+    b[4] |= 0x80  # first bit of main_data_begin
+    with pytest.raises(ValueError, match="reservoir"):
+        parse_frames(bytes(b))
+    with pytest.raises(ValueError, match="no MP3 frames"):
+        parse_frames(b"")
+
+
+def test_id3v1_trailer_and_id3v2_prefix_accepted():
+    body = encode_mp3_silence(3)
+    id3v2 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    id3v1 = b"TAG" + b"\x00" * 125
+    info = probe_mp3(id3v2 + body + id3v1)
+    assert info["n_frames"] == 3
+
+
+def test_fuzz_mp3_error_contract():
+    """Flip/truncate/splice bytes of a valid stream: parse must either
+    succeed or raise ValueError — never IndexError/struct.error (the
+    decode_status contract)."""
+    from tests.test_codec_fuzz import _fuzz, _sweep_truncations
+
+    payload = encode_mp3_silence(5, with_crc=True)
+    _fuzz(probe_mp3, payload, rounds=300, seed=21)
+    _sweep_truncations(probe_mp3, payload)
+
+
+def test_audio_stream_info_operator(spark):
+    """The triage operator: wav + flac + mp3 + garbage in one media
+    frame; statuses and metadata come back typed, per-row, no failure."""
+    from osmart_etl_spark.ops.flac import encode_flac
+    from osmart_etl_spark.ops.multimodal import (
+        MEDIA_SCHEMA,
+        audio_stream_info,
+        encode_wav,
+    )
+
+    rng = np.random.default_rng(3)
+    samples = (rng.integers(-2000, 2000, (800, 2))).astype(np.int16)
+    wav = encode_wav(samples, 8000)
+    flac = encode_flac(samples.astype(np.int32), rate=8000, bps=16)
+    mp3 = encode_mp3_silence(8, mpeg1=False, mono=True)
+    rows = [
+        (0, "audio", wav, len(wav), None, None, None),
+        (1, "audio", flac, len(flac), None, None, None),
+        (2, "audio", mp3, len(mp3), None, None, None),
+        (3, "audio", b"\x00garbage", 8, None, None, None),
+        (4, "image", b"\x89PNG", 4, None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in audio_stream_info(media).collect()}
+    assert got[0]["probe_status"] == "ok" and got[0]["container"] == "wav"
+    assert got[0]["sample_rate"] == 8000 and got[0]["channels"] == 2
+    assert abs(got[0]["duration_s"] - 0.1) < 1e-9
+    assert got[1]["probe_status"] == "ok" and got[1]["container"] == "flac"
+    assert got[2]["probe_status"] == "ok" and got[2]["container"] == "mp3"
+    assert got[2]["sample_rate"] == 22050 and got[2]["cbr"] is True
+    assert abs(got[2]["duration_s"] - 8 * 576 / 22050) < 1e-9
+    assert got[3]["probe_status"] == "probe_error"
+    assert got[4]["probe_status"] == "not_audio"
+
+
+@pytest.mark.skipif(_fixture() is None, reason="gsutil test.mp3 absent")
+def test_audio_stream_info_third_party(spark):
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, audio_stream_info
+
+    data = _fixture()
+    media = spark.createDataFrame(
+        [(0, "audio", data, len(data), None, None, None)], MEDIA_SCHEMA
+    )
+    row = audio_stream_info(media).collect()[0]
+    assert row["probe_status"] == "ok" and row["container"] == "mp3"
+    assert row["bitrate_kbps"] == 64 and row["channels"] == 1

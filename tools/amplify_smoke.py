@@ -1,0 +1,243 @@
+"""Synthetic scale-amplification audit (round-8 task 1): measure the
+dedup/LM/span/BPE families at 1x / 10x / 100x the base corpus and
+check that wall time and shuffle bytes grow ~linearly — converting the
+"designed for 100 TB" claim from argued (sf0.1 plans) to measured.
+
+Construction — why the copies can't cheat the dedup semantics:
+- ``documents`` copy k >= 1 rewrites the text by a per-copy CHARACTER
+  INTERLEAVE: every char c becomes c + <2-char base36 salt of k>.
+  This is a bijection on texts, so every intra-copy similarity
+  relation (shared substrings -> shared 5-char shingles -> Jaccard /
+  MinHash collision structure) is preserved exactly; and because every
+  5-char window of a 3-periodic interleaved string contains the salt
+  pair, cross-copy shingle sets are DISJOINT — copies are not
+  near-dups of each other, so candidate pairs grow linearly in k (the
+  true scaling of a k-times-larger corpus of the same duplication
+  density), never quadratically as naive duplication would force.
+- ``doc_id`` is offset by k * 10^9 (deterministic, collision-free).
+- ``events`` copy k offsets ``event_id``/``user_id`` (new users with
+  the same behavioral mix — volumes scale, key cardinality scales).
+- Every other table is symlinked from the base sf dir unchanged.
+
+Per run the tool scrapes the Spark UI REST API for the query's jobs
+and reports wall seconds, total shuffle-read bytes, the widest stage,
+and RED-FLAGS any 1-task stage reading >100k shuffle records (the
+AQE serial-reduce pathology, see SCALE.md round 5).
+
+Usage:
+    python tools/amplify_smoke.py [base_sf_dir] [--factors 1,10,100]
+                                  [--queries name,name,...]
+Scratch:
+    amplified tables are materialized once under
+    /tmp/amplify_smoke/<base>_x<k>/ and reused across runs.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+DEFAULT_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "containment_pairs",
+    "dedup_span_excision",
+    "dedup_components_bigstar",
+    "lm_perplexity_filter",
+    "bpe_train_merges",  # patched to 1 merge round (judge's spec)
+    "daily_net_agg",
+    "segmented_replay",
+]
+
+
+def _salt(k: int) -> str:
+    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
+    return digits[(k // 36) % 36] + digits[k % 36]
+
+
+def build_amplified(spark, base: str, factor: int) -> str:
+    """Materialize <base>_x<factor> under /tmp/amplify_smoke (idempotent)."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+
+    name = os.path.basename(base.rstrip("/"))
+    out = f"/tmp/amplify_smoke/{name}_x{factor}"
+    done = f"{out}/_AMPLIFIED_OK"
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = read_table(spark, base, "documents")
+    events = read_table(spark, base, "events")
+    doc_parts = [docs]
+    ev_parts = [events]
+    for k in range(1, factor):
+        s = _salt(k)
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
+                F.regexp_replace(F.col("text"), "(.)", "$1" + s).alias("text"),
+                "lang",
+                "source",
+                F.length(
+                    F.regexp_replace(F.col("text"), "(.)", "$1" + s)
+                ).alias("n_chars"),
+            )
+        )
+        ev_parts.append(
+            events.select(
+                (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
+                "ts",
+                (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+                "event_type",
+                "value",
+                "props",
+            )
+        )
+    amp_docs = doc_parts[0]
+    for p in doc_parts[1:]:
+        amp_docs = amp_docs.unionByName(p)
+    amp_ev = ev_parts[0]
+    for p in ev_parts[1:]:
+        amp_ev = amp_ev.unionByName(p)
+    # size output files like the base layout would at this volume
+    amp_docs.repartition(max(2, min(64, 2 * factor))).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    amp_ev.repartition(max(2, min(64, 2 * factor))).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+    for t in TABLES:
+        if t in ("documents", "events"):
+            continue
+        link = f"{out}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{base.rstrip('/')}/{t}.parquet", link)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return out
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    base = args[0] if args else "/root/testdata/sf0.1"
+    factors = [1, 10, 100]
+    queries = DEFAULT_QUERIES
+    for a in sys.argv[1:]:
+        if a.startswith("--factors="):
+            factors = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--queries="):
+            queries = a.split("=", 1)[1].split(",")
+
+    import osmart_etl_spark.queries  # noqa: F401 — populates REGISTRY
+    from osmart_etl_spark.queries.base import REGISTRY
+    from osmart_etl_spark.session import get_spark
+
+    spark = get_spark(
+        "amplify-smoke",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4064"},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # bpe at amplified scale: 1 merge round (the per-round shape is what
+    # scales; 3 identical rounds just triple the wall time)
+    from osmart_etl_spark.queries import bpe_train
+
+    bpe_train._BPE_ITERS = 1
+
+    dirs = {}
+    for f in factors:
+        t0 = time.time()
+        dirs[f] = base if f == 1 else build_amplified(spark, base, f)
+        print(f"# amplified x{f}: {dirs[f]} ({time.time() - t0:.1f}s)", file=sys.stderr)
+
+    ui = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+
+    def rest(path: str):
+        return json.load(urllib.request.urlopen(f"{ui}/api/v1/applications/{app}/{path}"))
+
+    results: dict[str, dict[int, dict]] = {}
+    for qname in queries:
+        if qname not in REGISTRY:
+            print(f"!! unknown query {qname}", file=sys.stderr)
+            continue
+        results[qname] = {}
+        for f in factors:
+            spark.catalog.clearCache()
+            seen_jobs = {j["jobId"] for j in rest("jobs")}
+            t0 = time.time()
+            REGISTRY[qname].fn(spark, dirs[f]).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            wall = time.time() - t0
+            jobs = [j for j in rest("jobs") if j["jobId"] not in seen_jobs]
+            stage_ids = {sid for j in jobs for sid in j.get("stageIds", [])}
+            stages = [
+                s
+                for s in rest("stages")
+                if s["stageId"] in stage_ids and s["status"] == "COMPLETE"
+            ]
+            sh_bytes = sum(s.get("shuffleReadBytes", 0) for s in stages)
+            max_tasks = max((s["numCompleteTasks"] for s in stages), default=0)
+            flags = [
+                (s["stageId"], s.get("shuffleReadRecords", 0))
+                for s in stages
+                if s["numCompleteTasks"] == 1
+                and s.get("shuffleReadRecords", 0) > 100_000
+            ]
+            results[qname][f] = {
+                "wall_s": round(wall, 2),
+                "shuffle_mb": round(sh_bytes / 1e6, 1),
+                "max_tasks": max_tasks,
+                "one_task_flags": flags,
+            }
+            print(
+                f"{qname:28s} x{f:<4d} {wall:7.1f}s  shuffle {sh_bytes / 1e6:9.1f} MB"
+                f"  widest stage {max_tasks:3d} tasks"
+                + (f"  !! 1-TASK {flags}" if flags else ""),
+                file=sys.stderr,
+            )
+
+    # markdown table + log-log slopes over the factor range
+    print(f"\n| query | " + " | ".join(f"x{f} wall s" for f in factors)
+          + " | " + " | ".join(f"x{f} shuffle MB" for f in factors)
+          + " | time slope | shuffle slope | 1-task flags |")
+    print("|" + "---|" * (2 * len(factors) + 4))
+    for qname, r in results.items():
+        fs = [f for f in factors if f in r]
+        if len(fs) < 2:
+            continue
+
+        def slope(key: str) -> float:
+            xs = [math.log(f) for f in fs]
+            ys = [math.log(max(r[f][key], 1e-3)) for f in fs]
+            mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+            return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+                (x - mx) ** 2 for x in xs
+            )
+
+        walls = " | ".join(f"{r[f]['wall_s']:.1f}" for f in fs)
+        shs = " | ".join(f"{r[f]['shuffle_mb']:.0f}" for f in fs)
+        flags = sum(len(r[f]["one_task_flags"]) for f in fs)
+        print(
+            f"| {qname} | {walls} | {shs} | {slope('wall_s'):.2f} |"
+            f" {slope('shuffle_mb'):.2f} | {flags} |"
+        )
+    print(json.dumps({"base": base, "factors": factors, "results": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
