@@ -4,16 +4,26 @@ check that wall time and shuffle bytes grow ~linearly — converting the
 "designed for 100 TB" claim from argued (sf0.1 plans) to measured.
 
 Construction — why the copies can't cheat the dedup semantics:
-- ``documents`` copy k >= 1 rewrites the text by a per-copy CHARACTER
-  INTERLEAVE: every char c becomes c + <2-char base36 salt of k>.
-  This is a bijection on texts, so every intra-copy similarity
-  relation (shared substrings -> shared 5-char shingles -> Jaccard /
-  MinHash collision structure) is preserved exactly; and because every
-  5-char window of a 3-periodic interleaved string contains the salt
-  pair, cross-copy shingle sets are DISJOINT — copies are not
-  near-dups of each other, so candidate pairs grow linearly in k (the
-  true scaling of a k-times-larger corpus of the same duplication
-  density), never quadratically as naive duplication would force.
+- ``documents`` copy k >= 1 rewrites the text by a per-copy AFFINE
+  CHARACTER SUBSTITUTION on a-z (x -> a*x + b mod 26, one
+  ``F.translate``; spaces/digits fixed). An alphabet bijection maps
+  5-char shingles bijectively, so every intra-copy similarity relation
+  (shared substrings -> shared shingles -> Jaccard / MinHash collision
+  structure) is preserved EXACTLY, and text volume scales exactly *k.
+  Cross-copy overlap is negligible: two copies' composed map is a
+  non-identity affine map — same-``a`` pairs are pure shifts (ZERO
+  fixed chars, disjoint shingles), different-``a`` pairs fix at most
+  gcd(a'-1, 26) <= 13 chars, so a shared 5-shingle needs all 5 chars
+  fixed (<= (1/2)^5 of shingles, Jaccard far below the LSH band
+  threshold). Candidate pairs therefore grow LINEARLY in k — the true
+  scaling of a k-times-larger corpus at constant duplication density.
+  (A first attempt salted by interleaving chars; that COLLAPSES
+  shingle diversity — every 5-window carries only ~2 original chars —
+  and made each copy internally near-dup-dense: x10 candidates grew
+  1291x instead of ~10x. Measured, fixed, and kept here as a warning:
+  amplification transforms must be bijective AT THE OPERATOR'S
+  GRANULARITY, which for 5-char shingles means char substitution,
+  not insertion.)
 - ``doc_id`` is offset by k * 10^9 (deterministic, collision-free).
 - ``events`` copy k offsets ``event_id``/``user_id`` (new users with
   the same behavioral mix — volumes scale, key cardinality scales).
@@ -60,9 +70,17 @@ DEFAULT_QUERIES = [
 ]
 
 
-def _salt(k: int) -> str:
-    digits = "0123456789abcdefghijklmnopqrstuvwxyz"
-    return digits[(k // 36) % 36] + digits[k % 36]
+_ALPHA = "abcdefghijklmnopqrstuvwxyz"
+_AFFINE_A = (1, 3, 7, 9, 11, 15, 17, 19, 21, 23, 25, 5)
+
+
+def _permuted_alphabet(k: int) -> str:
+    """Copy k's substitution image of a-z: x -> a*x + b mod 26 with
+    (a, b) enumerated so k=0 is the identity and any two copies'
+    composed map is a non-identity affine map (see module docstring)."""
+    a = _AFFINE_A[(k // 26) % len(_AFFINE_A)]
+    b = k % 26
+    return "".join(_ALPHA[(a * i + b) % 26] for i in range(26))
 
 
 def build_amplified(spark, base: str, factor: int) -> str:
@@ -72,7 +90,7 @@ def build_amplified(spark, base: str, factor: int) -> str:
     from osmart_etl_spark.io.sources import read_table
 
     name = os.path.basename(base.rstrip("/"))
-    out = f"/tmp/amplify_smoke/{name}_x{factor}"
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v2"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -83,16 +101,14 @@ def build_amplified(spark, base: str, factor: int) -> str:
     doc_parts = [docs]
     ev_parts = [events]
     for k in range(1, factor):
-        s = _salt(k)
+        perm = _permuted_alphabet(k)
         doc_parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(k * 1_000_000_000)).alias("doc_id"),
-                F.regexp_replace(F.col("text"), "(.)", "$1" + s).alias("text"),
+                F.translate(F.col("text"), _ALPHA, perm).alias("text"),
                 "lang",
                 "source",
-                F.length(
-                    F.regexp_replace(F.col("text"), "(.)", "$1" + s)
-                ).alias("n_chars"),
+                "n_chars",  # substitution preserves length exactly
             )
         )
         ev_parts.append(
