@@ -484,3 +484,124 @@ def zipf_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").cast("bigint").alias("corpus_tokens"),
         F.col("vocab").cast("bigint").alias("vocab_size"),
     )
+
+
+#: absolute discount for the interpolated Kneser-Ney bigram model —
+#: the standard 0.75 (Chen & Goodman 1999's D for count>=1 regimes),
+#: a fixed literal so both engines compute with the same constant.
+_KN_DISCOUNT = 0.75
+
+#: keep-gate on avg KN NLL (nats). KN assigns higher probability than
+#: add-one to seen bigrams (no +V mass leak), so the gate sits lower
+#: than lm_perplexity_filter's 8.0.
+_KN_KEEP_THRESHOLD = 7.0
+
+
+@query(
+    "lm_perplexity_kneser_ney",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    u AS (
+      SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p FROM c2 GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS nc FROM c2 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbig FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(-ln(
+          (CAST(c2.c2 AS DOUBLE) - {_KN_DISCOUNT!r}) / CAST(u.c1 AS DOUBLE)
+          + ({_KN_DISCOUNT!r} * CAST(u.n1p AS DOUBLE) / CAST(u.c1 AS DOUBLE))
+            * (CAST(cont.nc AS DOUBLE) / CAST(tot.nbig AS DOUBLE))
+        ) AS DECIMAL(18,9)) AS nll
+      FROM bg
+      JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      JOIN u ON bg.w1 = u.w1
+      JOIN cont ON bg.w2 = cont.w2
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS total
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+      CAST(a.total AS DOUBLE) AS total_nll,
+      CAST(a.total AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS avg_nll,
+      CASE WHEN a.n_bigrams IS NULL THEN FALSE
+           ELSE CAST(a.total AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE)
+                < {_KN_KEEP_THRESHOLD!r} END AS keep
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+    tags=("ext-text", "lm-filter", "quality"),
+)
+def lm_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram perplexity filter — the smoothing
+    the CCNet pipeline actually ships (KenLM is modified-KN): score
+    every document under P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1) +
+    D·N1+(w1,·)/c(w1) · N1+(·,w2)/N1+(·,·), trained on the corpus
+    being filtered, as ONE declarative DAG. Versus the add-one variant
+    (``lm_perplexity_filter``): no +V probability mass leak, and the
+    backoff weight rewards words seen in many CONTEXTS rather than
+    merely often — the canonical fix for the "san francisco" problem.
+
+    Scale shape mirrors the add-one filter: per-doc distinct bigrams
+    pre-aggregated once and persisted; model tables fold those rows
+    (c2 keyed (w1,w2); u = per-w1 totals AND distinct-continuation
+    counts in ONE aggregate; cont = per-w2 distinct-predecessor counts
+    — all map-side combined, Zipf-bounded); N1+(·,·) is a 1-row
+    broadcast. Every bigram is in-model (trained on the same corpus),
+    so max(c-D,0) = c-D > 0 with D < 1 — no zero-probability branch.
+
+    Float parity: per-bigram NLL quantized to DECIMAL(18,9) pre-sum
+    (order-independent aggregation), the probability's expression TREE
+    written identically in both engines (IEEE doubles make it
+    bit-identical; only libm ln differs, by ≤1 ulp, absorbed by the
+    quantization — the lm_perplexity_filter precedent)."""
+    docs = read_table(spark, sf_dir, "documents")
+    doc_tokens = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
+    )
+    bg = _bigrams(doc_tokens)
+    occ = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2")).persist()
+    u = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    tot = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    d = F.lit(_KN_DISCOUNT)
+    p = (F.col("c2").cast("double") - d) / F.col("c1").cast("double") + (
+        d * F.col("n1p").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("nc").cast("double") / F.col("nbig").cast("double"))
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(u, ["w1"])
+        .join(cont, ["w2"])
+        .join(F.broadcast(tot))
+        .select("doc_id", "m", (-F.log(p)).cast("decimal(18,9)").alias("nll"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("nll") * F.col("m").cast("decimal(10,0)")).alias("total"),
+    )
+    avg = F.col("total").cast("double") / F.col("n_bigrams").cast("double")
+    return docs.join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.col("total").cast("double").alias("total_nll"),
+        avg.alias("avg_nll"),
+        F.when(F.col("n_bigrams").isNull(), F.lit(False))
+        .otherwise(avg < F.lit(_KN_KEEP_THRESHOLD))
+        .alias("keep"),
+    )
