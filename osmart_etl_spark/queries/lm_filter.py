@@ -497,6 +497,42 @@ _KN_DISCOUNT = 0.75
 _KN_KEEP_THRESHOLD = 7.0
 
 
+def _kn_doc_scores(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, total) — per-document total DECIMAL(18,9)
+    KN bigram NLL, the shared core of ``lm_perplexity_kneser_ney`` and
+    ``ccnet_perplexity_buckets`` (scale/parity rationale documented on
+    the former)."""
+    doc_tokens = docs.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
+    )
+    bg = _bigrams(doc_tokens)
+    occ = (
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+    )
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2")).persist()
+    u = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
+    tot = c2.agg(F.count(F.lit(1)).alias("nbig"))
+    d = F.lit(_KN_DISCOUNT)
+    p = (F.col("c2").cast("double") - d) / F.col("c1").cast("double") + (
+        d * F.col("n1p").cast("double") / F.col("c1").cast("double")
+    ) * (F.col("nc").cast("double") / F.col("nbig").cast("double"))
+    scored = (
+        occ.join(c2, ["w1", "w2"])
+        .join(u, ["w1"])
+        .join(cont, ["w2"])
+        .join(F.broadcast(tot))
+        .select("doc_id", "m", (-F.log(p)).cast("decimal(18,9)").alias("nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("m").alias("n_bigrams"),
+        F.sum(F.col("nll") * F.col("m").cast("decimal(10,0)")).alias("total"),
+    )
+
+
 @query(
     "lm_perplexity_kneser_ney",
     oracle=f"""
@@ -566,35 +602,7 @@ def lm_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical; only libm ln differs, by ≤1 ulp, absorbed by the
     quantization — the lm_perplexity_filter precedent)."""
     docs = read_table(spark, sf_dir, "documents")
-    doc_tokens = docs.select(
-        "doc_id",
-        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
-    )
-    bg = _bigrams(doc_tokens)
-    occ = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
-    )
-    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2")).persist()
-    u = c2.groupBy("w1").agg(
-        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
-    )
-    cont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("nc"))
-    tot = c2.agg(F.count(F.lit(1)).alias("nbig"))
-    d = F.lit(_KN_DISCOUNT)
-    p = (F.col("c2").cast("double") - d) / F.col("c1").cast("double") + (
-        d * F.col("n1p").cast("double") / F.col("c1").cast("double")
-    ) * (F.col("nc").cast("double") / F.col("nbig").cast("double"))
-    scored = (
-        occ.join(c2, ["w1", "w2"])
-        .join(u, ["w1"])
-        .join(cont, ["w2"])
-        .join(F.broadcast(tot))
-        .select("doc_id", "m", (-F.log(p)).cast("decimal(18,9)").alias("nll"))
-    )
-    agg = scored.groupBy("doc_id").agg(
-        F.sum("m").alias("n_bigrams"),
-        F.sum(F.col("nll") * F.col("m").cast("decimal(10,0)")).alias("total"),
-    )
+    agg = _kn_doc_scores(docs)
     avg = F.col("total").cast("double") / F.col("n_bigrams").cast("double")
     return docs.join(agg, ["doc_id"], "left").select(
         "doc_id",
@@ -605,3 +613,141 @@ def lm_perplexity_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(avg < F.lit(_KN_KEEP_THRESHOLD))
         .alias("keep"),
     )
+
+
+_KN_SCORE_CTES = f"""
+    toks AS (
+      SELECT doc_id, {_TOKS} AS t FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+      WHERE len(t) >= 2
+    ),
+    c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY w1, w2),
+    u AS (
+      SELECT w1, SUM(c2) AS c1, COUNT(*) AS n1p FROM c2 GROUP BY w1
+    ),
+    cont AS (SELECT w2, COUNT(*) AS nc FROM c2 GROUP BY w2),
+    tot AS (SELECT COUNT(*) AS nbig FROM c2),
+    scored AS (
+      SELECT bg.doc_id,
+        CAST(-ln(
+          (CAST(c2.c2 AS DOUBLE) - {_KN_DISCOUNT!r}) / CAST(u.c1 AS DOUBLE)
+          + ({_KN_DISCOUNT!r} * CAST(u.n1p AS DOUBLE) / CAST(u.c1 AS DOUBLE))
+            * (CAST(cont.nc AS DOUBLE) / CAST(tot.nbig AS DOUBLE))
+        ) AS DECIMAL(18,9)) AS nll
+      FROM bg
+      JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+      JOIN u ON bg.w1 = u.w1
+      JOIN cont ON bg.w2 = cont.w2
+      CROSS JOIN tot
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, SUM(nll) AS total
+      FROM scored GROUP BY doc_id
+    )
+"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH {_KN_SCORE_CTES},
+    scores AS (
+      SELECT d.doc_id, d.lang,
+        CAST(a.total AS DOUBLE) / CAST(a.n_bigrams AS DOUBLE) AS avg_nll
+      FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+    ),
+    sup AS (
+      SELECT lang, avg_nll, COUNT(*) AS c FROM scores GROUP BY lang, avg_nll
+    ),
+    ranked AS (
+      SELECT lang, avg_nll,
+        SUM(c) OVER (PARTITION BY lang ORDER BY avg_nll
+                     ROWS UNBOUNDED PRECEDING) AS r,
+        SUM(c) OVER (PARTITION BY lang) AS n
+      FROM sup
+    ),
+    lab AS (
+      SELECT lang, avg_nll,
+        CASE WHEN r * 3 <= n THEN 'head'
+             WHEN r * 3 <= n * 2 THEN 'middle'
+             ELSE 'tail' END AS bucket
+      FROM ranked
+    )
+    SELECT s.doc_id, s.lang, s.avg_nll, l.bucket
+    FROM scores s JOIN lab l ON s.lang = l.lang AND s.avg_nll = l.avg_nll
+    UNION ALL
+    SELECT d.doc_id, d.lang, CAST(NULL AS DOUBLE) AS avg_nll,
+           'unscored' AS bucket
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    WHERE a.doc_id IS NULL
+    """,
+    tags=("ext-text", "lm-filter", "curriculum"),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail curriculum split: per LANGUAGE, rank
+    documents by their Kneser-Ney avg bigram NLL and cut the corpus at
+    exact terciles — head = the most in-distribution third (lowest
+    perplexity), tail = the noisiest. This is the artifact CCNet ships
+    downstream (trainers sample head-heavy), and the per-language
+    partitioning is the paper's own design (one LM per language).
+
+    Exactness without interpolation: cut points are pure integer
+    arithmetic on cumulative counts over the DISTINCT (lang, avg_nll)
+    support (the weighted_median/ks_two_sample pattern): r(v) = docs
+    with value <= v, bucket flips where 3r crosses n and 2n — ties in
+    avg_nll share a bucket BY CONSTRUCTION (value-keyed, not
+    row-keyed), so no row-order ambiguity exists for the hash compare.
+    Docs too short to score (no bigrams) are labeled 'unscored', never
+    silently dropped.
+
+    Scale: the scoring DAG is ``lm_perplexity_kneser_ney``'s; the
+    bucketing adds one (lang, avg_nll) aggregate and one per-lang
+    window over distinct support — partitioned by language, so the
+    window parallelizes across langs and no global sort exists."""
+    from pyspark.sql import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    agg = _kn_doc_scores(docs)
+    scores = docs.join(agg, ["doc_id"]).select(
+        "doc_id",
+        "lang",
+        (F.col("total").cast("double") / F.col("n_bigrams").cast("double")).alias(
+            "avg_nll"
+        ),
+    )
+    sup = scores.groupBy("lang", "avg_nll").agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("lang")
+        .orderBy("avg_nll")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = sup.select(
+        "lang",
+        "avg_nll",
+        F.sum("c").over(wc).alias("r"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("n"),
+    )
+    lab = ranked.select(
+        "lang",
+        "avg_nll",
+        F.when(F.col("r") * 3 <= F.col("n"), F.lit("head"))
+        .when(F.col("r") * 3 <= F.col("n") * 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    labeled = scores.join(lab, ["lang", "avg_nll"]).select(
+        "doc_id", "lang", "avg_nll", "bucket"
+    )
+    unscored = (
+        docs.join(agg, ["doc_id"], "left_anti")
+        .select(
+            "doc_id",
+            "lang",
+            F.lit(None).cast("double").alias("avg_nll"),
+            F.lit("unscored").alias("bucket"),
+        )
+    )
+    return labeled.unionByName(unscored)
