@@ -345,6 +345,17 @@ def upsert_versioned(
     base = table.rstrip("/")
     cur = current_version(spark, base)
     jvm, fs, _ = _fs(spark, base)
+    if cur is None:
+        # Round-9 (ADVICE): the adoption/create path CAS-claims exactly
+        # lock 00000001, and _gc — the only thing that TTL-sweeps a
+        # crashed claimant's dead markerless lock — otherwise runs only
+        # AFTER a successful commit on this table, which a dead first
+        # lock makes unreachable: every retry would raise
+        # ConcurrentCommitError forever. Sweep on entry instead; inside
+        # the TTL the conflict stays (could be a live racer mid-publish,
+        # the documented bounded-liveness window), past it the table
+        # unwedges itself.
+        _gc(spark, base, keep_versions, 3600.0)
     legacy = [n for n in _listdir(spark, base) if not n.startswith(("_", "."))]
     sentinel = jvm.org.apache.hadoop.fs.Path(f"{base}/_commits/{_MIGRATION_SENTINEL}")
 

@@ -384,8 +384,10 @@ def choose_jaccard_verify(
     n_corpus_shingles: int,
     n_candidate_docs: int,
     *,
+    n_pairs: int | None = None,
     density_crossover: float = 0.5,
     corpus_floor: int = 10_000_000,
+    degree_crossover: float = 2.0,
 ) -> str:
     """Pick the exact-verify physical shape from runtime stats (pure —
     the decision rule, unit-testable without a cluster).
@@ -394,22 +396,40 @@ def choose_jaccard_verify(
     1.02 M corpus shingles, 4 368/5 000 docs in some candidate pair =
     87 % density: hybrid 3.9 s vs sets 7.9 s):
 
-    - ``hybrid`` explodes ALL corpus shingles → cost ∝ |corpus
-      shingles|, no pre-prune barriers;
+    - ``hybrid`` explodes ALL corpus shingles AND expands the pairs
+      side: its shuffled volume is ≈ |corpus shingles| (the id_b
+      explode) + Σ_pairs |A| ≈ degree × |corpus shingles| where
+      degree = |pairs| / |docs| — so it is Θ(corpus shingles ×
+      candidate degree), the documented dense-corpus worst case that
+      cut off at 25 min on the sf0.1×100 amplified run (500k docs,
+      87 % near-dup density, degree ≫ 2);
     - ``sets`` first semi-joins the corpus down to candidate docs →
-      cost ∝ density × |corpus shingles| + a fixed pre-prune overhead
-      (two broadcast exchanges + a distinct; ≈ the whole 4 s gap at
-      sf0.1 scale).
+      exploded-shuffle-free; cost ∝ density × |corpus shingles| (the
+      pruned array scan) + |pairs| codegen array-intersects + a fixed
+      pre-prune overhead (two broadcast exchanges + a distinct; ≈ the
+      whole 4 s gap at sf0.1 scale).
 
-    So ``sets`` wins exactly when the pruning pays: candidate density
-    below ``density_crossover`` AND a corpus big enough
-    (``corpus_floor``, ≈5× the sf0.1 volume) that the fixed overhead
-    amortizes. Any real web corpus sits deep in that region (density
-    ≪ 1 %, shingles ≫ 10⁹); the dense-tiny regime of the test SFs
-    stays on ``hybrid``.
+    So ``sets`` wins in TWO regions above ``corpus_floor`` (≈5× the
+    sf0.1 volume — below it the fixed overhead dominates everything):
+
+    1. sparse candidates (density < ``density_crossover``): the prune
+       removes most of the corpus — any real web corpus (density ≪ 1 %,
+       shingles ≫ 10⁹) sits deep here;
+    2. high candidate DEGREE (|pairs|/|docs| ≥ ``degree_crossover``):
+       regardless of density, hybrid's pairs-side expansion shuffles
+       ≥ degree × corpus shingles while sets' intersect work stays
+       local and linear in |pairs| — the near-dup-dense amplified
+       corpus falls here (degree guard added round 9 after the ×100
+       cut-off).
+
+    The dense-tiny regime of the test SFs stays on ``hybrid``.
     """
     density = n_candidate_docs / max(n_docs, 1)
-    if density < density_crossover and n_corpus_shingles > corpus_floor:
+    if n_corpus_shingles <= corpus_floor:
+        return "hybrid"
+    if n_pairs is not None and n_pairs / max(n_docs, 1) >= degree_crossover:
+        return "sets"
+    if density < density_crossover:
         return "sets"
     return "hybrid"
 
@@ -481,11 +501,13 @@ def jaccard_verify_auto(
     # extra evaluation of the candidate pipeline for this count — above
     # the corpus floor by definition, where one extra LSH pass is noise
     # against the verify itself.
-    n_cand_docs = min(n_docs, 2 * pairs.count())
+    n_pairs = pairs.count()
+    n_cand_docs = min(n_docs, 2 * n_pairs)
     shape = choose_jaccard_verify(
         n_docs,
         n_corpus_shingles,
         n_cand_docs,
+        n_pairs=n_pairs,
         density_crossover=density_crossover,
         corpus_floor=corpus_floor,
     )

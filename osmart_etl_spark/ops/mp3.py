@@ -262,7 +262,11 @@ def parse_frames(payload: bytes, max_frames: int = 1 << 20) -> list[FrameInfo]:
             | ((payload[8] & 0x7F) << 7)
             | (payload[9] & 0x7F)
         )
-        pos = 10 + sz
+        # ID3v2.4 footer flag (byte 5 bit 0x10): the syncsafe size
+        # covers header+body but NOT the 10-byte footer — a spec-legal
+        # footered tag would otherwise land mid-footer and die with
+        # "MP3 sync lost" (round-8 ADVICE)
+        pos = 10 + sz + (10 if payload[5] & 0x10 else 0)
     if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
         end -= 128
 
@@ -373,7 +377,10 @@ def probe_mp3(payload: bytes) -> dict:
     n_audio_frames = len(frames) - (1 if xing else 0)
     total_samples = sum(f.samples for f in frames[1 if xing else 0 :])
     duration = total_samples / f0.sample_rate
-    audio_bytes = sum(f.frame_len for f in frames)
+    # same frame slice as total_samples: the Xing/Info frame carries no
+    # audio, so counting its bytes while excluding its samples inflated
+    # the VBR bitrate estimate (round-8 ADVICE)
+    audio_bytes = sum(f.frame_len for f in frames[1 if xing else 0 :])
     kbps = sorted({f.bitrate_kbps for f in frames})
     crc_frames = [f for f in frames if f.has_crc and f.crc_ok is not None]
     block_types: dict[int, int] = {}

@@ -1,0 +1,278 @@
+"""Corpus-curation observability and sampling operators (round 9).
+
+The ops a production training-data pipeline runs AROUND the filters the
+other modules implement: the funnel report that says where documents
+die, per-source quota sampling (crawl domain caps), corpus-wide top
+n-grams (the WIMBD "what's in my big data" audit), and exact length
+deciles for curriculum/packing decisions.
+
+Reference scope note: the reference ETL (etl_sales/transform.py) has no
+corpus ops — these extend the engine's LLM-pipeline surface, same as
+queries/text.py. All four are exact and oracle-checked; float parity
+follows base.py's convention (integer/decimal arithmetic everywhere,
+double only for final ratios with identical operand trees).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from osmart_etl_spark.io.sources import read_table
+from osmart_etl_spark.queries.base import query
+
+#: whitespace tokens, DuckDB spelling (lm_filter.py's _TOKS twin)
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+#: per-source document cap for quota sampling — binds at every test SF
+#: (25 docs/source at sf0.01) and is the knob a crawl pipeline sets per
+#: domain.
+_QUOTA_N = 10
+
+#: top-k for the corpus n-gram audit
+_NGRAM_TOP = 100
+
+
+@query(
+    "filter_funnel_report",
+    oracle="""
+    WITH sig AS (
+      SELECT
+        LENGTH(text) >= 200 AS c1,
+        len(list_filter(string_split(text, ' '), x -> x != '')) >= 30 AS c2,
+        CASE WHEN len(list_filter(string_split(text, ' '), x -> x != '')) > 0
+             THEN CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE)
+                  / CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                         AS DOUBLE) BETWEEN 3.0 AND 10.0
+             ELSE FALSE END AS c3,
+        CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / CAST(LENGTH(text) AS DOUBLE) <= 0.2 AS c4
+      FROM documents WHERE LENGTH(text) > 0
+    ),
+    agg AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n0,
+        CAST(COUNT(*) FILTER (WHERE c1) AS BIGINT) AS n1,
+        CAST(COUNT(*) FILTER (WHERE c1 AND c2) AS BIGINT) AS n2,
+        CAST(COUNT(*) FILTER (WHERE c1 AND c2 AND c3) AS BIGINT) AS n3,
+        CAST(COUNT(*) FILTER (WHERE c1 AND c2 AND c3 AND c4) AS BIGINT) AS n4
+      FROM sig
+    )
+    SELECT stage, label, survivors, dropped,
+      CAST(survivors AS DOUBLE) / CAST(total AS DOUBLE) AS survival_pct
+    FROM (
+      SELECT CAST(0 AS BIGINT) AS stage, 'all' AS label,
+             n0 AS survivors, CAST(0 AS BIGINT) AS dropped, n0 AS total FROM agg
+      UNION ALL SELECT 1, 'min_len_200', n1, n0 - n1, n0 FROM agg
+      UNION ALL SELECT 2, 'min_words_30', n2, n1 - n2, n0 FROM agg
+      UNION ALL SELECT 3, 'avg_word_len_3_10', n3, n2 - n3, n0 FROM agg
+      UNION ALL SELECT 4, 'digit_ratio_le_20pct', n4, n3 - n4, n0 FROM agg
+    )
+    """,
+    tags=("ext-text", "curation", "funnel"),
+)
+def filter_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtering-funnel observability: the per-stage survivor/dropped
+    counts every curation pipeline publishes so a threshold change can
+    be attributed to the stage that ate the documents (C4/Gopher/CCNet
+    papers all report exactly this table). Stages are CUMULATIVE
+    (a doc must pass 1..k to count at k) over cheap structural signals:
+    min length, min word count, mean-word-length band, digit-ratio cap.
+
+    Scale shape: ONE zero-shuffle projection computes all stage
+    booleans per document, one map-side-combined aggregate folds them
+    into five conditional counts, and the 5-row funnel is stacked from
+    that single row — corpus cost is one scan regardless of stage
+    count. Ratios divide identical bigint operands in double, so the
+    result is bit-identical cross-engine."""
+    d = read_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    words = F.size(F.filter(F.split("text", " "), lambda x: x != F.lit("")))
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    digits = F.length(F.regexp_replace(F.col("text"), "[^0-9]", ""))
+    c1 = F.length("text") >= 200
+    c2 = words >= 30
+    c3 = F.when(
+        words > 0,
+        (nonspace.cast("double") / words.cast("double")).between(3.0, 10.0),
+    ).otherwise(F.lit(False))
+    c4 = digits.cast("double") / F.length("text").cast("double") <= 0.2
+    one = F.count(F.lit(1))
+    agg = d.agg(
+        one.alias("n0"),
+        F.count(F.when(c1, 1)).alias("n1"),
+        F.count(F.when(c1 & c2, 1)).alias("n2"),
+        F.count(F.when(c1 & c2 & c3, 1)).alias("n3"),
+        F.count(F.when(c1 & c2 & c3 & c4, 1)).alias("n4"),
+    )
+    stacked = agg.selectExpr(
+        "stack(5, "
+        " CAST(0 AS BIGINT), 'all', n0, CAST(0 AS BIGINT), n0,"
+        " CAST(1 AS BIGINT), 'min_len_200', n1, n0 - n1, n0,"
+        " CAST(2 AS BIGINT), 'min_words_30', n2, n1 - n2, n0,"
+        " CAST(3 AS BIGINT), 'avg_word_len_3_10', n3, n2 - n3, n0,"
+        " CAST(4 AS BIGINT), 'digit_ratio_le_20pct', n4, n3 - n4, n0"
+        ") AS (stage, label, survivors, dropped, total)"
+    )
+    return stacked.select(
+        "stage",
+        "label",
+        "survivors",
+        "dropped",
+        (F.col("survivors").cast("double") / F.col("total").cast("double")).alias(
+            "survival_pct"
+        ),
+    )
+
+
+@query(
+    "source_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+        CAST(ROW_NUMBER() OVER (
+          PARTITION BY source
+          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        ) AS BIGINT) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk FROM ranked WHERE rk <= {_QUOTA_N}
+    """,
+    tags=("ext-text", "curation", "sampling"),
+)
+def source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling — the crawl pipeline's domain cap
+    (never let one domain dominate the corpus): keep at most N
+    documents per source, chosen by a DETERMINISTIC hash order
+    (md5 of doc_id, doc_id tiebreak per W6) so the sample is stable
+    across runs and engines with no RNG anywhere.
+
+    Scale shape: one hash exchange on ``source`` + a per-source window
+    — parallel across sources, and the rank stream short-circuits at N
+    per partition group. Hash-ordering instead of "first N by id"
+    removes crawl-order bias the same way reservoir sampling would,
+    but stays exactly reproducible. At 100 TB a skewed mega-source is
+    the known hazard: the window ranks that source on one partition —
+    the standard mitigation (pre-filter by hash prefix to ~N·c rows
+    per source before ranking) composes on top without changing
+    results; at the test SFs sources are uniform and it is unneeded."""
+    d = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select(
+            "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+        )
+        .filter(F.col("rk") <= _QUOTA_N)
+    )
+
+
+@query(
+    "ngram_top_corpus",
+    oracle=f"""
+    WITH toks AS (
+      SELECT {_TOKS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS ngram
+      FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+      WHERE len(t) >= 3
+    )
+    SELECT ngram, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM grams GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT {_NGRAM_TOP}
+    """,
+    tags=("ext-text", "curation", "wimbd"),
+)
+def ngram_top_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-k n-gram audit (the WIMBD "most common n-grams"
+    analysis, Elazar et al. 2024): count every whitespace-token TRIGRAM
+    across the corpus and keep the top 100 by (count desc, ngram asc) —
+    a total order, so the cut is deterministic and ties at the boundary
+    cannot flap the result set.
+
+    Scale shape: the trigram explode is a zero-shuffle projection
+    (array transform fused into the scan); ONE map-side-combined
+    groupBy shuffles only (ngram, partial count) pairs; the top-100 is
+    TakeOrdered (per-partition heaps + driver merge of 100-row heads),
+    never a global sort. Trigram-type cardinality is what shuffles —
+    Zipf-bounded, the same budget as the BPE pair-count stage."""
+    d = read_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t")
+    ).filter(F.size("t") >= 3)
+    grams = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 2), i -> "
+                "concat_ws(' ', element_at(t, i), element_at(t, i + 1), "
+                "element_at(t, i + 2)))"
+            )
+        ).alias("ngram")
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(_NGRAM_TOP)
+    )
+
+
+@query(
+    "length_decile_buckets",
+    oracle="""
+    WITH sup AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents GROUP BY n_chars
+    ),
+    ranked AS (
+      SELECT n_chars,
+        SUM(c) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS r,
+        SUM(c) OVER () AS n
+      FROM sup
+    ),
+    lab AS (
+      SELECT n_chars, CAST((r * 10 + n - 1) // n AS BIGINT) AS decile
+      FROM ranked
+    )
+    SELECT d.doc_id, d.n_chars, l.decile
+    FROM documents d JOIN lab l ON d.n_chars = l.n_chars
+    """,
+    tags=("ext-text", "curation", "curriculum"),
+)
+def length_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global length deciles — the curriculum/packing partition
+    ("train short-to-long", "bin by length for sequence packing") done
+    with the ccnet_perplexity_buckets integer-arithmetic pattern:
+    cumulative counts over the DISTINCT n_chars support, decile(v) =
+    ceil(10·r(v)/n) computed as (r·10 + n − 1) div n — pure bigint, so
+    ties share a bucket by construction and no percentile
+    interpolation (which engines implement differently) exists
+    anywhere.
+
+    Scale shape: one groupBy(n_chars) map-side-combined aggregate; the
+    window runs over the distinct-VALUE support (bounded by the length
+    range — thousands of rows at any corpus size, explicitly
+    single-partition via the constant key); docs get their bucket back
+    through a value-keyed join AQE sizes (support is small → runtime
+    broadcast; no forced hint, per the round-9 doctrine)."""
+    d = read_table(spark, sf_dir, "documents")
+    sup = d.groupBy("n_chars").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w_cum = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    lab = sup.select(
+        "n_chars",
+        F.sum("c").over(w_cum).alias("r"),
+        F.sum("c").over(w_all).alias("n"),
+    ).select(
+        "n_chars",
+        F.expr("CAST((r * 10 + n - 1) DIV n AS BIGINT)").alias("decile"),
+    )
+    return d.select("doc_id", "n_chars").join(lab, "n_chars").select(
+        "doc_id", "n_chars", "decile"
+    )

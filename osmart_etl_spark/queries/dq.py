@@ -439,11 +439,13 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orphan audit across the star schema's five foreign keys in one
     DAG — the constraint check a lake has to run itself because parquet
     enforces nothing (the reference delegates this to MySQL FK DDL,
-    create_raw_stock_movements.sql). Each FK is a LEFT ANTI join with
-    the DIMENSION side broadcast (orders→customer anti-joins 15k keys
-    against the fact scan map-side; at 100 TB the fact side still never
-    shuffles — anti joins broadcast the smaller key set or use the
-    bloom prefilter of ops/bloom.py first). All five legs share scans
+    create_raw_stock_movements.sql). Each FK is a LEFT ANTI join on the
+    single-column PK projection of the referenced table, with NO
+    broadcast hint: lineitem→orders anti-joins a 1.5M·SF key set and
+    orders→customer a 150k·SF one — fact-proportional, so AQE decides
+    from measured size (broadcast at bench scale, shuffle or a
+    bloom prefilter via ops/bloom.py at 100 TB; a forced hint would
+    OOM there and disable AQE's fallback). All five legs share scans
     where Catalyst can and reduce to one counter row each; zero rows
     moved beyond the five counts."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -455,9 +457,7 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def orphans(fact, dim, fk, pk, label):
         cnt = (
-            fact.join(
-                F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left_anti"
-            )
+            fact.join(dim.select(pk), fact[fk] == dim[pk], "left_anti")
             .groupBy()
             .agg(F.count(F.lit(1)).alias("n_orphans"))
         )

@@ -222,9 +222,11 @@ def rule_tagger(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-way star join (J1) — the reference's 4-5-table event↔dim
-    joins (extract_stock_movements.sql:27-32). customer/nation/region are
-    dimension-sized → broadcast: the lineitem fact side joins without a
-    shuffle; only the final groupBy exchanges data.
+    joins (extract_stock_movements.sql:27-32). nation/region are true
+    dimensions (25/5 rows) → explicit broadcast. customer is NOT: it is
+    150k·SF rows and scales with the fact table, so it carries no hint —
+    AQE broadcasts it at bench scale from measured size and falls back
+    to a shuffle join at 100 TB instead of OOMing on a forced build.
     """
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders")
@@ -233,7 +235,7 @@ def star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = read_table(spark, sf_dir, "region")
     joined = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
     )

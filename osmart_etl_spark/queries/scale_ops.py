@@ -77,7 +77,7 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = probe_bloom(orders, "o_custkey", bloom, bits=_BF_BITS, k=_BF_K)
 
     return (
-        pref.join(F.broadcast(cust), pref["o_custkey"] == cust["c_custkey"])
+        pref.join(cust, pref["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

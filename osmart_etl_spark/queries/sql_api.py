@@ -77,8 +77,9 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → fact joins → grouped
-    revenue → top-k. The customer filter broadcasts; only the lineitem
-    aggregation shuffles."""
+    revenue → top-k. No join hints anywhere: customer is 150k·SF
+    (fact-proportional), so AQE decides from the measured post-filter
+    size — broadcast at bench scale, shuffle join at 100 TB."""
     _views(spark, sf_dir, "customer", "orders", "lineitem")
     return spark.sql("""
         SELECT l.l_orderkey,

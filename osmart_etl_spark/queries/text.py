@@ -1222,7 +1222,8 @@ _MINLEN_L = 16
 def dedup_span_excision_minlen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ExactSubstr with the paper's MINIMUM SPAN LENGTH made explicit
     (Lee et al. 2022 use L=50 BPE tokens; the synthetic docs average
-    ~50 whitespace tokens, so L={_MINLEN_L} exercises the same regime).
+    ~50 whitespace tokens, so L=16 — the _MINLEN_L constant — exercises
+    the same regime).
 
     The min-length rule costs nothing extra relationally: a position
     lies inside a cross-doc duplicated substring of length >= L iff it

@@ -482,16 +482,19 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
     tags=("tpch", "q8"),
 )
 def tpch_q8_market_share(spark, sf_dir):
-    """TPC-H Q8 shape (national market share): a seven-table snowflake
-    where the FACT table joins six dimensions — all six are broadcast
-    (customer is the largest at 1.5k·SF rows; at 100 TB customer may
-    graduate to a shuffle join, the rest stay broadcast), so lineitem
-    streams through map-side joins with zero fact shuffle before the
-    final small (year) aggregate. The share is a conditional decimal
-    sum over a filtered-dimension flag divided by the total — both
-    sums exact, one double division. Region/part-type filters shrink
-    the dimension hash tables BEFORE broadcast (predicate pushdown on
-    the build side — visible as Filter under BroadcastExchange)."""
+    """TPC-H Q8 shape (national market share): a seven-table snowflake.
+    Only the TRUE dimensions carry explicit broadcast hints —
+    nation/region (25/5 rows), supplier (10k·SF), and the type-filtered
+    part slice. orders (1.5M·SF rows) and customer (150k·SF rows) scale
+    WITH the fact table, so they get NO hint: at bench scale AQE still
+    picks a broadcast build for them from measured sizes, while at
+    100 TB the same plan degrades gracefully to a shuffle join instead
+    of OOMing on a forced multi-GB broadcast. The share is a
+    conditional decimal sum over a filtered-dimension flag divided by
+    the total — both sums exact, one double division. Region/part-type
+    filters shrink the dimension hash tables BEFORE broadcast
+    (predicate pushdown on the build side — visible as Filter under
+    BroadcastExchange)."""
     li = read_table(spark, sf_dir, "lineitem")
     o = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
     c = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -505,8 +508,8 @@ def tpch_q8_market_share(spark, sf_dir):
     vol = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
     volumes = (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), c["c_nationkey"] == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == r["r_regionkey"])
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])

@@ -548,8 +548,11 @@ def tpch_q7_nation_volume(spark, sf_dir):
     the double-role dimension join — nation joins TWICE under different
     roles (supplier's vs customer's), with a cross-nation inequality.
 
-    Scale shape: both nation sides and supplier/customer broadcast; the
-    only shuffle pair is orders⋈lineitem; the year extraction and the
+    Scale shape: both nation sides (25 rows each) and supplier
+    (10k·SF) broadcast; customer is 150k·SF — fact-proportional — so it
+    carries NO hint and AQE decides (broadcast at bench scale, shuffle
+    at 100 TB). The heavy shuffle pair is orders⋈lineitem (plus
+    customer when AQE demotes it); the year extraction and the
     decimal revenue product fold into the scan-side projection. (The
     spec's two-nation literal filter is widened to all unequal pairs so
     the result exercises the full pair matrix on this generator.)
@@ -567,7 +570,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
     return (
         li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(F.col("ns_key") != F.col("nc_key"))

@@ -294,3 +294,30 @@ def test_foreign_plain_files_on_versioned_table_fail_loudly(spark, tmp_path):
     # the stray file is untouched and the table is still readable
     assert (tmp_path / "tbl" / "stray.parquet").exists()
     assert current_version(spark, t)[0] == 1
+
+
+def test_dead_adoption_claim_unwedges_after_ttl(spark, tmp_path):
+    """Round-9 ADVICE: a claimant that crashed between claiming lock
+    00000001 and writing its marker used to wedge the table FOREVER —
+    the entry-path CAS (expected_seq=0) kept losing to the dead lock,
+    and _gc (the only sweeper) only ran after a successful commit on
+    the table, which the dead lock made unreachable. upsert_versioned
+    now TTL-sweeps on entry when no version exists: inside the TTL the
+    spurious conflict remains (could be a live racer), past it the
+    first commit goes through."""
+    import os
+
+    t = str(tmp_path / "tbl")
+    _mk(spark, [(1, "a", 10)]).write.parquet(t)  # legacy layout
+    lock = tmp_path / "tbl" / "_commits" / "00000001.lock"
+    lock.parent.mkdir()
+    lock.write_text("")
+    # fresh dead lock: inside the TTL the conflict must survive
+    with pytest.raises(ConcurrentCommitError):
+        upsert_versioned(spark, _mk(spark, [(2, "b", 20)]), t, ["k"], "ts")
+    # age the lock past the TTL; the entry sweep now clears it
+    os.utime(lock, (0, 0))
+    upsert_versioned(spark, _mk(spark, [(2, "b", 20)]), t, ["k"], "ts")
+    assert current_version(spark, t)[0] == 1
+    got = {r["k"]: r["v"] for r in read_committed(spark, t).collect()}
+    assert got == {1: "a", 2: "b"}

@@ -172,3 +172,48 @@ def test_audio_stream_info_third_party(spark):
     row = audio_stream_info(media).collect()[0]
     assert row["probe_status"] == "ok" and row["container"] == "mp3"
     assert row["bitrate_kbps"] == 64 and row["channels"] == 1
+
+
+def test_id3v2_footer_flag_skipped():
+    """ID3v2.4 footer (header flag 0x10): the syncsafe size covers the
+    tag BODY only, so the 10-byte trailing footer must be skipped too —
+    a spec-legal footered tag used to die with 'MP3 sync lost'
+    (round-8 ADVICE)."""
+    body = encode_mp3_silence(3)
+    tag_body = b"\x00" * 10
+    header = b"ID3\x04\x00\x10" + bytes([0, 0, 0, len(tag_body)])
+    footer = b"3DI\x04\x00\x10" + bytes([0, 0, 0, len(tag_body)])
+    info = probe_mp3(header + tag_body + footer + body)
+    assert info["n_frames"] == 3
+
+
+def test_vbr_bitrate_excludes_xing_frame_bytes():
+    """VBR bitrate estimate: numerator (bytes) and denominator
+    (duration) must cover the SAME frames — the Xing header frame
+    carries no audio, so counting its bytes while excluding its samples
+    inflated bitrate_kbps (round-8 ADVICE)."""
+    # splice two CBR silence runs at different bitrates -> a VBR stream
+    lo = encode_mp3_silence(2, br_idx=4)
+    hi = encode_mp3_silence(2, br_idx=7)
+    # first frame of a third run becomes the Xing header frame: patch
+    # the tag + frame-count/byte-count flags into its main-data area
+    head = bytearray(encode_mp3_silence(1, br_idx=4))
+    side_len = 17  # MPEG-1 mono
+    at = 4 + side_len
+    head[at : at + 4] = b"Xing"
+    head[at + 4 : at + 8] = (0).to_bytes(4, "big")  # no optional fields
+    stream = bytes(head) + lo + hi
+    info = probe_mp3(stream)
+    assert info["xing"] is not None and not info["cbr"]
+    assert info["n_frames"] == 4
+    # audio_bytes excludes the Xing frame
+    assert info["audio_bytes"] == len(lo) + len(hi)
+    rate = info["sample_rate"]
+    duration = 4 * 1152 / rate
+    assert abs(info["duration_s"] - duration) < 1e-9
+    expected = round((len(lo) + len(hi)) * 8 / duration / 1000)
+    assert info["bitrate_kbps"] == expected
+    # sanity: strictly between the two constituent bitrates
+    frames = parse_frames(stream)
+    rates = sorted({f.bitrate_kbps for f in frames[1:]})
+    assert rates[0] < info["bitrate_kbps"] < rates[-1]

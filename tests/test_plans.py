@@ -172,6 +172,28 @@ def test_jaccard_verify_dispatch(spark):
     assert choose_jaccard_verify(5_000, 1_021_477, 100) == "hybrid"
     # huge but dense: pruning buys nothing
     assert choose_jaccard_verify(10_000_000, 2_000_000_000, 9_000_000) == "hybrid"
+    # round-9 degree guard: dense AND high candidate degree — hybrid's
+    # pairs-side expansion shuffles degree × corpus shingles, so the
+    # sf0.1×100 configuration (500k docs, 87% dense, |pairs| ≫ 2·|docs|)
+    # must fall to sets regardless of density
+    assert (
+        choose_jaccard_verify(
+            500_000, 102_000_000, 435_000, n_pairs=5_000_000
+        )
+        == "sets"
+    )
+    # dense but LOW degree (pairs ≈ docs): explode volume ≈ corpus — hybrid ok
+    assert (
+        choose_jaccard_verify(
+            500_000, 102_000_000, 435_000, n_pairs=500_000
+        )
+        == "hybrid"
+    )
+    # degree guard never fires below the corpus floor
+    assert (
+        choose_jaccard_verify(5_000, 1_021_477, 4_368, n_pairs=47_900)
+        == "hybrid"
+    )
 
     docs = spark.createDataFrame(
         [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(60)],
@@ -503,3 +525,65 @@ def test_ewma_single_window_exchange(spark):
     plan = _formatted_plan(ewma_lag_chain(spark, SF_SMALL))
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert plan.count("Window") == 1
+
+
+def test_no_forced_broadcast_of_fact_proportional_tables(spark):
+    """The 100 TB plan-defect lock (round 9): orders (1.5M·SF rows) and
+    customer (150k·SF rows) scale WITH the fact table, so no query may
+    carry an explicit F.broadcast() hint on them — a hint both forces a
+    multi-GB build at scale AND disables AQE's size-based fallback.
+
+    Deterministic simulation of "beyond the size threshold at amplified
+    volume": with autoBroadcastJoinThreshold=-1 nothing is broadcast by
+    SIZE, so any surviving BroadcastHashJoin must come from an explicit
+    hint. For each formerly-defective query we assert (a) at least one
+    SortMergeJoin exists (the orders/customer joins degraded cleanly)
+    and (b) the BroadcastHashJoin count equals the number of TRUE-dim
+    hints the query keeps (nation/region/supplier/filtered-part), so a
+    reintroduced hint on orders/customer fails the exact count."""
+    from osmart_etl_spark.queries.aggregates import (
+        cube_revenue,
+        proportional_allocation,
+        revenue_share_two_level,
+        rollup_revenue,
+        yoy_revenue_delta,
+    )
+    from osmart_etl_spark.queries.dq import referential_integrity_audit
+    from osmart_etl_spark.queries.relational import star_join_revenue
+    from osmart_etl_spark.queries.scale_ops import bloom_prefilter_join
+    from osmart_etl_spark.queries.tpch_final import tpch_q8_market_share
+    from osmart_etl_spark.queries.tpch_more import tpch_q7_nation_volume
+
+    # (query, expected explicit-hint BroadcastHashJoins surviving -1 threshold)
+    cases = [
+        (tpch_q8_market_share, 5),   # p, nc, r, s, ns
+        (tpch_q7_nation_volume, 3),  # s, ns, nc
+        (star_join_revenue, 2),      # n, r
+        (rollup_revenue, 2),         # n, r
+        (cube_revenue, 2),           # n, r
+        # n — appears twice: the rev subtree (orders⋈customer⋈nation) is
+        # referenced by both the quota branch and the scalar total, and
+        # simple-mode plan text prints the shared subtree once per parent
+        (proportional_allocation, 2),
+        (yoy_revenue_delta, 1),      # n
+        (revenue_share_two_level, 2),  # n, r
+        (referential_integrity_audit, 0),  # no hints at all
+        (bloom_prefilter_join, 0),   # bloom prefilter, AQE-decided join
+    ]
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for fn, n_hinted in cases:
+            plan = _formatted_plan(fn(spark, SF_SMALL))
+            got = plan.count("BroadcastHashJoin")
+            assert got == n_hinted, (
+                f"{fn.__name__}: expected {n_hinted} hint-driven broadcasts "
+                f"under -1 threshold, saw {got} — an F.broadcast() hint on a "
+                f"fact-proportional table (orders/customer) crept back in?\n{plan}"
+            )
+            assert "SortMergeJoin" in plan, (
+                f"{fn.__name__}: orders/customer joins should degrade to "
+                f"SortMergeJoin when broadcast-by-size is off\n{plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)

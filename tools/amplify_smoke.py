@@ -27,6 +27,18 @@ Construction — why the copies can't cheat the dedup semantics:
 - ``doc_id`` is offset by k * 10^9 (deterministic, collision-free).
 - ``events`` copy k offsets ``event_id``/``user_id`` (new users with
   the same behavioral mix — volumes scale, key cardinality scales).
+- JOIN TIER (round 9): ``orders``/``customer``/``lineitem`` copy k
+  offsets the FK chain consistently — ``c_custkey``/``o_custkey`` by
+  k * 10^6 and ``o_orderkey``/``l_orderkey`` by k * 10^9 — so every
+  amplified order still resolves to exactly one amplified customer and
+  every lineitem to its order: join FAN-OUT stays constant while both
+  sides' volume AND key cardinality scale by k (the realistic growth
+  mode: more customers, not more rows per key). ``l_partkey``/
+  ``l_suppkey``/``c_nationkey`` stay unchanged: part/supplier/nation
+  remain fixed-size dims, so per-dim-key fan-in grows k-fold — exactly
+  the regime where a forced dim broadcast is still fine but a forced
+  orders/customer broadcast blows up (the round-8 defect this audit
+  exists to catch mechanically).
 - Every other table is symlinked from the base sf dir unchanged.
 
 Per run the tool scrapes the Spark UI REST API for the query's jobs
@@ -69,6 +81,18 @@ DEFAULT_QUERIES = [
     "segmented_replay",
 ]
 
+# the join tier (round 9): fact/fact-proportional joins at amplified
+# volume — the measurement that catches a forced broadcast of
+# orders/customer by OOM or wall-time instead of by code reading
+JOIN_QUERIES = [
+    "tpch_q3_shipping_priority",
+    "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "star_join_revenue",
+    "sales_pipeline_full",
+    "lm_perplexity_kneser_ney",  # round-9 single-occ-shuffle rework
+]
+
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _AFFINE_A = (1, 3, 7, 9, 11, 15, 17, 19, 21, 23, 25, 5)
@@ -90,7 +114,7 @@ def build_amplified(spark, base: str, factor: int) -> str:
     from osmart_etl_spark.io.sources import read_table
 
     name = os.path.basename(base.rstrip("/"))
-    out = f"/tmp/amplify_smoke/{name}_x{factor}_v2"
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v3"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -98,8 +122,14 @@ def build_amplified(spark, base: str, factor: int) -> str:
 
     docs = read_table(spark, base, "documents")
     events = read_table(spark, base, "events")
+    orders = read_table(spark, base, "orders")
+    customer = read_table(spark, base, "customer")
+    lineitem = read_table(spark, base, "lineitem")
     doc_parts = [docs]
     ev_parts = [events]
+    o_parts = [orders]
+    c_parts = [customer]
+    li_parts = [lineitem]
     for k in range(1, factor):
         perm = _permuted_alphabet(k)
         doc_parts.append(
@@ -121,21 +151,47 @@ def build_amplified(spark, base: str, factor: int) -> str:
                 "props",
             )
         )
-    amp_docs = doc_parts[0]
-    for p in doc_parts[1:]:
-        amp_docs = amp_docs.unionByName(p)
-    amp_ev = ev_parts[0]
-    for p in ev_parts[1:]:
-        amp_ev = amp_ev.unionByName(p)
-    # size output files like the base layout would at this volume
-    amp_docs.repartition(max(2, min(64, 2 * factor))).write.mode("overwrite").parquet(
-        f"{out}/documents.parquet"
-    )
-    amp_ev.repartition(max(2, min(64, 2 * factor))).write.mode("overwrite").parquet(
-        f"{out}/events.parquet"
-    )
+        # join tier: offset the orderkey/custkey FK chain consistently;
+        # dim FKs (nationkey/partkey/suppkey) unchanged — see docstring
+        o_parts.append(
+            orders.select(
+                (F.col("o_orderkey") + F.lit(k * 1_000_000_000)).alias("o_orderkey"),
+                (F.col("o_custkey") + F.lit(k * 1_000_000)).alias("o_custkey"),
+                "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
+            )
+        )
+        c_parts.append(
+            customer.select(
+                (F.col("c_custkey") + F.lit(k * 1_000_000)).alias("c_custkey"),
+                "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
+            )
+        )
+        li_parts.append(
+            lineitem.select(
+                (F.col("l_orderkey") + F.lit(k * 1_000_000_000)).alias("l_orderkey"),
+                "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+                "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        )
+
+    def _write(parts, table):
+        amp = parts[0]
+        for p in parts[1:]:
+            amp = amp.unionByName(p)
+        # size output files like the base layout would at this volume
+        amp.repartition(max(2, min(64, 2 * factor))).write.mode("overwrite").parquet(
+            f"{out}/{table}.parquet"
+        )
+
+    _write(doc_parts, "documents")
+    _write(ev_parts, "events")
+    _write(o_parts, "orders")
+    _write(c_parts, "customer")
+    _write(li_parts, "lineitem")
+    amplified = ("documents", "events", "orders", "customer", "lineitem")
     for t in TABLES:
-        if t in ("documents", "events"):
+        if t in amplified:
             continue
         link = f"{out}/{t}.parquet"
         if not os.path.exists(link):
@@ -155,6 +211,8 @@ def main() -> int:
             factors = [int(x) for x in a.split("=", 1)[1].split(",")]
         if a.startswith("--queries="):
             queries = a.split("=", 1)[1].split(",")
+        if a == "--join-tier":
+            queries = JOIN_QUERIES
 
     import osmart_etl_spark.queries  # noqa: F401 — populates REGISTRY
     from osmart_etl_spark.queries.base import REGISTRY
