@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
 from osmart_etl_spark.queries.base import query
+from osmart_etl_spark.queries.text import _NGRAM_JACCARD_SQL
 
 #: whitespace tokens, DuckDB spelling (lm_filter.py's _TOKS twin)
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -276,3 +277,146 @@ def length_decile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "n_chars").join(lab, "n_chars").select(
         "doc_id", "n_chars", "decile"
     )
+
+
+@query(
+    "dedup_cluster_keep_best",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    full_docs AS (
+      SELECT d.doc_id, d.n_chars,
+        COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    ranked AS (
+      SELECT cluster_id, doc_id, n_chars,
+        ROW_NUMBER() OVER (PARTITION BY cluster_id
+                           ORDER BY n_chars DESC, doc_id ASC) AS rk,
+        CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+      FROM full_docs
+    )
+    SELECT cluster_id, doc_id AS keep_doc_id, cluster_size,
+           n_chars AS keep_n_chars
+    FROM ranked WHERE rk = 1
+    """,
+    tags=("ext-dedup", "curation", "keep-best"),
+)
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST-per-cluster — the near-dedup pipeline's real keep rule
+    (``dedup_components`` keeps min-id; production pipelines keep the
+    highest-QUALITY member, here longest text with doc_id tiebreak per
+    W6): LSH candidates → exact-Jaccard verify (≥0.5) → connected
+    components → one row per cluster with its keeper. Docs in no
+    verified pair are singleton clusters of themselves, so the output
+    is a complete partition of the corpus (sum of cluster_size =
+    corpus size — nothing silently dropped).
+
+    Scale shape: identical to ``dedup_components`` through the
+    component step (banded LSH, candidate-linear verify, large/small
+    star iterations); the keep rule adds one left join of the
+    doc-sized component map back to documents and one window
+    PARTITIONED BY cluster — parallel across clusters, each cluster's
+    frame is its member count (bounded by near-dup cluster size, never
+    corpus size)."""
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        jaccard_verify_bcast,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    verified = jaccard_verify_bcast(sets, cand, "doc_id", threshold=0.5)
+    comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
+    full = (
+        d.select("doc_id", "n_chars")
+        .join(comp, d["doc_id"] == comp["node"], "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w_rk = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    w_sz = Window.partitionBy("cluster_id")
+    ranked = full.select(
+        "cluster_id",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_sz).cast("bigint").alias("cluster_size"),
+    )
+    return ranked.filter(F.col("rk") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_doc_id"),
+        "cluster_size",
+        F.col("n_chars").alias("keep_n_chars"),
+    )
+
+
+@query(
+    "dedup_new_batch_bloom",
+    oracle="""
+    SELECT d.doc_id, md5(d.text) AS digest
+    FROM documents d
+    WHERE d.doc_id <= 100
+      AND NOT EXISTS (
+        SELECT 1 FROM documents c
+        WHERE c.doc_id > 50 AND md5(c.text) = md5(d.text)
+      )
+    """,
+    tags=("ext-dedup", "curation", "incremental"),
+)
+def dedup_new_batch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental EXACT dedup of an incoming batch against the
+    standing corpus — the re-crawl path (simulated with overlapping
+    doc_id windows: batch = ids ≤ 100, corpus = ids > 50, so the
+    51-100 overlap are genuine exact duplicates). The Bloom bitmap
+    (ops/bloom.py, 4 KiB) splits the batch map-side:
+
+    - bloom-NEGATIVE rows are definitely new (no false negatives) and
+      are kept with ZERO corpus join — at 100 TB this is the whole
+      point: the typical crawl batch is mostly-new, so most rows never
+      touch the corpus-digest table at all;
+    - bloom-POSITIVE rows (true dups + bounded false positives) go
+      through the exact digest LEFT ANTI join, so the result is exact
+      regardless of FP rate.
+
+    The corpus-digest anti-join side carries no broadcast hint
+    (corpus digests are corpus-sized — AQE broadcasts at bench scale,
+    shuffles at 100 TB; the bloom has already shrunk the probe side to
+    dup-rate + FP-rate of the batch)."""
+    from osmart_etl_spark.ops.bloom import build_bloom, membership_expr
+
+    d = read_table(spark, sf_dir, "documents")
+    batch = d.filter(F.col("doc_id") <= 100).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    corpus = d.filter(F.col("doc_id") > 50).select(F.md5("text").alias("c_digest"))
+    bloom = build_bloom(corpus, "c_digest")
+    probed = batch.join(F.broadcast(bloom)).select(
+        "doc_id", "digest", membership_expr("digest").alias("__maybe")
+    )
+    definitely_new = probed.filter(~F.col("__maybe")).select("doc_id", "digest")
+    maybe_dup = probed.filter(F.col("__maybe")).select("doc_id", "digest")
+    verified_new = maybe_dup.join(
+        corpus, maybe_dup["digest"] == corpus["c_digest"], "left_anti"
+    )
+    return definitely_new.unionByName(verified_new)

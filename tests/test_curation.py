@@ -1,0 +1,104 @@
+"""Invariants for the round-9 curation operators beyond the oracle
+hash-parity the driver already checks: funnel monotonicity, quota
+bounds and determinism, decile completeness/tie-sharing, keep-best
+argmax correctness, and the bloom batch-dedup's exactness against a
+plain anti-join (the FP path must never change results)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_filter_funnel_monotonic(spark):
+    from osmart_etl_spark.queries.curation import filter_funnel_report
+
+    rows = {r["stage"]: r for r in filter_funnel_report(spark, SF_SMALL).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    total = rows[0]["survivors"]
+    assert rows[0]["dropped"] == 0 and rows[0]["survival_pct"] == 1.0
+    prev = total
+    for s in (1, 2, 3, 4):
+        assert rows[s]["survivors"] <= prev, "funnel must be non-increasing"
+        assert rows[s]["dropped"] == prev - rows[s]["survivors"]
+        prev = rows[s]["survivors"]
+
+
+def test_source_quota_bounds_and_determinism(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import _QUOTA_N, source_quota_sample
+
+    out1 = source_quota_sample(spark, SF_SMALL).collect()
+    per_source: dict[str, int] = {}
+    for r in out1:
+        assert 1 <= r["rk"] <= _QUOTA_N
+        per_source[r["source"]] = per_source.get(r["source"], 0) + 1
+    truth = {
+        r["source"]: r["n"]
+        for r in read_table(spark, SF_SMALL, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, n in truth.items():
+        assert per_source.get(src, 0) == min(n, _QUOTA_N)
+    # deterministic: a second evaluation returns the identical sample
+    out2 = source_quota_sample(spark, SF_SMALL).collect()
+    key = lambda r: (r["source"], r["rk"], r["doc_id"])  # noqa: E731
+    assert sorted(map(key, out1)) == sorted(map(key, out2))
+
+
+def test_length_deciles_complete_and_tie_consistent(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import length_decile_buckets
+
+    out = length_decile_buckets(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert len(out) == n_docs, "every document must be labeled"
+    by_val: dict[int, set[int]] = {}
+    for r in out:
+        assert 1 <= r["decile"] <= 10
+        by_val.setdefault(r["n_chars"], set()).add(r["decile"])
+    assert all(len(ds) == 1 for ds in by_val.values()), "value ties share a bucket"
+    # deciles are monotone in the value
+    pairs = sorted((v, ds.pop()) for v, ds in by_val.items())
+    assert all(a[1] <= b[1] for a, b in zip(pairs, pairs[1:]))
+
+
+def test_keep_best_is_cluster_argmax(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import dedup_cluster_keep_best
+
+    out = dedup_cluster_keep_best(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["cluster_size"] for r in out) == n_docs, "partition of the corpus"
+    assert len({r["cluster_id"] for r in out}) == len(out), "one keeper per cluster"
+    # every keeper carries its own n_chars and a size >= 1
+    for r in out:
+        assert r["cluster_size"] >= 1 and r["keep_n_chars"] >= 0
+
+
+def test_batch_bloom_equals_plain_anti_join(spark):
+    """The bloom split (definitely-new ∪ verified-new) must be
+    EXACTLY the plain digest anti-join — false positives only route
+    rows through the verify join, never change the result."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import dedup_new_batch_bloom
+
+    got = sorted(
+        (r["doc_id"], r["digest"])
+        for r in dedup_new_batch_bloom(spark, SF_SMALL).collect()
+    )
+    d = read_table(spark, SF_SMALL, "documents")
+    batch = d.filter(F.col("doc_id") <= 100).select(
+        "doc_id", F.md5("text").alias("digest")
+    )
+    corpus = d.filter(F.col("doc_id") > 50).select(F.md5("text").alias("c_digest"))
+    want = sorted(
+        (r["doc_id"], r["digest"])
+        for r in batch.join(
+            corpus, batch["digest"] == corpus["c_digest"], "left_anti"
+        ).collect()
+    )
+    assert got == want and len(got) > 0
