@@ -388,6 +388,7 @@ def choose_jaccard_verify(
     density_crossover: float = 0.5,
     corpus_floor: int = 10_000_000,
     degree_crossover: float = 2.0,
+    bcast_budget: int = 4_000_000,
 ) -> str:
     """Pick the exact-verify physical shape from runtime stats (pure —
     the decision rule, unit-testable without a cluster).
@@ -422,9 +423,19 @@ def choose_jaccard_verify(
        corpus falls here (degree guard added round 9 after the ×100
        cut-off).
 
-    The dense-tiny regime of the test SFs stays on ``hybrid``.
+    Below ``bcast_budget`` raw shingles (≈32 MB of array payload at the
+    measured 8 MB / 1.02 M-shingle sf0.1 density) the answer is
+    ``bcast`` — the zero-shuffle whole-corpus-broadcast form, fastest
+    at every measured small scale (1.9 s vs hybrid 3.9–14.2 s at
+    sf0.1). The budget exists because ``jaccard_verify_bcast``'s forced
+    broadcast is exactly the defect class round 9 removed from the
+    relational tier: at sf0.1×10 amplified volume (~10 M shingles) the
+    broadcast build OOMed the driver — caught by
+    ``tools/amplify_smoke.py``, which is what this tier now prevents.
     """
     density = n_candidate_docs / max(n_docs, 1)
+    if n_corpus_shingles <= bcast_budget:
+        return "bcast"
     if n_corpus_shingles <= corpus_floor:
         return "hybrid"
     if n_pairs is not None and n_pairs / max(n_docs, 1) >= degree_crossover:
@@ -467,13 +478,20 @@ def jaccard_verify_auto(
     n_corpus_shingles: int,
     density_crossover: float = 0.5,
     corpus_floor: int = 10_000_000,
+    bcast_budget: int = 4_000_000,
 ) -> DataFrame:
     """Size-dispatched exact-Jaccard verify — AQE in spirit: runtime
-    stats pick the physical plan; both shapes compute identical
+    stats pick the physical plan; all three shapes compute identical
     (id_a, id_b, jaccard) rows, so the dispatch never changes results.
 
     Stats are gathered LAZILY, cheapest-first:
 
+    0. Below ``bcast_budget`` raw shingles the whole corpus-array
+       table fits a safe broadcast → the zero-shuffle ``bcast`` form
+       (fastest at every measured small scale). The budget is the
+       guard round 9 added after the amplification harness OOMed the
+       forced broadcast at sf0.1×10 — the same fact-proportional-
+       broadcast defect class as the relational-tier hints.
     1. ``n_docs`` / ``n_corpus_shingles`` come from the caller (use
        :func:`estimate_corpus_shingles` — an independent lineage; see
        its docstring for why it must not touch the persisted shingle
@@ -493,6 +511,8 @@ def jaccard_verify_auto(
     sets-path's fixed pre-prune barriers (measured ≈4 s at sf0.1)
     amortize.
     """
+    if n_corpus_shingles <= bcast_budget:
+        return jaccard_verify_bcast(doc_sets, pairs, id_col, threshold)
     if n_corpus_shingles <= corpus_floor:
         return jaccard_verify_hybrid(doc_sets, pairs, id_col, threshold)
     # No persist on `pairs`: a cache entry here would outlive the call
@@ -510,6 +530,7 @@ def jaccard_verify_auto(
         n_pairs=n_pairs,
         density_crossover=density_crossover,
         corpus_floor=corpus_floor,
+        bcast_budget=bcast_budget,
     )
     fn = jaccard_verify_sets if shape == "sets" else jaccard_verify_hybrid
     return fn(doc_sets, pairs, id_col, threshold)

@@ -331,7 +331,8 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size)."""
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
-        jaccard_verify_bcast,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
         minhash_band_keys,
         shingle_sets,
     )
@@ -341,7 +342,13 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
-    verified = jaccard_verify_bcast(sets, cand, "doc_id", threshold=0.5)
+    # size-dispatched verify (round 9): bcast below the broadcast
+    # budget, sets at amplified volume — the forced whole-corpus
+    # broadcast OOMed at sf0.1 x10 in the amplification harness
+    n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
+    verified = jaccard_verify_auto(
+        sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
+    )
     comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
     full = (
         d.select("doc_id", "n_chars")

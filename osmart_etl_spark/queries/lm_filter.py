@@ -735,14 +735,21 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = read_table(spark, sf_dir, "documents")
-    agg = _kn_doc_scores(docs)
+    # agg feeds both the scored chain and the unscored anti-join, and
+    # scores feeds both the tercile support and the label join-back —
+    # without caches each reference re-runs the whole KN model DAG
+    # (measured: ccnet shuffled 2× the bare KN filter's bytes at ×100
+    # amplified volume). Both tables are doc-sized; registered in
+    # _KN_PERSISTED so the next KN query releases them.
+    agg = _kn_doc_scores(docs).persist()
     scores = docs.join(agg, ["doc_id"]).select(
         "doc_id",
         "lang",
         (F.col("total").cast("double") / F.col("n_bigrams").cast("double")).alias(
             "avg_nll"
         ),
-    )
+    ).persist()
+    _KN_PERSISTED.extend([agg, scores])
     sup = scores.groupBy("lang", "avg_nll").agg(F.count(F.lit(1)).alias("c"))
     wc = (
         Window.partitionBy("lang")

@@ -133,3 +133,40 @@ def test_containment_pairs_invariant_under_amplification(spark, tmp_path, factor
     got = fn(spark, _amplified_dir(spark, factor, tmp_path)).collect()
     assert len(base) > 0
     _assert_k_copies(base, got, ["id_small", "id_big"], factor)
+
+
+@pytest.mark.parametrize("factor", [3])
+def test_filter_funnel_counts_scale_exactly(spark, tmp_path, factor):
+    """The affine substitution fixes spaces and digits and is a
+    length-preserving bijection on a-z, so every funnel signal (length,
+    word count, mean word length, digit ratio) is per-doc invariant —
+    the k× funnel must be the 1× funnel with every count multiplied
+    by exactly k (and identical survival_pct, which divides the same
+    scaled integers)."""
+    import osmart_etl_spark.queries  # noqa: F401
+    from osmart_etl_spark.queries.base import REGISTRY
+
+    fn = REGISTRY["filter_funnel_report"].fn
+    base = {r["stage"]: r for r in fn(spark, _SF).collect()}
+    got = {r["stage"]: r for r in fn(spark, _amplified_dir(spark, factor, tmp_path)).collect()}
+    assert sorted(base) == sorted(got)
+    for s in base:
+        assert got[s]["survivors"] == factor * base[s]["survivors"]
+        assert got[s]["dropped"] == factor * base[s]["dropped"]
+        assert got[s]["survival_pct"] == base[s]["survival_pct"]
+
+
+@pytest.mark.parametrize("factor", [3])
+def test_length_deciles_invariant_under_amplification(spark, tmp_path, factor):
+    """n_chars is preserved per copy, so the distinct-value support is
+    IDENTICAL at k× while every cumulative count scales by k — the
+    decile label of every (copy of a) document must equal its 1×
+    label ((k·r·10 + k·n − 1) div (k·n) == (r·10 + n − 1) div n for
+    the value-keyed cut arithmetic)."""
+    import osmart_etl_spark.queries  # noqa: F401
+    from osmart_etl_spark.queries.base import REGISTRY
+
+    fn = REGISTRY["length_decile_buckets"].fn
+    base = fn(spark, _SF).collect()
+    got = fn(spark, _amplified_dir(spark, factor, tmp_path)).collect()
+    _assert_k_copies(base, got, ["doc_id"], factor)

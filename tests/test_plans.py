@@ -163,13 +163,17 @@ def test_jaccard_verify_dispatch(spark):
         shingle_sets,
     )
 
-    # decision table, anchored on the sf0.1 measurement (87% density,
-    # 1.02M shingles -> hybrid) and the web-corpus regime (sparse+huge
-    # -> sets)
-    assert choose_jaccard_verify(5_000, 1_021_477, 4_368) == "hybrid"
+    # decision table, three tiers (round 9): whole-corpus broadcast
+    # below the budget (measured fastest at every test SF AND the OOM
+    # guard — the forced broadcast died at sf0.1×10 amplified volume),
+    # corpus-explode hybrid in the middle band, candidate-pruned sets
+    # in the web-corpus regime (sparse or high-degree + huge)
+    assert choose_jaccard_verify(5_000, 1_021_477, 4_368) == "bcast"
+    assert choose_jaccard_verify(5_000, 1_021_477, 100) == "bcast"
+    assert choose_jaccard_verify(5_000, 1_021_477, 4_368, n_pairs=47_900) == "bcast"
+    # mid band (past the broadcast budget, under the corpus floor): hybrid
+    assert choose_jaccard_verify(50_000, 8_000_000, 40_000) == "hybrid"
     assert choose_jaccard_verify(10_000_000, 2_000_000_000, 40_000) == "sets"
-    # sparse but tiny corpus: pre-prune overhead not amortized
-    assert choose_jaccard_verify(5_000, 1_021_477, 100) == "hybrid"
     # huge but dense: pruning buys nothing
     assert choose_jaccard_verify(10_000_000, 2_000_000_000, 9_000_000) == "hybrid"
     # round-9 degree guard: dense AND high candidate degree — hybrid's
@@ -189,11 +193,6 @@ def test_jaccard_verify_dispatch(spark):
         )
         == "hybrid"
     )
-    # degree guard never fires below the corpus floor
-    assert (
-        choose_jaccard_verify(5_000, 1_021_477, 4_368, n_pairs=47_900)
-        == "hybrid"
-    )
 
     docs = spark.createDataFrame(
         [(i, " ".join(f"w{(i * 7 + j) % 23}" for j in range(30))) for i in range(60)],
@@ -204,29 +203,43 @@ def test_jaccard_verify_dispatch(spark):
     sets = shingle_sets(docs, "doc_id", "text", k=5).persist()
     pairs = spark.createDataFrame([(0, 7), (3, 10)], ["id_a", "id_b"])
 
-    # above the crossover (force via corpus_floor=0): sets shape, with
+    # above the crossover (force via budget=floor=0): sets shape, with
     # the broadcast candidate-id prune BEFORE any explode
     sparse = jaccard_verify_auto(
-        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh, corpus_floor=0
+        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh,
+        corpus_floor=0, bcast_budget=0,
     )
     plan = _formatted_plan(sparse)
     assert "array_intersect" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "explode" not in plan.lower(), plan
 
-    # below the crossover: hybrid (corpus-explode) shape
+    # mid band (budget=0, floor default): hybrid (corpus-explode) shape
     dense = jaccard_verify_auto(
-        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh
+        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh,
+        bcast_budget=0,
     )
     dplan = _formatted_plan(dense)
     assert "array_intersect" not in dplan, dplan
+
+    # tiny corpus, defaults: the zero-shuffle whole-corpus-broadcast
+    # form — array_intersect with NO hash exchange anywhere
+    bc = jaccard_verify_auto(
+        sets, pairs, "doc_id", n_docs=n_docs, n_corpus_shingles=n_sh
+    )
+    bplan = _formatted_plan(bc)
+    assert "array_intersect" in bplan, bplan
+    assert "Exchange hashpartitioning" not in bplan, bplan
 
     rows = lambda df: sorted(  # noqa: E731
         (r["id_a"], r["id_b"], round(r["jaccard"], 12)) for r in df.collect()
     )
     direct_sets = jaccard_verify_sets(sets, pairs, "doc_id")
     direct_hybrid = jaccard_verify_hybrid(sets, pairs, "doc_id")
-    assert rows(sparse) == rows(dense) == rows(direct_sets) == rows(direct_hybrid)
+    assert (
+        rows(sparse) == rows(dense) == rows(bc)
+        == rows(direct_sets) == rows(direct_hybrid)
+    )
     sets.unpersist()
 
 
