@@ -427,3 +427,275 @@ def dedup_new_batch_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, maybe_dup["digest"] == corpus["c_digest"], "left_anti"
     )
     return definitely_new.unionByName(verified_new)
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang AS declared_lang,
+        len(list_filter({_TOKS}, x -> list_contains(['the','a','of','and','is'], x))) AS s_en,
+        len(list_filter({_TOKS}, x -> list_contains(['el','la','de','que','los'], x))) AS s_es,
+        len(list_filter({_TOKS}, x -> list_contains(['le','la','les','et','des'], x))) AS s_fr
+      FROM documents
+    ),
+    pred AS (
+      SELECT declared_lang,
+        CASE
+          WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+          WHEN s_es > 0 AND s_es > s_en AND s_es >= s_fr THEN 'es'
+          WHEN s_fr > 0 AND s_fr > s_en AND s_fr > s_es THEN 'fr'
+          ELSE 'und'
+        END AS predicted_lang
+      FROM s
+    ),
+    cell AS (
+      SELECT declared_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY declared_lang, predicted_lang
+    )
+    SELECT declared_lang, predicted_lang, n,
+      CAST(n AS DOUBLE)
+        / CAST(SUM(n) OVER (PARTITION BY declared_lang) AS DOUBLE)
+        AS frac_of_declared
+    FROM cell
+    """,
+    tags=("ext-text", "curation", "lang-id", "observability"),
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label confusion matrix — the audit a multilingual
+    pipeline runs to catch mislabeled upstream metadata (CCNet trusts
+    fastText over the crawl's declared language for exactly this
+    reason): cross-tabulate the declared ``lang`` column against the
+    marker-lexicon prediction (ops/text.lang_id — same rule as
+    ``text_lang_id``), with per-declared-language row fractions.
+
+    Scale shape: the lang-id scoring is a zero-shuffle projection;
+    ONE map-side-combined groupBy on the (declared, predicted) pair
+    (≤ |langs|² cells); the row fraction is a window over the
+    aggregated cell table — constant-size input, so the per-declared
+    partition spec is cosmetic parallelism, not a bottleneck."""
+    from osmart_etl_spark.ops.text import lang_id, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared_lang"),
+        lang_id(tokens(F.col("text"))).alias("predicted_lang"),
+    )
+    cell = pred.groupBy("declared_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.partitionBy("declared_lang")
+    return cell.select(
+        "declared_lang",
+        "predicted_lang",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias(
+            "frac_of_declared"
+        ),
+    )
+
+
+@query(
+    "near_dup_rate_by_source",
+    oracle=f"""
+    WITH verified AS ({_NGRAM_JACCARD_SQL}),
+    dups AS (
+      SELECT id_a AS doc_id FROM verified
+      UNION
+      SELECT id_b AS doc_id FROM verified
+    )
+    SELECT d.source,
+      CAST(COUNT(*) AS BIGINT) AS n_docs,
+      CAST(COUNT(dp.doc_id) AS BIGINT) AS n_near_dup,
+      CAST(COUNT(dp.doc_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+    FROM documents d LEFT JOIN dups dp ON d.doc_id = dp.doc_id
+    GROUP BY d.source
+    """,
+    tags=("ext-dedup", "curation", "observability"),
+)
+def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source near-duplicate rate — the crawl-health metric that
+    decides which domains get demoted (a mirror/template farm shows up
+    as dup_rate → 1): a document counts as near-dup iff it appears in
+    ANY verified pair (LSH candidates → exact Jaccard ≥ 0.5 through
+    the size-dispatched verify), no component step needed for a rate.
+
+    Scale shape: everything through the verify is the measured
+    dedup_ngram_jaccard DAG; the dup-id set is bare ids (two column
+    projections + distinct), and the rate is one map-side-combined
+    groupBy over (source) after a doc-sized left join — AQE decides
+    the join build (dup ids are |verified-docs|-proportional, so no
+    forced hint, per the round-9 doctrine)."""
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
+        minhash_band_keys,
+        shingle_sets,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
+    verified = jaccard_verify_auto(
+        sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
+    )
+    dups = (
+        verified.select(F.col("id_a").alias("doc_id"))
+        .union(verified.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("__dup", F.lit(1))
+    )
+    joined = d.select("doc_id", "source").join(dups, ["doc_id"], "left")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count("__dup").cast("bigint").alias("n_near_dup"),
+        (F.count("__dup").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "dup_rate"
+        ),
+    )
+
+
+#: C4-style blocklist (Raffel et al. 2020 drop documents containing
+#: "bad words"; production filters use a fraction-of-tokens threshold
+#: so one incidental token doesn't kill a long document). The list is
+#: drawn from the synthetic corpus vocabulary so the filter BINDS at
+#: every test SF; the threshold is 12% compared in integer arithmetic
+#: (n_flagged * 100 > n_tokens * 12) — no float literal in the
+#: decision, so parity cannot hinge on a threshold representation.
+_BLOCKLIST = ["slow", "big", "hash"]
+_BLOCK_PCT = 12
+
+
+@query(
+    "badwords_doc_filter",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+        CAST(len(list_filter({_TOKS},
+          x -> list_contains(['slow','big','hash'], x))) AS BIGINT) AS n_flagged
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, n_flagged,
+      CASE WHEN n_tokens = 0 THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(n_flagged AS DOUBLE) / CAST(n_tokens AS DOUBLE) END
+        AS flag_ratio,
+      n_flagged * 100 <= n_tokens * {_BLOCK_PCT} AS keep
+    FROM s
+    """,
+    tags=("ext-text", "curation", "quality-filter"),
+)
+def badwords_doc_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist document filter with a FRACTION threshold:
+    flag tokens from a blocklist, keep a document iff flagged tokens
+    are ≤ 12% of its tokens (integer comparison — see _BLOCKLIST note).
+    C4 itself drops on ANY hit; the fraction form is what multilingual
+    pipelines actually deploy to survive incidental/ambiguous tokens.
+
+    Scale shape: zero-shuffle projection — tokenize, two array folds,
+    one integer compare, all inside whole-stage codegen; at 100 TB this
+    is scan-bound and embarrassingly parallel, the same shape as
+    text_quality_score."""
+    from osmart_etl_spark.ops.text import tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    block = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    s = d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda x: F.array_contains(block, x)))
+        .cast("bigint")
+        .alias("n_flagged"),
+    )
+    return s.select(
+        "doc_id",
+        "n_tokens",
+        "n_flagged",
+        F.when(F.col("n_tokens") == 0, F.lit(0.0))
+        .otherwise(F.col("n_flagged").cast("double") / F.col("n_tokens").cast("double"))
+        .alias("flag_ratio"),
+        (F.col("n_flagged") * 100 <= F.col("n_tokens") * _BLOCK_PCT).alias("keep"),
+    )
+
+
+@query(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY node),
+    all_docs AS (
+      SELECT d.doc_id, COALESCE(c.canonical_id, d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ),
+    clusters AS (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM all_docs GROUP BY canonical_id
+    )
+    SELECT cluster_size,
+      CAST(COUNT(*) AS BIGINT) AS n_clusters,
+      CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+    FROM clusters GROUP BY cluster_size
+    """,
+    tags=("ext-dedup", "curation", "observability"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution — the metric that decides the
+    dedup STRATEGY (a corpus whose mass sits in size-2 clusters needs
+    pair-level excision; one giant cluster means a template/mirror farm
+    and per-cluster keep-one): LSH → verify → connected components,
+    singletons folded back in as size-1 clusters (COALESCE on a left
+    join, so sum(n_docs) = corpus size — a checkable invariant).
+
+    Scale shape: everything through components is the measured
+    dedup_components DAG (sets-tier verify + bigstar-safe label loop at
+    amplified volume); the histogram itself is two map-side-combined
+    aggs whose second input is |clusters| rows and whose output is
+    ≤ max-cluster-size rows. The doc↔comp join carries no forced hint —
+    comp is |clustered-docs|-proportional (AQE broadcasts it at bench
+    scale, shuffles on a dense corpus)."""
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
+    verified = jaccard_verify_auto(
+        sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
+    )
+    comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
+    all_docs = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), ["doc_id"], "left")
+        .select(
+            "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+        )
+    )
+    clusters = all_docs.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+    )

@@ -102,3 +102,63 @@ def test_batch_bloom_equals_plain_anti_join(spark):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_lang_confusion_fractions_sum_to_one(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import lang_confusion_matrix
+
+    out = lang_confusion_matrix(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n"] for r in out) == n_docs, "every document lands in one cell"
+    by_decl: dict[str, float] = {}
+    for r in out:
+        assert 0.0 < r["frac_of_declared"] <= 1.0
+        by_decl[r["declared_lang"]] = by_decl.get(r["declared_lang"], 0.0) + r[
+            "frac_of_declared"
+        ]
+    for lang, s in by_decl.items():
+        assert abs(s - 1.0) < 1e-9, f"{lang} row fractions must sum to 1"
+
+
+def test_near_dup_rate_totals_and_bounds(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import near_dup_rate_by_source
+
+    out = near_dup_rate_by_source(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs
+    for r in out:
+        assert 0 <= r["n_near_dup"] <= r["n_docs"]
+        assert r["dup_rate"] == r["n_near_dup"] / r["n_docs"]
+
+
+def test_badwords_keep_rule_and_ratio(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import (
+        _BLOCK_PCT,
+        badwords_doc_filter,
+    )
+
+    out = badwords_doc_filter(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert len(out) == n_docs, "filter labels, never drops"
+    assert any(not r["keep"] for r in out), "threshold must bind on the testdata"
+    assert any(r["keep"] for r in out)
+    for r in out:
+        assert 0 <= r["n_flagged"] <= r["n_tokens"]
+        # the keep flag is the integer-arithmetic threshold, exactly
+        assert r["keep"] == (r["n_flagged"] * 100 <= r["n_tokens"] * _BLOCK_PCT)
+
+
+def test_cluster_histogram_partitions_corpus(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import dedup_cluster_size_histogram
+
+    out = dedup_cluster_size_histogram(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs, "clusters partition the corpus"
+    for r in out:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["cluster_size"] >= 1 and r["n_clusters"] >= 1
+    assert len({r["cluster_size"] for r in out}) == len(out)
