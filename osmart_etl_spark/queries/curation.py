@@ -542,9 +542,12 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = jaccard_verify_auto(
         sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
     )
+    # ONE evaluation of the verify subtree: the two-branch
+    # union(select id_a, select id_b) form recomputes `verified` per
+    # branch — measured 2x dedup_components' shuffle bytes at x10
+    # amplified volume (SCALE.md); explode halves it back.
     dups = (
-        verified.select(F.col("id_a").alias("doc_id"))
-        .union(verified.select(F.col("id_b").alias("doc_id")))
+        verified.select(F.explode(F.array("id_a", "id_b")).alias("doc_id"))
         .distinct()
         .withColumn("__dup", F.lit(1))
     )
