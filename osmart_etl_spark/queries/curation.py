@@ -702,3 +702,105 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
         (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
     )
+
+
+@query(
+    "source_overlap_matrix",
+    oracle="""
+    WITH shingles AS (
+      SELECT DISTINCT source, substr(norm, i, 5) AS shingle
+      FROM (
+        SELECT source, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm
+        FROM documents
+      ) d
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+      ) g
+    ),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM shingles GROUP BY source
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM shingles a
+      JOIN shingles b ON a.shingle = b.shingle AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT s.source_a, s.source_b, s.n_shared,
+      CAST(s.n_shared AS DOUBLE)
+        / CAST(na.n + nb.n - s.n_shared AS DOUBLE) AS jaccard
+    FROM shared s
+    JOIN sizes na ON na.source = s.source_a
+    JOIN sizes nb ON nb.source = s.source_b
+    """,
+    tags=("ext-dedup", "curation", "observability", "cross-set"),
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE shingle-overlap matrix (the WIMBD cross-set overlap
+    audit): for every source pair, the count of shared distinct 5-gram
+    shingles and the Jaccard between the two sources' shingle sets —
+    the table that exposes mirror domains and benchmark leakage between
+    corpus slices BEFORE doc-level dedup runs.
+
+    Scale shape: ONE corpus-proportional shuffle — groupBy(shingle)
+    with a map-side-partial collect_set(source) (set size ≤ |sources|,
+    so partials stay tiny; the per-doc shingle array is already
+    distinct). The persisted grouped table feeds BOTH consumers (the
+    single-evaluation rule from near_dup_rate_by_source): per-source
+    sizes fold it on 20 keys, pairs fan each shingle's sorted source
+    set into combinations map-side (nested transform — no self-join).
+    Cost is Θ(|shingles| · |sources touching a shingle|²): bounded by
+    the source count (20 here → ≤190 pairs/shingle). With 10k+ sources
+    the exact matrix is the wrong tool — switch to per-source MinHash
+    signatures (ops/dedup.minhash) whose pairwise estimate is
+    |sources|² on SKETCHES, independent of corpus size; this query is
+    the exact small-source-count form."""
+    from osmart_etl_spark.ops.dedup import shingle_array
+
+    d = read_table(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.explode(shingle_array(F.col("text"), k=5)).alias("shingle")
+    )
+    grouped = (
+        s.groupBy("shingle")
+        .agg(F.array_sort(F.collect_set("source")).alias("__srcs"))
+        .persist()
+    )
+    sizes = (
+        grouped.select(F.explode("__srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("__srcs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("__srcs"), i + 2, F.size(F.col("__srcs"))),
+                lambda y: F.struct(x.alias("source_a"), y.alias("source_b")),
+            ),
+        )
+    )
+    shared = (
+        grouped.select(F.explode(combos).alias("__p"))
+        .groupBy(
+            F.col("__p.source_a").alias("source_a"),
+            F.col("__p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    na = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("__na"))
+    nb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("__nb"))
+    return (
+        shared.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("__na") + F.col("__nb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+    )

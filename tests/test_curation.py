@@ -181,3 +181,24 @@ def test_bpe_encode_consistent_with_merges(spark):
         assert 0 <= r["n_merged_symbols"] <= r["n_symbols"]
         if r["n_symbols"]:
             assert r["chars_per_symbol"] >= 1.0, "merges only shrink symbol count"
+
+
+def test_source_overlap_matrix_bounds(spark):
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import source_overlap_matrix
+
+    out = source_overlap_matrix(spark, SF_SMALL).collect()
+    srcs = {
+        r["source"]
+        for r in read_table(spark, SF_SMALL, "documents").select("source").distinct().collect()
+    }
+    n = len(srcs)
+    assert 0 < len(out) <= n * (n - 1) // 2
+    seen = set()
+    for r in out:
+        assert r["source_a"] < r["source_b"], "canonical pair order"
+        assert r["source_a"] in srcs and r["source_b"] in srcs
+        assert r["n_shared"] >= 1
+        assert 0.0 < r["jaccard"] <= 1.0
+        seen.add((r["source_a"], r["source_b"]))
+    assert len(seen) == len(out), "one row per pair"
