@@ -804,3 +804,98 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+#: signature width for the source-level sketch — 64 components gives a
+#: ±1/8 stderr on the Jaccard estimate, plenty for a demote/inspect
+#: decision table.
+_SRC_MH_K = 64
+
+
+@query(
+    "source_minhash_overlap",
+    oracle=f"""
+    WITH shingles AS (
+      SELECT DISTINCT source, substr(norm, i, 5) AS shingle
+      FROM (
+        SELECT source, regexp_replace(lower(trim(text)), ' +', ' ', 'g') AS norm
+        FROM documents
+      ) d
+      CROSS JOIN LATERAL (
+        SELECT UNNEST(generate_series(1, greatest(length(norm) - 4, 1))) AS i
+      ) g
+    ),
+    hashed AS (
+      SELECT source, ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+      FROM shingles
+    ),
+    sigs AS (
+      SELECT source, k,
+        MIN((h * (2*k + 1 + 104729*k) + (12289*k + 31)) % 1000000007) AS minhash
+      FROM hashed
+      CROSS JOIN (SELECT UNNEST(generate_series(0, {_SRC_MH_K - 1})) AS k) seeds
+      GROUP BY source, k
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+      CAST(COUNT(*) FILTER (WHERE a.minhash = b.minhash) AS BIGINT) AS n_agree,
+      CAST(COUNT(*) FILTER (WHERE a.minhash = b.minhash) AS DOUBLE)
+        / CAST({_SRC_MH_K} AS DOUBLE) AS est_jaccard
+    FROM sigs a JOIN sigs b ON a.k = b.k AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    tags=("ext-dedup", "curation", "observability", "cross-set", "sketch"),
+)
+def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``source_overlap_matrix``'s SCALE PATH: per-source MinHash
+    signatures (the ops/dedup universal-hash family, K=64) and the
+    pairwise sketch agreement rate as the Jaccard ESTIMATE. This is
+    the form that survives 10k+ sources: the corpus contributes one
+    map-side-combined groupBy(source) evaluating all K min-aggregates
+    (sketch table = |sources| × K rows regardless of corpus size), and
+    the pairwise comparison runs on SKETCHES only — |sources|²·K work
+    with zero further corpus access, vs the exact matrix's
+    per-shingle pair fan-out.
+
+    MinHash identity: P[min-hash agrees] = Jaccard, so
+    n_agree/K is an unbiased estimate with stderr ≈ 1/√K. Min over the
+    source's shingle MULTISET equals min over its set, so no per-source
+    distinct is needed before the aggregate. The estimate is
+    deterministic (seeded family, no RNG) and the oracle recomputes it
+    bit-identically; pairs with zero agreement are kept (n_agree = 0)."""
+    from osmart_etl_spark.ops.dedup import (
+        MINHASH_P,
+        _minhash_seed,
+        base_shingle_hash,
+        shingle_array,
+    )
+
+    d = read_table(spark, sf_dir, "documents")
+    s = d.select(
+        "source", F.explode(shingle_array(F.col("text"), k=5)).alias("shingle")
+    )
+    base = s.select("source", base_shingle_hash(F.col("shingle")).alias("__h"))
+    aggs = []
+    for k in range(_SRC_MH_K):
+        a, b = _minhash_seed(k)
+        aggs.append(F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh{k}"))
+    wide = base.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(f"{k}, mh{k}" for k in range(_SRC_MH_K))
+    sigs = wide.selectExpr(
+        "source", f"stack({_SRC_MH_K}, {stack_args}) AS (k, minhash)"
+    )
+    sa = sigs.select(
+        F.col("source").alias("source_a"), "k", F.col("minhash").alias("__ma")
+    )
+    sb = sigs.select(
+        F.col("source").alias("source_b"), "k", F.col("minhash").alias("__mb")
+    )
+    pairs = sa.join(sb, ["k"]).filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.sum((F.col("__ma") == F.col("__mb")).cast("bigint"))
+        .cast("bigint")
+        .alias("n_agree"),
+        (
+            F.sum((F.col("__ma") == F.col("__mb")).cast("bigint")).cast("double")
+            / F.lit(_SRC_MH_K).cast("double")
+        ).alias("est_jaccard"),
+    )

@@ -202,3 +202,30 @@ def test_source_overlap_matrix_bounds(spark):
         assert 0.0 < r["jaccard"] <= 1.0
         seen.add((r["source_a"], r["source_b"]))
     assert len(seen) == len(out), "one row per pair"
+
+
+def test_source_minhash_tracks_exact_jaccard(spark):
+    """The K=64 sketch estimate is deterministic (seeded family) and
+    unbiased with stderr = sqrt(J(1-J)/K) <= 1/16; assert every pair's
+    estimate is within 4 sigma-max (0.25) of the exact Jaccard, and
+    that ALL source pairs are present (zero-agreement pairs kept)."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.curation import (
+        source_minhash_overlap,
+        source_overlap_matrix,
+    )
+
+    exact = {
+        (r["source_a"], r["source_b"]): r["jaccard"]
+        for r in source_overlap_matrix(spark, SF_SMALL).collect()
+    }
+    est = {
+        (r["source_a"], r["source_b"]): r["est_jaccard"]
+        for r in source_minhash_overlap(spark, SF_SMALL).collect()
+    }
+    n = read_table(spark, SF_SMALL, "documents").select("source").distinct().count()
+    assert len(est) == n * (n - 1) // 2, "every pair present in the sketch matrix"
+    for pair, e in est.items():
+        assert 0.0 <= e <= 1.0
+        truth = exact.get(pair, 0.0)
+        assert abs(e - truth) <= 0.25, f"{pair}: est {e} vs exact {truth}"
