@@ -756,10 +756,15 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     signatures (ops/dedup.minhash) whose pairwise estimate is
     |sources|² on SKETCHES, independent of corpus size; this query is
     the exact small-source-count form."""
+    from osmart_etl_spark.io.sources import default_parallelism
     from osmart_etl_spark.ops.dedup import shingle_array
 
     d = read_table(spark, sf_dir, "documents")
-    s = d.select(
+    # repartition BEFORE shingling (the shingle_sets rule): the scan's
+    # file count caps map parallelism, and a single-file base SF runs
+    # the whole normalize+shingle explode on ONE task otherwise
+    # (measured: amplify_smoke ×1 max_tasks=1)
+    s = d.repartition(default_parallelism(spark)).select(
         "source", F.explode(shingle_array(F.col("text"), k=5)).alias("shingle")
     )
     grouped = (
@@ -869,8 +874,12 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_array,
     )
 
+    from osmart_etl_spark.io.sources import default_parallelism
+
     d = read_table(spark, sf_dir, "documents")
-    s = d.select(
+    # repartition before shingling — same 1-task-scan fix as
+    # source_overlap_matrix
+    s = d.repartition(default_parallelism(spark)).select(
         "source", F.explode(shingle_array(F.col("text"), k=5)).alias("shingle")
     )
     base = s.select("source", base_shingle_hash(F.col("shingle")).alias("__h"))

@@ -79,6 +79,11 @@ DEFAULT_QUERIES = [
     "bpe_train_merges",  # patched to 1 merge round (judge's spec)
     "daily_net_agg",
     "segmented_replay",
+    # round-9 additions with a corpus-proportional shuffle
+    "near_dup_rate_by_source",
+    "dedup_cluster_size_histogram",
+    "source_overlap_matrix",
+    "source_minhash_overlap",
 ]
 
 # the join tier (round 9): fact/fact-proportional joins at amplified
