@@ -111,8 +111,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _run_bpe(docs: DataFrame) -> tuple[list[DataFrame], DataFrame]:
     """The shared BPE loop: returns (per-iteration argmax rows, final
     merged SEP-bracketed corpus). Shape rationale in
-    ``bpe_train_merges``'s docstring."""
-    corpus = docs.select(
+    ``bpe_train_merges``'s docstring.
+
+    Repartition BEFORE the symbol bracketing (the shingle_sets rule —
+    SCALE.md round 9): the scan's file count otherwise caps map
+    parallelism for EVERY merge round, because each round's
+    localCheckpoint materializes the corpus with the inherited
+    partitioning — a single-file base SF would run all k rounds'
+    pair explodes and replaces serially. BPE symbol work is heavy
+    per-byte CPU, the regime where the one-time rebalance pays."""
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    corpus = docs.repartition(default_parallelism(docs.sparkSession)).select(
         "doc_id",
         F.concat(
             F.lit(_PYSEP),
