@@ -593,8 +593,15 @@ def span_occurrences(
     Output: (id_col, pos, g) — pos is the 1-based token index of the
     window start, g the 128-bit digest. Row count is linear in corpus
     token count (≈ one row per token), so at 100 TB this stays a single
-    scan + narrow projection; no shuffle happens here.
+    scan + narrow projection. Repartitioned first (the shingle_sets
+    rule, SCALE.md round 9): per-window md5 is heavy per-byte CPU, and
+    the scan's file count otherwise caps the map parallelism — the
+    single-file base SF ran the whole inventory on one task
+    (amplify_smoke ×1 max_tasks=1).
     """
+    from osmart_etl_spark.io.sources import default_parallelism
+
+    n_parts = default_parallelism(df.sparkSession)
     toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
     win = F.expr(
         f"transform(sequence(1, size(__t) - {k} + 1), "
@@ -602,7 +609,8 @@ def span_occurrences(
         f"md5(array_join(slice(__t, i, {k}), ' ')) AS g))"
     )
     return (
-        df.select(id_col, toks.alias("__t"))
+        df.repartition(n_parts)
+        .select(id_col, toks.alias("__t"))
         .filter(F.size("__t") >= k)
         .select(id_col, F.explode(win).alias("__w"))
         .select(id_col, F.col("__w.pos").alias("pos"), F.col("__w.g").alias("g"))
