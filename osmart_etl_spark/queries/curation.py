@@ -889,9 +889,13 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         aggs.append(F.min((F.col("__h") * a + b) % MINHASH_P).alias(f"mh{k}"))
     wide = base.groupBy("source").agg(*aggs)
     stack_args = ", ".join(f"{k}, mh{k}" for k in range(_SRC_MH_K))
+    # persisted: the sketch table feeds BOTH sides of the pair
+    # self-join — unpersisted, each side re-runs the full corpus
+    # explode + K-min aggregate (the near_dup_rate double-evaluation
+    # class; seen as two distinct production subtrees in the plan)
     sigs = wide.selectExpr(
         "source", f"stack({_SRC_MH_K}, {stack_args}) AS (k, minhash)"
-    )
+    ).persist()
     sa = sigs.select(
         F.col("source").alias("source_a"), "k", F.col("minhash").alias("__ma")
     )
