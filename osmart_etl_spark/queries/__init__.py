@@ -45,4 +45,5 @@ from osmart_etl_spark.queries import tpch_complete  # noqa: F401, E402
 from osmart_etl_spark.queries import sinks_versioned  # noqa: F401, E402
 from osmart_etl_spark.queries import lm_filter  # noqa: F401, E402
 from osmart_etl_spark.queries import curation  # noqa: F401, E402
+from osmart_etl_spark.queries import clustering  # noqa: F401, E402
 from osmart_etl_spark.queries.relational import sales_payment_split  # noqa: F401

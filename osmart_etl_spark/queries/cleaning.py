@@ -652,3 +652,182 @@ def temperature_mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("w") / F.col("tw")).alias("mix_rate"),
         (F.col("w") / F.col("tw") * F.col("total_docs")).alias("expected_docs"),
     )
+
+
+# -- encoding-noise detection -------------------------------------------------
+# The synthetic corpus is clean, so (pii_scrub / url_domain_filter
+# precedent) deterministic mojibake is injected by IDENTICAL string
+# algebra on both engines; the OPERATOR under test is the per-row noise
+# metric stack. Substring occurrence counts use the regex-free
+# (len(s) - len(replace(s, sub, ''))) / len(sub) identity so both
+# engines count by the exact same character arithmetic.
+
+_MOJI_CAFE = "cafÃ© dÃ©jÃ "  # classic UTF-8-read-as-Latin-1 sequence
+_MOJI_APOS = "â€™"  # U+2019 right single quote, double-mangled
+
+
+@query(
+    "text_encoding_noise",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+        text
+        || CASE WHEN doc_id % 3 = 0
+                THEN ' ' || repeat('�', CAST(1 + doc_id % 4 AS INT))
+                ELSE '' END
+        || CASE WHEN doc_id % 7 = 2 THEN ' {_MOJI_CAFE}' ELSE '' END
+        || CASE WHEN doc_id % 11 = 5 THEN ' it{_MOJI_APOS}s' ELSE '' END AS a
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source, length(a) AS n_chars,
+        length(a) - length(replace(a, '�', '')) AS n_repl,
+        CAST((length(a) - length(replace(a, 'Ã©', ''))) / 2
+          + (length(a) - length(replace(a, '{_MOJI_APOS}', ''))) / 3 AS BIGINT) AS n_moji
+      FROM aug
+    )
+    SELECT doc_id, source, n_repl, n_moji,
+      CAST(3 * n_repl + n_moji AS DOUBLE) * 1000 / n_chars AS noise_per_kchar,
+      (n_repl > 0 OR n_moji >= 2) AS is_noisy
+    FROM m
+    """,
+    tags=("ext-cleaning", "encoding-noise"),
+)
+def text_encoding_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake / encoding-noise detector (the ftfy-class pre-filter
+    every web-corpus pipeline runs): counts U+FFFD replacement
+    characters and two canonical UTF-8-as-Latin-1 mangle sequences,
+    scores noise per 1k chars, and flags noisy docs. Zero shuffle —
+    pure per-row codegen (length/replace arithmetic, no regex, no
+    UDF); at 100 TB this is scan-bound, the cheapest possible shape.
+    Counting identity: occurrences(s, sub) = (len(s) -
+    len(replace(s, sub, ''))) / len(sub), exact in both engines."""
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    a = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" "), F.repeat(F.lit("�"), (F.lit(1) + did % 4).cast("int"))),
+        ).otherwise(F.lit("")),
+        F.when(did % 7 == 2, F.lit(" " + _MOJI_CAFE)).otherwise(F.lit("")),
+        F.when(did % 11 == 5, F.lit(" it" + _MOJI_APOS + "s")).otherwise(F.lit("")),
+    )
+
+    def occurrences(s, sub: str):
+        return (F.length(s) - F.length(F.replace(s, F.lit(sub)))) / len(sub)
+
+    n_repl = occurrences(a, "�").cast("bigint")
+    n_moji = (occurrences(a, "Ã©") + occurrences(a, _MOJI_APOS)).cast("bigint")
+    return d.select(
+        "doc_id",
+        "source",
+        n_repl.alias("n_repl"),
+        n_moji.alias("n_moji"),
+        (
+            (F.lit(3) * n_repl + n_moji).cast("double") * 1000 / F.length(a)
+        ).alias("noise_per_kchar"),
+        ((n_repl > 0) | (n_moji >= 2)).alias("is_noisy"),
+    )
+
+
+# -- URL-canonicalization dedup ----------------------------------------------
+
+# Spark (Java) and DuckDB (RE2) agree on this subset: char classes,
+# anchors, +/*. The injected URL varies scheme, host case, www prefix,
+# trailing slash, and tracking query string — all of which the
+# canonicalizer must collapse.
+_URL_GRAB_RE = r"https?://([^ ]+)"
+
+
+@query(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH aug AS (
+      SELECT doc_id, source,
+        text || CASE WHEN doc_id % 3 = 0 THEN
+          ' http' || CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END || '://'
+          || CASE WHEN doc_id % 6 < 3 THEN 'WWW.' ELSE '' END
+          || 'Site' || CAST(doc_id % 7 AS VARCHAR)
+          || '.example/Path' || CAST(doc_id % 13 AS VARCHAR)
+          || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+          || CASE WHEN doc_id % 4 = 1
+                  THEN '?utm_source=feed&ref=' || CAST(doc_id % 3 AS VARCHAR)
+                  ELSE '' END
+          ELSE '' END AS a
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id, source,
+        regexp_replace(regexp_replace(regexp_replace(
+          lower(regexp_extract(a, '{_URL_GRAB_RE}', 1)),
+          '\\?.*$', ''), '^www\\.', ''), '/+$', '') AS canonical_url
+      FROM aug
+    )
+    SELECT canonical_url,
+      COUNT(*) AS n_docs,
+      MIN(doc_id) AS keeper_doc_id,
+      COUNT(DISTINCT source) AS n_sources
+    FROM canon WHERE canonical_url != ''
+    GROUP BY canonical_url
+    """,
+    tags=("ext-cleaning", "url-dedup"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the Common-Crawl-style first dedup
+    pass: documents crawled from URL variants of the same page
+    (http/https, host case, www., trailing slash, tracking params)
+    collapse to one canonical key; the keeper is the lowest doc_id.
+    The corpus carries no URLs, so variants are injected by identical
+    deterministic string algebra on both engines (url_domain_filter
+    precedent); the OPERATOR is the canonicalizer + keyed keep-min.
+
+    Canonical form (aggressive, documented): lower(host+path), scheme
+    and query string dropped, leading 'www.' and trailing '/' stripped.
+    Scale: per-row regex codegen then ONE map-side-combinable groupBy
+    on the canonical key — the same one-shuffle shape as dedup_exact;
+    hot URLs are a bounded-key skew that AQE splits."""
+    d = read_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    a = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" http"),
+                F.when(did % 2 == 0, F.lit("s")).otherwise(F.lit("")),
+                F.lit("://"),
+                F.when(did % 6 < 3, F.lit("WWW.")).otherwise(F.lit("")),
+                F.lit("Site"),
+                (did % 7).cast("string"),
+                F.lit(".example/Path"),
+                (did % 13).cast("string"),
+                F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+                F.when(
+                    did % 4 == 1,
+                    F.concat(F.lit("?utm_source=feed&ref="), (did % 3).cast("string")),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_extract(a, _URL_GRAB_RE, 1)), r"\?.*$", ""
+            ),
+            r"^www\.",
+            "",
+        ),
+        r"/+$",
+        "",
+    )
+    return (
+        d.select("doc_id", "source", canon.alias("canonical_url"))
+        .filter(F.col("canonical_url") != "")
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )

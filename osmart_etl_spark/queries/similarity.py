@@ -336,3 +336,67 @@ def knn_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") >= 5)
     return brute_force_topk(corpus, queries, "vec_id", "embedding", k=5)
+
+
+_MAT_PDIM = 16  # matryoshka prefix dims used for the cheap first pass
+_MAT_PREK = 50  # candidates surviving the prefix pass
+
+
+@query(
+    "matryoshka_prefix_rerank",
+    oracle=f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id != 0
+    ),
+    s1 AS (
+      SELECT vec_id, v,
+        {_cos_sql(f"v[1:{_MAT_PDIM}]", f"qv[1:{_MAT_PDIM}]")} AS prefix_sim
+      FROM e, q
+      ORDER BY prefix_sim DESC, vec_id ASC
+      LIMIT {_MAT_PREK}
+    )
+    SELECT vec_id, prefix_sim,
+      {_cos_sql("v", "qv")} AS cos_sim
+    FROM s1, q
+    ORDER BY cos_sim DESC, vec_id ASC
+    LIMIT 10
+    """,
+    tags=("ext-sim", "matryoshka", "rerank"),
+)
+def matryoshka_prefix_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage matryoshka retrieval (Kusupati et al. 2022's use
+    pattern): rank the corpus by cosine over only the FIRST 16 of 64
+    dims (matryoshka prefixes are trained to be usable truncations),
+    keep the top 50, then re-rank those exactly at full dimension for
+    the final top-10. Output carries both scores so recall loss is
+    auditable.
+
+    Scale: stage 1 is the only corpus-wide pass and it reads 4x fewer
+    vector bytes per row (with dim-sliced storage, 4x less I/O too);
+    top-50 reduces via TakeOrderedAndProject per-partition heaps, so
+    nothing shuffles full rows. Stage 2 touches 50 rows. At 10^9
+    vectors the prefix pass is the cost and it is pure scan+fold —
+    embarrassingly parallel, zero shuffle."""
+    emb = read_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        as_double_array(F.col("embedding")).alias("qv")
+    )
+    pre = F.slice(F.col("v"), 1, _MAT_PDIM)
+    qpre = F.slice(F.col("qv"), 1, _MAT_PDIM)
+    s1 = (
+        emb.filter(F.col("vec_id") != 0)
+        .select("vec_id", as_double_array(F.col("embedding")).alias("v"))
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "v", "qv", cosine(pre, qpre).alias("prefix_sim"))
+        .orderBy(F.col("prefix_sim").desc(), F.col("vec_id").asc())
+        .limit(_MAT_PREK)
+    )
+    return (
+        s1.select(
+            "vec_id", "prefix_sim", cosine(F.col("v"), F.col("qv")).alias("cos_sim")
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
