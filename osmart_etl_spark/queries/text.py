@@ -1485,3 +1485,133 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+# -- BM25 document retrieval ---------------------------------------------------
+
+_BM25_QUERY = ("vector", "hash", "scan")  # the fixed retrieval query
+_BM25_TOPN = 20
+_BM25_Q_SQL = ", ".join(f"'{t}'" for t in _BM25_QUERY)
+
+
+@query(
+    "bm25_doc_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             list_filter({_TOKS}, x -> x NOT IN ({_STOP_SQL[1:-1]})) AS t
+      FROM documents
+    ),
+    dl AS (SELECT doc, len(t) AS dl FROM toks WHERE len(t) > 0),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dl),
+    hits AS (
+      SELECT doc, unnest(t) AS term FROM toks
+    ),
+    qtf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM hits
+      WHERE term IN ({_BM25_Q_SQL}) GROUP BY doc, term
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY term),
+    scored AS (
+      SELECT q.doc, q.term, q.tf,
+        (ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * (q.tf * 2.2))
+        / (q.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl
+             / (CAST(stats.total_dl AS DOUBLE) / stats.n_docs))) AS s
+      FROM qtf q JOIN dfreq USING (term) JOIN dl USING (doc) CROSS JOIN stats
+    ),
+    per_doc AS (
+      SELECT doc,
+        CAST(COUNT(*) AS BIGINT) AS n_hit_terms,
+        CAST(SUM(tf) AS BIGINT) AS q_tf,
+        list_reduce(list_prepend(0.0, list(s ORDER BY term)),
+                    (acc, x) -> acc + x) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_hit_terms, q_tf, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT doc, n_hit_terms, q_tf,
+        ROW_NUMBER() OVER (ORDER BY score DESC, doc ASC) AS rnk
+      FROM per_doc
+    ) WHERE rnk <= {_BM25_TOPN}
+    """,
+    tags=("ext-text", "bm25", "retrieval"),
+)
+def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) DOCUMENT retrieval for a fixed query-term
+    set — the other half of text_bm25_topterms (that one ranks terms
+    per doc; this ranks docs per query, the actual search/contamination
+    -lookup primitive). Same rank-level comparison contract: the
+    ln-bearing score stays internal (engines may differ 1 ulp on ln);
+    only integer evidence columns (hit count, summed tf, rank) are
+    emitted, and the per-doc score sums its ≤|query| term scores in
+    sorted-term order via a strict left fold, so the sum order is
+    engine-independent.
+
+    Scale shape (posting-list style): doc length comes straight off the
+    token array (zero shuffle); ONLY tokens matching the 3 query terms
+    ever reach a shuffle (tf by (doc, term) — a tiny filtered slice of
+    the corpus); df is a 3-row agg; the final top-20 is a
+    TakeOrderedAndProject over |matching docs| narrow rows. A 100 TB
+    corpus scans once and shuffles only its query-term postings."""
+    d = read_table(spark, sf_dir, "documents")
+    n_parts = default_parallelism(spark)
+    toks_arr = F.filter(tokens(F.col("text")), lambda x: ~x.isin(*STOPWORDS))
+    base = (
+        d.repartition(n_parts)
+        .select(F.col("doc_id").alias("doc"), toks_arr.alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    dl = base.select("doc", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    )
+    hits = base.select("doc", F.explode("t").alias("term")).filter(
+        F.col("term").isin(*_BM25_QUERY)
+    )
+    qtf = hits.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = qtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("total_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    s = (idf * (F.col("tf") * F.lit(2.2))) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / avgdl)
+    )
+    scored = (
+        qtf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc")
+        .crossJoin(F.broadcast(stats))
+        .select("doc", "term", "tf", s.alias("s"))
+    )
+    per_doc = scored.groupBy("doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit_terms"),
+        F.sum("tf").cast("bigint").alias("q_tf"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("term", "s"))),
+                lambda r: r.getField("s"),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    # rank only the TakeOrdered top-20 survivors; partitionBy(lit(0))
+    # keeps the 20-row window off the single-partition warning path
+    # (the zipf_vocab_audit precedent)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        per_doc.orderBy(F.col("score").desc(), F.col("doc").asc())
+        .limit(_BM25_TOPN)
+        .select(
+            F.col("doc").alias("doc_id"),
+            "n_hit_terms",
+            "q_tf",
+            F.row_number().over(w).cast("bigint").alias("rnk"),
+            F.col("score"),
+        )
+        .drop("score")
+    )
