@@ -204,3 +204,150 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("within_3sigma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Engine-portable HyperLogLog registers (Flajolet et al. 2007, public).
+# Unlike ``approx_sketches`` (Spark's native HLL, whose estimate can only
+# be bound-checked against an oracle), this sketch is built from portable
+# md5 arithmetic, so registers, merge, and estimate hash-match DuckDB
+# bit-for-bit — it is the PERSISTABLE form: at 100 TB each corpus shard
+# writes its 256-register table and any union of shards merges with a
+# MAX groupBy, never rescanning the data.
+# --------------------------------------------------------------------------
+
+_HLL_M = 256  # registers (first 2 md5 hex digits)
+_HLL_W = 48  # rank bits (next 12 hex digits)
+#: alpha_m * m^2 * 2^50, precomputed so BOTH engines divide the same
+#: integer S by the same double literal — no libm (ln/pow) in either plan.
+_HLL_EST_NUM = repr(0.7213 / (1 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * float(2**50))
+
+
+@query(
+    "hll_portable_registers",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type, event_id % 2 AS shard,
+             md5(CAST(user_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, shard,
+             ('0x' || substr(hx, 1, 2))::BIGINT AS bucket,
+             CASE WHEN ('0x' || substr(hx, 3, 12))::BIGINT = 0
+                  THEN {_HLL_W + 1}
+                  ELSE {_HLL_W + 1} - length(bin(('0x' || substr(hx, 3, 12))::BIGINT))
+             END AS r
+      FROM h
+    ),
+    regs AS (
+      SELECT event_type, bucket, MAX(r) AS reg FROM rho GROUP BY 1, 2
+    ),
+    shard_regs AS (
+      SELECT event_type, shard, bucket, MAX(r) AS reg FROM rho GROUP BY 1, 2, 3
+    ),
+    merged AS (
+      SELECT event_type, bucket, MAX(reg) AS reg FROM shard_regs GROUP BY 1, 2
+    ),
+    merge_chk AS (
+      SELECT g.event_type, bool_and(g.reg = m.reg) AND COUNT(*) = COUNT(m.reg)
+             AS merge_ok
+      FROM regs g LEFT JOIN merged m
+        ON g.event_type = m.event_type AND g.bucket = m.bucket
+      GROUP BY 1
+    ),
+    summary AS (
+      SELECT event_type,
+        COUNT(*) AS n_buckets_set,
+        CAST(SUM(1::BIGINT << (50 - reg))
+          + ({_HLL_M} - COUNT(*)) * (1::BIGINT << 50) AS BIGINT) AS s_scaled
+      FROM regs GROUP BY 1
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1
+    )
+    SELECT s.event_type, s.n_buckets_set, s.s_scaled,
+           {_HLL_EST_NUM} / s.s_scaled AS raw_estimate,
+           e.exact_distinct, c.merge_ok
+    FROM summary s
+    JOIN exact e ON e.event_type = s.event_type
+    JOIN merge_chk c ON c.event_type = s.event_type
+    """,
+    tags=("ext-sketch", "hyperloglog", "mergeable"),
+)
+def hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog over ``events.user_id`` per
+    event_type, with the merge contract made load-bearing.
+
+    Construction (Flajolet/Fusy/Gandouet/Meunier 2007): h = md5(user),
+    bucket = first 8 hash bits, rank ρ = leading-zero count of the next
+    48 bits + 1 (via the bin()-length identity ρ = 49 − bitlen, portable
+    to any engine with a binary formatter), register = MAX(ρ) per
+    bucket. The estimate's harmonic sum is kept INTEGER —
+    S = Σ 2^(50−reg) over all 256 registers via bit shifts (max 2^58,
+    no overflow) — so the only float op is one division of identical
+    operands by the shared ``alpha·m²·2^50`` literal; no ln/pow enters
+    either plan (raw estimate only: this corpus sits in the
+    linear-counting regime, and the small-range correction would need
+    libm ln, which the two engines may round differently — the register
+    table itself is the deliverable, any consumer can apply their own
+    correction downstream).
+
+    Merge contract: events split into two deterministic shards
+    (event_id % 2), per-shard registers merged with MAX must equal the
+    global registers bucket-for-bucket (``merge_ok``). That max-merge
+    associativity is exactly what makes the sketch a map-side-combinable
+    aggregate: at 100 TB the shuffle carries ≤ m rows per (group,
+    partition), never the users.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    hx = F.md5(F.col("user_id").cast("string"))
+    v = F.conv(F.substring(hx, 3, 12), 16, 10).cast("bigint")
+    rho = ev.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("shard"),
+        F.conv(F.substring(hx, 1, 2), 16, 10).cast("bigint").alias("bucket"),
+        F.when(v == 0, F.lit(_HLL_W + 1))
+        .otherwise(F.lit(_HLL_W + 1) - F.length(F.bin(v)))
+        .cast("bigint")
+        .alias("r"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    shard_regs = rho.groupBy("event_type", "shard", "bucket").agg(
+        F.max("r").alias("reg")
+    )
+    merged = shard_regs.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg_m"))
+    merge_chk = (
+        regs.join(merged, ["event_type", "bucket"], "left")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.bool_and(F.coalesce(F.col("reg") == F.col("reg_m"), F.lit(False)))
+                & (F.count(F.lit(1)) == F.count("reg_m"))
+            ).alias("merge_ok")
+        )
+    )
+    summary = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_buckets_set"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - CAST(reg AS INT))"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1)))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 50)")
+        ).alias("s_scaled"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        summary.join(F.broadcast(exact), "event_type")
+        .join(F.broadcast(merge_chk), "event_type")
+        .select(
+            "event_type",
+            "n_buckets_set",
+            "s_scaled",
+            (F.lit(float(_HLL_EST_NUM)) / F.col("s_scaled")).alias("raw_estimate"),
+            "exact_distinct",
+            "merge_ok",
+        )
+    )
