@@ -1,0 +1,65 @@
+"""Streaming HLL register fold must equal the batch registers exactly,
+regardless of micro-batch boundaries (max-merge associativity is the
+sketch's whole operational contract)."""
+
+from __future__ import annotations
+
+from osmart_etl_spark.streaming.hll_stream import batch_registers, run_hll_stream
+from tests.conftest import SF_SMALL
+
+
+def test_hll_stream_matches_batch(spark, tmp_path):
+    from osmart_etl_spark.io.sources import read_table
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    # 5 files -> 5 micro-batches with maxFilesPerTrigger=1
+    src = str(tmp_path / "ev_stream")
+    ev.repartition(5).write.parquet(src)
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = run_hll_stream(spark, stream, str(tmp_path / "wd"))
+    want = batch_registers(ev)
+
+    g = sorted(map(tuple, got.collect()))
+    w = sorted(map(tuple, want.collect()))
+    assert g == w and len(g) > 0
+
+
+def test_hll_stream_registers_match_registry_query(spark, tmp_path):
+    """The stream state feeds the same summary the registry query
+    emits: fold the drained registers into (n_buckets_set, s_scaled)
+    and compare against hll_portable_registers' columns."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.queries.base import REGISTRY
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_stream2")
+    ev.repartition(3).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    regs = run_hll_stream(spark, stream, str(tmp_path / "wd2"))
+    summary = {
+        (r.event_type): (r.n_buckets_set, r.s_scaled)
+        for r in regs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets_set"),
+            (
+                F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 50 - CAST(reg AS INT))"))
+                + (F.lit(256) - F.count(F.lit(1)))
+                * F.expr("shiftleft(CAST(1 AS BIGINT), 50)")
+            ).alias("s_scaled"),
+        )
+        .collect()
+    }
+    batch = {
+        r.event_type: (r.n_buckets_set, r.s_scaled)
+        for r in REGISTRY["hll_portable_registers"].fn(spark, SF_SMALL).collect()
+    }
+    assert summary == batch
