@@ -86,6 +86,22 @@ DEFAULT_QUERIES = [
     "source_minhash_overlap",
 ]
 
+# the embeddings tier (round 9, continued): vector ops at amplified
+# volume. Copy k applies an ORTHOGONAL transform (coordinate rotation
+# by k + deterministic sign pattern) — distances/cosines within a copy
+# are preserved EXACTLY (so per-copy cluster/neighbor structure is the
+# base corpus's), while copies are decorrelated against the fixed
+# query-side hyperplanes/probes; vec_id offsets keep the base copy's
+# ids lowest, so deterministic seed/probe selections stay the same.
+EMB_QUERIES = [
+    "kmeans_lloyd",
+    "matryoshka_prefix_rerank",
+    "ivf_build_assign",
+    "pq_encode",
+    "embedding_srp_neardup",
+    "semdedup_keep_list",
+]
+
 # the join tier (round 9): fact/fact-proportional joins at amplified
 # volume — the measurement that catches a forced broadcast of
 # orders/customer by OOM or wall-time instead of by code reading
@@ -119,7 +135,7 @@ def build_amplified(spark, base: str, factor: int) -> str:
     from osmart_etl_spark.io.sources import read_table
 
     name = os.path.basename(base.rstrip("/"))
-    out = f"/tmp/amplify_smoke/{name}_x{factor}_v3"
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v4"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -130,11 +146,13 @@ def build_amplified(spark, base: str, factor: int) -> str:
     orders = read_table(spark, base, "orders")
     customer = read_table(spark, base, "customer")
     lineitem = read_table(spark, base, "lineitem")
+    emb = read_table(spark, base, "embeddings")
     doc_parts = [docs]
     ev_parts = [events]
     o_parts = [orders]
     c_parts = [customer]
     li_parts = [lineitem]
+    emb_parts = [emb]
     for k in range(1, factor):
         perm = _permuted_alphabet(k)
         doc_parts.append(
@@ -171,6 +189,27 @@ def build_amplified(spark, base: str, factor: int) -> str:
                 "c_name", "c_nationkey", "c_acctbal", "c_mktsegment",
             )
         )
+        # embeddings: orthogonal per-copy map — rotate coordinates by k
+        # and flip a deterministic sign pattern. Orthogonal => all
+        # intra-copy distances and cosines preserved bit-structure
+        # (geometry identical), copies decorrelated vs fixed
+        # query-side hyperplanes/probe vectors; vec_id offset keeps the
+        # base copy's ids lowest (seed/probe selections unchanged).
+        d_col = F.size("embedding")
+        sgn = k % 5 + 1
+        emb_parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(1), d_col),
+                    lambda i: (
+                        F.element_at(F.col("embedding"), ((i - 1 + F.lit(k)) % d_col) + 1)
+                        * F.when((i * sgn) % 3 == 0, F.lit(-1.0)).otherwise(F.lit(1.0))
+                    ).cast("float"),
+                ).alias("embedding"),
+                "label",
+            )
+        )
         li_parts.append(
             lineitem.select(
                 (F.col("l_orderkey") + F.lit(k * 1_000_000_000)).alias("l_orderkey"),
@@ -194,7 +233,8 @@ def build_amplified(spark, base: str, factor: int) -> str:
     _write(o_parts, "orders")
     _write(c_parts, "customer")
     _write(li_parts, "lineitem")
-    amplified = ("documents", "events", "orders", "customer", "lineitem")
+    _write(emb_parts, "embeddings")
+    amplified = ("documents", "events", "orders", "customer", "lineitem", "embeddings")
     for t in TABLES:
         if t in amplified:
             continue
@@ -218,6 +258,8 @@ def main() -> int:
             queries = a.split("=", 1)[1].split(",")
         if a == "--join-tier":
             queries = JOIN_QUERIES
+        if a == "--emb-tier":
+            queries = EMB_QUERIES
 
     import osmart_etl_spark.queries  # noqa: F401 — populates REGISTRY
     from osmart_etl_spark.queries.base import REGISTRY
