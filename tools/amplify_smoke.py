@@ -135,7 +135,7 @@ def build_amplified(spark, base: str, factor: int) -> str:
     from osmart_etl_spark.io.sources import read_table
 
     name = os.path.basename(base.rstrip("/"))
-    out = f"/tmp/amplify_smoke/{name}_x{factor}_v4"
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v5"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -207,7 +207,17 @@ def build_amplified(spark, base: str, factor: int) -> str:
                         * F.when((i * sgn) % 3 == 0, F.lit(-1.0)).otherwise(F.lit(1.0))
                     ).cast("float"),
                 ).alias("embedding"),
-                "label",
+                # label = coarse cluster id: copies are NEW clusters (the
+                # orthogonal transform moved them), so cluster COUNT
+                # scales with n at constant cluster size — the realistic
+                # growth mode, same philosophy as the join tier's "more
+                # customers, not more rows per key". Keeping labels fixed
+                # instead is the adversarial knob-stress case: cluster
+                # size grows xk and cluster-blocked pair work grows k^2
+                # (measured: semdedup x100 fixed-label = 156M-pair HOF
+                # dot stream at join parallelism <= |labels|, cut off at
+                # 20+ min — SCALE.md).
+                (F.col("label") + F.lit(k * 1_000_000)).alias("label"),
             )
         )
         li_parts.append(
