@@ -119,6 +119,58 @@ def read_csv(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).option("header", "true").csv(path)
 
 
+def read_jsonl(
+    spark: SparkSession, path: str, schema
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines source with explicit schema and corrupt-record
+    quarantine — the crawl-pipeline ingest path (WET/WARC-derived JSONL
+    shards). Returns (good, quarantine).
+
+    Scale notes: the schema is REQUIRED — schema inference is a full
+    extra pass over the data, unacceptable at 100 TB. PERMISSIVE mode
+    captures unparseable lines in ``_corrupt_record`` instead of
+    dropping them silently (the same errors-as-data doctrine as the
+    multimodal decoders and the CSV quarantine sink, S9); callers route
+    the quarantine side to a sink rather than losing it. Spark requires
+    the corrupt-capture column to be cached/materialized before
+    filtering on it — the ``cache()`` below is that documented
+    contract (SPARK-21610), bounded to one pass.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    full = StructType(
+        list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
+    )
+    raw = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, quarantine
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque-binary source (images/audio/video shards) via Spark's
+    ``binaryFile`` format: (path, modificationTime, length, content).
+    The ingest edge of the multimodal pipeline — content feeds the
+    ``ops.multimodal`` decoders as a binary column. At 100 TB the
+    format's one-file-one-row layout makes file SIZE the partition
+    unit; ``maxPartitionBytes`` governs packing of small files, and the
+    pathGlobFilter prunes at listing time (never reads filtered
+    files)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 def jdbc_scan(
     spark: SparkSession,
     url: str,
