@@ -559,3 +559,90 @@ def mad_outlier_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) shard routing
+# --------------------------------------------------------------------------
+
+_HRW_N = 8  # current shard count; the re-shard adds one
+
+
+@query(
+    "rendezvous_shard_routing",
+    oracle=f"""
+    WITH s8 AS (
+      SELECT doc_id, shard FROM (
+        SELECT d.doc_id, s.shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.doc_id
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                              CAST(s.shard AS VARCHAR)) DESC,
+                          s.shard DESC) AS rn
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HRW_N - 1})) AS shard) s
+      ) WHERE rn = 1
+    ),
+    s9 AS (
+      SELECT doc_id, shard FROM (
+        SELECT d.doc_id, s.shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY d.doc_id
+                 ORDER BY md5(CAST(d.doc_id AS VARCHAR) || ':' ||
+                              CAST(s.shard AS VARCHAR)) DESC,
+                          s.shard DESC) AS rn
+        FROM documents d
+        CROSS JOIN (SELECT UNNEST(generate_series(0, {_HRW_N})) AS shard) s
+      ) WHERE rn = 1
+    )
+    SELECT CAST(s8.shard AS INT) AS shard_before,
+           CAST(s9.shard AS INT) AS shard_after,
+           COUNT(*) AS n_docs
+    FROM s8 JOIN s9 ON s8.doc_id = s9.doc_id
+    GROUP BY 1, 2
+    """,
+    tags=("ext-scale", "rendezvous-hashing", "resharding"),
+)
+def rendezvous_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous/HRW shard routing (Thaler & Ravishankar 1996) and its
+    re-shard stability contract: each doc goes to the shard with the
+    highest md5(doc:shard) weight. Adding shard N+1 can, BY
+    CONSTRUCTION, only move a doc whose new-shard weight beats all old
+    ones — so the (before, after) transition matrix this query emits is
+    structurally diagonal except the single column after = N, and the
+    moved mass is ~1/(N+1) in expectation. That is the property that
+    lets a 100 TB corpus grow its shard fleet without a global
+    reshuffle: ~89% of data stays put, verified here as data (any
+    off-diagonal row with after != {_HRW_N} would hash-mismatch the
+    oracle and fail the structural test).
+
+    Shape: the weight argmax is a row-side ``array_max`` over N+1
+    (hash, shard) structs — zero shuffle, whole-stage codegen, no
+    per-doc explode (the oracle's UNNEST form is the relational
+    equivalent, quadratic in nothing); the only exchange is the final
+    ≤ N² -row count matrix.
+    """
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    def best_shard(n: int):
+        structs = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("doc_id").cast("string"), s.cast("string")
+                    )
+                ).alias("h"),
+                s.cast("int").alias("s"),
+            ),
+        )
+        return F.array_max(structs)["s"]
+
+    routed = docs.select(
+        best_shard(_HRW_N).alias("shard_before"),
+        best_shard(_HRW_N + 1).alias("shard_after"),
+    )
+    return (
+        routed.groupBy("shard_before", "shard_after")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
