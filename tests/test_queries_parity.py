@@ -82,3 +82,18 @@ def test_approx_sketches_residue_rotation(spark):
         assert rows and all(r["p50_ok"] and r["approx_users_ok"] for r in rows)
     finally:
         spark.conf.unset("spark.osmart.audit.residue")
+
+
+def test_registry_names_never_removed_or_renamed():
+    """The driver samples queries BY NAME across rounds, so renaming or
+    removing a registered name silently voids its correctness history.
+    Every name ever shipped is frozen in registry_names_frozen.txt;
+    additions append to the file, removals/renames fail here."""
+    import os
+
+    frozen_path = os.path.join(os.path.dirname(__file__), "registry_names_frozen.txt")
+    with open(frozen_path) as fh:
+        frozen = {line.strip() for line in fh if line.strip()}
+    current = set(q.REGISTRY)
+    missing = sorted(frozen - current)
+    assert not missing, f"registry names removed/renamed: {missing}"
