@@ -127,30 +127,37 @@ def read_jsonl(
     shards). Returns (good, quarantine).
 
     Scale notes: the schema is REQUIRED — schema inference is a full
-    extra pass over the data, unacceptable at 100 TB. PERMISSIVE mode
-    captures unparseable lines in ``_corrupt_record`` instead of
-    dropping them silently (the same errors-as-data doctrine as the
-    multimodal decoders and the CSV quarantine sink, S9); callers route
-    the quarantine side to a sink rather than losing it. Spark requires
-    the corrupt-capture column to be cached/materialized before
-    filtering on it — the ``cache()`` below is that documented
-    contract (SPARK-21610), bounded to one pass.
+    extra pass over the data, unacceptable at 100 TB. Unparseable lines
+    become quarantine rows instead of being dropped silently (the same
+    errors-as-data doctrine as the multimodal decoders and the CSV
+    quarantine sink, S9); callers route the quarantine side to a sink
+    rather than losing it. Implemented as ``text`` + ``from_json``
+    rather than the DataFrameReader's PERMISSIVE ``_corrupt_record``
+    column: filtering on that column requires caching the whole input
+    first (SPARK-21610) — a non-starter at corpus scale — while
+    ``from_json`` marks an unparseable line inside one ordinary
+    scan-bound projection (the corrupt-capture field is part of the
+    parse result itself), so both returned frames are plain filters
+    over the same scan with no materialization anywhere.
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
     full = StructType(
         list(schema.fields) + [StructField("_corrupt_record", StringType(), True)]
     )
-    raw = (
-        spark.read.schema(full)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(path)
-        .cache()
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.from_json(
+            F.col("value"),
+            full,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("j")
     )
-    good = raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
-        "_corrupt_record"
+    good = parsed.filter(F.col("j._corrupt_record").isNull()).select(
+        *[F.col(f"j.{f.name}") for f in schema.fields]
+    )
+    quarantine = parsed.filter(F.col("j._corrupt_record").isNotNull()).select(
+        F.col("j._corrupt_record").alias("_corrupt_record")
     )
     return good, quarantine
 
