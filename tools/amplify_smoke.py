@@ -84,6 +84,10 @@ DEFAULT_QUERIES = [
     "dedup_cluster_size_histogram",
     "source_overlap_matrix",
     "source_minhash_overlap",
+    # round-9 continued-session additions (measured linear on arrival)
+    "dedup_edit_passjoin",
+    "hll_portable_registers",
+    "bm25_doc_retrieval",
 ]
 
 # the embeddings tier (round 9, continued): vector ops at amplified
