@@ -607,7 +607,11 @@ def entity_levenshtein_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist ≤ d) and is sargable where the O(n·m) DP is not — at scale it
     prunes before the expensive comparator, same pattern as the
     size-ratio guard in entity_fuzzy_match. Distinct-name pairing
-    keeps the pair space ~500 names, not 20k rows. Distances compare
+    keeps the pair space ~500 names, not 20k rows. (The last-word
+    block is a RECALL HEURISTIC — a typo in the last word escapes it;
+    ``dedup_edit_passjoin`` in queries/linkage.py is the
+    provably-complete PassJoin segment blocking for when missed pairs
+    are not acceptable.) Distances compare
     the NORMALIZED names (same lower/trim/collapse as the trigram
     stage — the cascade's two stages must agree on what a 'name'
     is)."""
