@@ -646,3 +646,115 @@ def rendezvous_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         routed.groupBy("shard_before", "shard_after")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus shard packing via distributed prefix sum
+# --------------------------------------------------------------------------
+
+_SP_SHARDS = 16  # output shards (token-balanced)
+_SP_BUCKETS = 32  # prefix-sum blocks (one per executor-ish at test scale)
+
+
+@query(
+    "corpus_shard_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+                  AS BIGINT) AS tokens
+      FROM documents
+    ),
+    tot AS (
+      SELECT MAX(doc_id) AS max_id, SUM(tokens) AS total FROM t
+    ),
+    c AS (
+      SELECT doc_id, tokens,
+             SUM(tokens) OVER (ORDER BY doc_id) - tokens AS cum_excl
+      FROM t
+    )
+    SELECT CAST(c.cum_excl // ((tot.total + {_SP_SHARDS} - 1) // {_SP_SHARDS})
+                AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(c.tokens) AS BIGINT) AS n_tokens,
+           MIN(c.doc_id) AS first_doc,
+           MAX(c.doc_id) AS last_doc
+    FROM c, tot
+    GROUP BY 1
+    """,
+    tags=("scale-tech", "prefix-sum", "sharded-write"),
+)
+def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-balanced output sharding — the training-data pipeline's
+    final step (write the curated corpus as N shards of ~equal token
+    count, in stable doc order) — computed with a DISTRIBUTED PREFIX
+    SUM instead of the naive global cumsum window, which plans as a
+    single-partition WindowExec and serializes the whole corpus
+    through one task.
+
+    Two-phase prefix sum (the textbook block-scan): docs are bucketed
+    by contiguous doc_id range (bucket = doc_id·B/(max_id+1) — pure
+    arithmetic, no sort), phase 1 aggregates per-bucket token totals
+    (B rows), phase 2 turns those into exclusive bucket offsets with a
+    B-row window (trivially small) and each bucket computes its
+    interior cumsum under ``partitionBy(bucket)`` — parallel across
+    buckets, exact, and bit-identical to the oracle's serial cumsum.
+    shard_id = exclusive-prefix // ceil(total/N) in bigint arithmetic;
+    a doc straddling a boundary lands in the shard its FIRST token
+    falls in (the exclusive-prefix convention, same on both engines).
+    At 100 TB: B scales with the cluster (one bucket per task), the
+    only non-scan work is two bounded aggregations, and the emitted
+    (shard → doc-range) map is exactly what a writer needs to produce
+    contiguous, resumable shards.
+    """
+    from osmart_etl_spark.ops.text import token_count
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("tokens")
+    )
+    tot = docs.agg(
+        F.max("doc_id").alias("max_id"), F.sum("tokens").alias("total")
+    )
+    b = docs.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        "tokens",
+        "total",
+        F.expr(f"(doc_id * {_SP_BUCKETS}) DIV (max_id + 1)").alias("bucket"),
+    )
+    bucket_tot = b.groupBy("bucket").agg(F.sum("tokens").alias("btot"))
+    w_off = (
+        Window.partitionBy(F.lit(0))  # B rows — bounded by construction
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_off = bucket_tot.select(
+        "bucket", (F.sum("btot").over(w_off) - F.col("btot")).alias("boff")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = b.join(F.broadcast(bucket_off), "bucket").select(
+        "doc_id",
+        "tokens",
+        "total",
+        (F.col("boff") + F.sum("tokens").over(w_in) - F.col("tokens")).alias(
+            "cum_excl"
+        ),
+    )
+    # bigint DIV throughout: exact at any corpus size (a double round
+    # trip would wobble past 2^53 tokens)
+    shard = F.expr(
+        f"cum_excl DIV ((total + {_SP_SHARDS - 1}) DIV {_SP_SHARDS})"
+    ).cast("bigint")
+    return (
+        cum.select(shard.alias("shard_id"), "doc_id", "tokens")
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("bigint").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
