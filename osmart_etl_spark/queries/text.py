@@ -1615,3 +1615,84 @@ def bm25_doc_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("score")
     )
+
+
+@query(
+    "dedup_soft_weights",
+    oracle=f"""
+    WITH RECURSIVE verified AS ({_NGRAM_JACCARD_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM verified
+      UNION
+      SELECT id_b AS u, id_a AS v FROM verified
+    ),
+    reach(node, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, rc.r FROM edges e JOIN reach rc ON e.v = rc.node
+    ),
+    canon AS (
+      SELECT d.doc_id, COALESCE(MIN(rc.r), d.doc_id) AS canonical_id
+      FROM documents d LEFT JOIN reach rc ON rc.node = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    sizes AS (
+      SELECT canonical_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+      FROM canon GROUP BY canonical_id
+    )
+    SELECT c.doc_id, c.canonical_id, s.cluster_size,
+           1.0 / s.cluster_size AS sample_weight
+    FROM canon c JOIN sizes s ON s.canonical_id = c.canonical_id
+    """,
+    tags=("ext-dedup", "soft-dedup", "reweighting"),
+)
+def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup: DOWNWEIGHT duplicates instead of dropping them —
+    every doc gets sampling weight 1/|its near-dup cluster| (singletons
+    weight 1), so each semantic item contributes one unit of expected
+    training mass while all surface variants stay available (the
+    reweighting alternative to hard removal, cf. SoftDeDup,
+    He et al. 2024). The weight is ONE float division of identical
+    bigint operands — engine-exact.
+
+    Reuses the measured LSH → size-dispatched verify → components DAG
+    (same linear shape as dedup_components, SCALE.md); the additions
+    are a cluster-size count keyed by canonical id and a left join that
+    restores singletons — both map-side-combinable. Downstream, the
+    weight column feeds weighted_sample_pps for the actual draw.
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        estimate_corpus_shingles,
+        jaccard_verify_auto,
+        minhash_band_keys,
+        shingle_sets,
+    )
+    from osmart_etl_spark.ops.graph import connected_components
+
+    d = read_table(spark, sf_dir, "documents")
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+    n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
+    verified = jaccard_verify_auto(
+        sets, cand, "doc_id", threshold=0.5, n_docs=n_docs, n_corpus_shingles=n_sh
+    )
+    comp = connected_components(verified.select("id_a", "id_b"), "id_a", "id_b")
+    canon = (
+        d.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("canonical_id"),
+        )
+    )
+    sizes = canon.groupBy("canonical_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return canon.join(sizes, "canonical_id").select(
+        "doc_id",
+        "canonical_id",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("sample_weight"),
+    )
