@@ -650,12 +650,37 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same edge-vs-alive iteration).
     """
     li = read_table(spark, sf_dir, "lineitem")
-    basket = li.select("l_orderkey", "l_partkey").distinct()
-    a = basket.select("l_orderkey", F.col("l_partkey").alias("u"))
-    b = basket.select("l_orderkey", F.col("l_partkey").alias("v"))
+    # pair generation MAP-SIDE from per-order sorted arrays with
+    # numbered repartitions (the item_cooccurrence discipline) — the
+    # orderkey self-join variant let AQE byte-coalesce the 6M-record
+    # post-distinct exchange into ONE task at amplified x100 (measured,
+    # SCALE.md), serializing the pair-explode CPU; the distinct itself
+    # gets the same guard (its two-bigint rows are byte-light but
+    # record-heavy, exactly the coalescing trap)
+    n_par = spark.sparkContext.defaultParallelism * 2
+    basket = (
+        li.select("l_orderkey", "l_partkey")
+        .repartition(n_par, "l_orderkey", "l_partkey")
+        .distinct()
+    )
+    arrs = (
+        basket.repartition(n_par, "l_orderkey")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+    )
+    pair_col = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.size("ps")),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("u") < F.col("v"))
+        arrs.select(F.explode(pair_col).alias("__p"))
+        .select(F.col("__p.u").alias("u"), F.col("__p.v").alias("v"))
+        .repartition(n_par, "u", "v")
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= _KC_MIN_CO)
