@@ -102,3 +102,69 @@ def test_passjoin_on_testdata_matches_bruteforce(spark):
     )
     want = {(r.doc_a, r.doc_b, r.d) for r in brute.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property: the segment/window enumeration is COMPLETE for any pair within
+# tau — pure-Python mirror of the Spark key expressions, so hypothesis can
+# hammer the off-by-one-prone windowing math with thousands of cases.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_M, _TAU = 3, 2
+
+
+def _seg(l: int, i: int) -> tuple[int, int]:  # (start0, length), 0-based
+    base, rem = divmod(l, _M)
+    length = base + (1 if i >= _M - rem else 0)
+    start = i * base + max(i - (_M - rem), 0)
+    return start, length
+
+
+def _index_keys(s: str):
+    l = len(s)
+    return {(l, i, s[_seg(l, i)[0] : _seg(l, i)[0] + _seg(l, i)[1]]) for i in range(_M)}
+
+
+def _probe_keys(r: str):
+    lr = len(r)
+    keys = set()
+    for l in range(max(lr - _TAU, _M), lr + 1):
+        for i in range(_M):
+            start, ln = _seg(l, i)
+            for p in range(max(0, start - _TAU), min(lr - ln, start + _TAU) + 1):
+                keys.add((l, i, r[p : p + ln]))
+    return keys
+
+
+@settings(max_examples=2000, deadline=None)
+@given(
+    s=st.text(alphabet="ab ", min_size=3, max_size=24),
+    edits=st.lists(
+        st.tuples(st.integers(0, 23), st.sampled_from("ins del sub".split()),
+                  st.sampled_from("ab ")),
+        min_size=0, max_size=2,
+    ),
+)
+def test_passjoin_blocking_is_complete(s, edits):
+    """Apply <= tau random edits to s; if both strings are long enough to
+    segment, the probe keys of the LONGER string must intersect the
+    index keys of the SHORTER (the candidate-generation guarantee)."""
+    r = s
+    for pos, kind, ch in edits:
+        p = pos % max(len(r), 1)
+        if kind == "ins":
+            r = r[:p] + ch + r[p:]
+        elif kind == "del" and r:
+            r = r[:p] + r[p + 1 :]
+        elif kind == "sub" and r:
+            r = r[:p] + ch + r[p + 1 :]
+    if len(s) < _M or len(r) < _M:
+        return
+    d = _lev(s, r)
+    if d > _TAU:
+        return
+    short, long_ = (s, r) if len(s) <= len(r) else (r, s)
+    assert _index_keys(short) & _probe_keys(long_), (s, r, d)
