@@ -434,3 +434,35 @@ def merge_accumulate(
         ledger_path
     )
     return True
+
+
+def write_sharded_corpus(
+    docs: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "tokens",
+    n_shards: int = 16,
+) -> None:
+    """Materialize the corpus as token-balanced contiguous shards —
+    the writer behind ``corpus_shard_packing``'s plan: shard ids come
+    from ``ops.packing.assign_token_shards`` (distributed prefix sum),
+    the layout is ``shard_id=<k>/`` hive partitions so a trainer (or a
+    resume) addresses shards by directory, and each shard coalesces its
+    rows before writing so one shard = one file at test scale
+    (``maxRecordsPerFile`` takes over when shards outgrow single
+    files). Contiguity by construction: shard k holds a contiguous
+    ``id_col`` range, so re-runs and partial reads are range-addressable.
+    """
+    from osmart_etl_spark.ops.packing import assign_token_shards
+
+    assigned = assign_token_shards(
+        docs, id_col, token_col, n_shards=n_shards
+    )
+    (
+        assigned.repartition(n_shards, "shard_id")
+        .sortWithinPartitions("shard_id", id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

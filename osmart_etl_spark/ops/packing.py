@@ -75,3 +75,57 @@ def pack_sequences(
         return out
 
     return base.groupBy("shard").applyInPandas(pack, schema=PACK_SCHEMA)
+
+
+def assign_token_shards(
+    docs: DataFrame,
+    id_col: str,
+    token_col: str,
+    *,
+    n_shards: int,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Token-balanced contiguous shard assignment via two-phase
+    distributed prefix sum (the ``corpus_shard_packing`` core, exported
+    so the sharded WRITER can reuse it): returns ``docs`` columns plus
+    ``shard_id``, where shard = exclusive-token-prefix DIV
+    ceil(total/n_shards). Exact (bigint DIV throughout), parallel across
+    ``n_buckets`` contiguous id ranges, no single-partition window —
+    see queries/scale_ops.corpus_shard_packing for the plan analysis.
+    """
+    from pyspark.sql import Window
+
+    tot = docs.agg(
+        F.max(id_col).alias("__max_id"), F.sum(token_col).alias("__total")
+    )
+    b = docs.crossJoin(F.broadcast(tot)).withColumn(
+        "__bucket", F.expr(f"({id_col} * {n_buckets}) DIV (__max_id + 1)")
+    )
+    bucket_tot = b.groupBy("__bucket").agg(F.sum(token_col).alias("__btot"))
+    w_off = (
+        Window.partitionBy(F.lit(0))  # n_buckets rows — bounded
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bucket_off = bucket_tot.select(
+        "__bucket", (F.sum("__btot").over(w_off) - F.col("__btot")).alias("__boff")
+    )
+    w_in = (
+        Window.partitionBy("__bucket")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        b.join(F.broadcast(bucket_off), "__bucket")
+        .withColumn(
+            "__cum_excl",
+            F.col("__boff") + F.sum(token_col).over(w_in) - F.col(token_col),
+        )
+        .withColumn(
+            "shard_id",
+            F.expr(
+                f"__cum_excl DIV ((__total + {n_shards - 1}) DIV {n_shards})"
+            ).cast("bigint"),
+        )
+        .drop("__bucket", "__max_id", "__total", "__btot", "__boff", "__cum_excl")
+    )

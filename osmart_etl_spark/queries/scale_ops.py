@@ -707,49 +707,17 @@ def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shard → doc-range) map is exactly what a writer needs to produce
     contiguous, resumable shards.
     """
+    from osmart_etl_spark.ops.packing import assign_token_shards
     from osmart_etl_spark.ops.text import token_count
 
     docs = read_table(spark, sf_dir, "documents").select(
         "doc_id", token_count(F.col("text")).cast("bigint").alias("tokens")
     )
-    tot = docs.agg(
-        F.max("doc_id").alias("max_id"), F.sum("tokens").alias("total")
+    assigned = assign_token_shards(
+        docs, "doc_id", "tokens", n_shards=_SP_SHARDS, n_buckets=_SP_BUCKETS
     )
-    b = docs.crossJoin(F.broadcast(tot)).select(
-        "doc_id",
-        "tokens",
-        "total",
-        F.expr(f"(doc_id * {_SP_BUCKETS}) DIV (max_id + 1)").alias("bucket"),
-    )
-    bucket_tot = b.groupBy("bucket").agg(F.sum("tokens").alias("btot"))
-    w_off = (
-        Window.partitionBy(F.lit(0))  # B rows — bounded by construction
-        .orderBy("bucket")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bucket_off = bucket_tot.select(
-        "bucket", (F.sum("btot").over(w_off) - F.col("btot")).alias("boff")
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = b.join(F.broadcast(bucket_off), "bucket").select(
-        "doc_id",
-        "tokens",
-        "total",
-        (F.col("boff") + F.sum("tokens").over(w_in) - F.col("tokens")).alias(
-            "cum_excl"
-        ),
-    )
-    # bigint DIV throughout: exact at any corpus size (a double round
-    # trip would wobble past 2^53 tokens)
-    shard = F.expr(
-        f"cum_excl DIV ((total + {_SP_SHARDS - 1}) DIV {_SP_SHARDS})"
-    ).cast("bigint")
     return (
-        cum.select(shard.alias("shard_id"), "doc_id", "tokens")
+        assigned.select("shard_id", "doc_id", "tokens")
         .groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
