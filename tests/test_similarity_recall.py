@@ -173,3 +173,57 @@ def test_knn_incremental_matches_full_recompute(spark):
         (r["q_id"], r["vec_id"], round(r["cos_sim"], 12)) for r in df.collect()
     )
     assert key(state) == key(full)
+
+
+def test_ann_recall_monotone_in_nprobe(spark):
+    """The audit's knob contract: probing more clusters can only add
+    candidates, so per-probe recall@k is monotone in nprobe."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.ops.similarity import as_double_array, ivf_probe_topk
+    from tests.conftest import SF_SMALL
+
+    emb = read_table(spark, SF_SMALL, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("q_id"),
+        as_double_array(F.col("embedding")).alias("q_vec"),
+    )
+    corpus = emb.filter(F.col("vec_id") >= 8)
+
+    def hits(nprobe):
+        out = ivf_probe_topk(
+            corpus, probes, id_col="vec_id", vec_col="embedding",
+            cluster_col="label", k=10, nprobe=nprobe,
+        )
+        d = {}
+        for r in out.collect():
+            d.setdefault(r.q_id, set()).add(r.vec_id)
+        return d
+
+    from osmart_etl_spark.queries.base import REGISTRY
+
+    base = {
+        r.q_id: r.n_overlap
+        for r in REGISTRY["ann_recall_audit"].fn(spark, SF_SMALL).collect()
+    }
+    h4 = hits(4)
+    # brute truth
+    from osmart_etl_spark.ops.similarity import cosine
+    from pyspark.sql import Window
+
+    v = as_double_array(F.col("embedding"))
+    scored = corpus.crossJoin(F.broadcast(probes)).select(
+        "q_id", "vec_id", cosine(v, F.col("q_vec")).alias("cos_sim")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    truth = {}
+    for r in (
+        scored.withColumn("rn", F.row_number().over(w)).filter("rn <= 10").collect()
+    ):
+        truth.setdefault(r.q_id, set()).add(r.vec_id)
+
+    for q, t in truth.items():
+        assert len(t & h4.get(q, set())) >= base[q]
