@@ -831,3 +831,101 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("source").alias("n_sources"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# HTML text extraction (the crawl step between ingest and lang-ID)
+# --------------------------------------------------------------------------
+
+#: Entity pairs, unescaped in this order (amp LAST so '&amp;lt;' does
+#: not double-decode — the standard single-pass convention).
+_HTML_ENTITIES = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                  ("&#39;", "'"), ("&amp;", "&"))
+
+
+@query(
+    "html_extract_text",
+    oracle="""
+    WITH page AS (
+      SELECT doc_id,
+        '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        '</title><style>body { color: red; }</style></head><body><h1>Doc ' ||
+        CAST(doc_id AS VARCHAR) || '</h1>\n<p>' ||
+        replace(replace(replace(text, '&', '&amp;'), '<', '&lt;'), '>', '&gt;') ||
+        '</p><script>track(1 < 2);</script></body></html>' AS html
+      FROM documents
+    ),
+    stripped AS (
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(html, '(?is)<script.*?</script>', ' ', 'g'), '(?is)<style.*?</style>', ' ', 'g'),
+            '<[^>]+>', ' ', 'g'),
+          '\\s+', ' ', 'g') AS t
+      FROM page
+    ),
+    unescaped AS (
+      SELECT doc_id,
+        trim(replace(replace(replace(replace(replace(t,
+          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+          '&amp;', '&')) AS extracted
+      FROM stripped
+    )
+    SELECT u.doc_id, u.extracted,
+           u.extracted = 'Doc ' || CAST(u.doc_id AS VARCHAR) || ' Doc ' ||
+             CAST(u.doc_id AS VARCHAR) || ' ' ||
+             trim(regexp_replace(d.text, '\\s+', ' ', 'g')) AS roundtrip_ok
+    FROM unescaped u JOIN documents d ON d.doc_id = u.doc_id
+    """,
+    tags=("ext-cleaning", "html-extraction"),
+)
+def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction — the crawl-pipeline step between raw
+    ingest and language-ID: drop <script>/<style> subtrees (their
+    content is code, not text), strip tags, unescape the five core
+    entities (amp last, the single-pass convention), collapse
+    whitespace. All regex/replace chains are JVM-side codegen — at
+    100 TB this is a zero-shuffle projection over the scan, exactly
+    like pii_scrub.
+
+    Verification is a ROUNDTRIP CONTRACT: the query first builds a
+    deterministic page around each document (title/h1/style/script
+    chrome + the entity-escaped body), then extracts, and emits
+    ``roundtrip_ok`` — extraction must recover precisely the h1 text
+    plus the whitespace-normalized body, bit-for-bit on both engines.
+    A regex-dialect divergence (Java vs RE2 lazy quantifiers, dotall
+    flags) or an entity-order bug turns the boolean false and fails
+    the value hash — the extractor's correctness is data, not a code
+    review. (Real crawl HTML is adversarial in ways no regex handles —
+    unbalanced tags, CDATA, JS-built DOM; this operator is the
+    linear-scan90% path, and the quarantine doctrine catches the rest.)
+    """
+    d = read_table(spark, sf_dir, "documents")
+    esc = F.col("text")
+    for a, b in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(a), F.lit(b))
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><style>body { color: red; }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"), F.lit("</h1>\n<p>"), esc,
+        F.lit("</p><script>track(1 < 2);</script></body></html>"),
+    )
+    # two passes, no backreference: DuckDB's RE2 has none (and would
+    # match '\\1' literally, silently leaving scripts in the text)
+    t = F.regexp_replace(html, r"(?is)<script.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style.*?</style>", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    t = F.regexp_replace(t, r"\s+", " ")
+    for a, b in _HTML_ENTITIES:
+        t = F.replace(t, F.lit(a), F.lit(b))
+    extracted = F.trim(t)
+    expected = F.concat(
+        F.lit("Doc "), F.col("doc_id").cast("string"),
+        F.lit(" Doc "), F.col("doc_id").cast("string"), F.lit(" "),
+        F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")),
+    )
+    return d.select(
+        "doc_id",
+        extracted.alias("extracted"),
+        (extracted == expected).alias("roundtrip_ok"),
+    )

@@ -245,3 +245,16 @@ def test_span_excised_text_removes_planted_paragraph(spark):
     assert out["a"] == "pre1 pre2 tail1"
     assert out["b"] == "other1 other2 other3"
     assert out["c"] == c
+
+
+def test_html_extract_roundtrip_all_ok(spark):
+    """Every doc must survive the build-page→extract roundtrip exactly
+    (the in-development RE2-backreference divergence was caught by this
+    boolean going false on the DuckDB side)."""
+    from osmart_etl_spark.queries.base import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["html_extract_text"].fn(spark, SF_SMALL).collect()
+    assert len(rows) > 0
+    assert all(r.roundtrip_ok for r in rows)
+    assert all("<" not in r.extracted and "track(" not in r.extracted for r in rows)
