@@ -631,7 +631,7 @@ def _kcore_oracle() -> str:
     tags=("ext-graph", "kcore", "iterative"),
 )
 def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """{k}-core of the co-purchase graph by iterative peeling: drop
+    """k-core (k=3) of the co-purchase graph by iterative peeling: drop
     every node with degree < k, recompute degrees over the survivors,
     repeat. Output: the surviving nodes with their within-core degree —
     the dense-subgraph extractor (template/mirror cliques in a near-dup
@@ -643,7 +643,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by basket size, never O(n²)) and persisted; each peel round
     is two semi-joins of edges against the shrinking alive set plus one
     map-side-combinable degree count, with the tiny alive list
-    localCheckpoint'd so the plan stays flat across {T} rounds. At
+    localCheckpoint'd so the plan stays flat across the 16 rounds. At
     100 TB the alive set is node-sized (≪ edges) and the per-round
     shuffle is bounded by the CURRENT edge count, which only shrinks —
     the standard distributed-peeling shape (Montresor et al. 2013 use

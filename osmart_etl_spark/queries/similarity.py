@@ -450,7 +450,7 @@ _RA_NQ = 8  # probes: vec_id < 8; corpus: the rest
     tags=("ext-sim", "ivf", "recall-audit"),
 )
 def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{k} of the IVF probe against the brute-force ground truth,
+    """Recall@10 of the IVF probe against the brute-force ground truth,
     per probe query, AS DATA — the approximate index's quality contract
     moves from a pytest into the driver-verified surface (the
     minhash_estimate_quality pattern applied to ANN): a quantizer or
@@ -458,7 +458,7 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     silent recall drop discovered in production.
 
     Both rankings share one scored table and the same (cos desc, id
-    asc) total order; recall = overlap/k is one division of identical
+    asc) total order; recall = overlap/10 is one division of identical
     operands. At 100 TB the audit runs on a probe SAMPLE exactly like
     this (brute force over all queries is the thing IVF exists to
     avoid — auditing 8 probes costs one corpus scan, the same rotation
