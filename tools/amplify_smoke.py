@@ -106,6 +106,21 @@ EMB_QUERIES = [
     "semdedup_keep_list",
 ]
 
+# the skew tier (round 9, continued): volume-amplified events where each
+# copy reassigns 30% of its rows to user_id 0 — a hot key that grows to
+# ~30% of the whole table at x100. Uniform-key amplification (the
+# default) can never expose a per-key serialization: this tier measures
+# exactly the queries whose shuffles/windows key on user_id, where a hot
+# key means one giant sort partition (the W2 skew study's question,
+# asked of the whole user-keyed family).
+SKEW_QUERIES = [
+    "salted_skew_agg",
+    "session_windows",
+    "max_concurrent_sessions",
+    "cumulative_distinct_users",
+    "tumbling_window_net",
+]
+
 # the join tier (round 9): fact/fact-proportional joins at amplified
 # volume — the measurement that catches a forced broadcast of
 # orders/customer by OOM or wall-time instead of by code reading
@@ -118,6 +133,8 @@ JOIN_QUERIES = [
     "lm_perplexity_kneser_ney",  # round-9 single-occ-shuffle rework
 ]
 
+
+SKEW_HOT_FRACTION = 0.0  # set by --skew-tier (0.3)
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _AFFINE_A = (1, 3, 7, 9, 11, 15, 17, 19, 21, 23, 25, 5)
@@ -139,7 +156,8 @@ def build_amplified(spark, base: str, factor: int) -> str:
     from osmart_etl_spark.io.sources import read_table
 
     name = os.path.basename(base.rstrip("/"))
-    out = f"/tmp/amplify_smoke/{name}_x{factor}_v5"
+    skew = f"_skew{int(SKEW_HOT_FRACTION * 100)}" if SKEW_HOT_FRACTION else ""
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v5{skew}"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -168,11 +186,18 @@ def build_amplified(spark, base: str, factor: int) -> str:
                 "n_chars",  # substitution preserves length exactly
             )
         )
+        amp_uid = F.col("user_id") + F.lit(k * 1_000_000)
+        if SKEW_HOT_FRACTION:
+            # hot key: this fraction of every copy lands on user 0
+            pct = int(SKEW_HOT_FRACTION * 10)
+            amp_uid = F.when(
+                F.col("event_id") % 10 < pct, F.lit(0).cast("bigint")
+            ).otherwise(amp_uid)
         ev_parts.append(
             events.select(
                 (F.col("event_id") + F.lit(k * 1_000_000_000)).alias("event_id"),
                 "ts",
-                (F.col("user_id") + F.lit(k * 1_000_000)).alias("user_id"),
+                amp_uid.alias("user_id"),
                 "event_type",
                 "value",
                 "props",
@@ -274,6 +299,10 @@ def main() -> int:
             queries = JOIN_QUERIES
         if a == "--emb-tier":
             queries = EMB_QUERIES
+        if a == "--skew-tier":
+            queries = SKEW_QUERIES
+            global SKEW_HOT_FRACTION
+            SKEW_HOT_FRACTION = 0.3
 
     import osmart_etl_spark.queries  # noqa: F401 — populates REGISTRY
     from osmart_etl_spark.queries.base import REGISTRY
