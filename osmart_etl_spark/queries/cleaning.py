@@ -929,3 +929,107 @@ def html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         extracted.alias("extracted"),
         (extracted == expected).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# WARC record parsing (ISO 28500 — the crawl archive envelope)
+# --------------------------------------------------------------------------
+
+
+@query(
+    "warc_parse_records",
+    oracle="""
+    WITH blob AS (
+      SELECT doc_id,
+        'WARC/1.0' || chr(13) || chr(10) ||
+        'WARC-Type: response' || chr(13) || chr(10) ||
+        'WARC-Record-ID: <urn:uuid:doc-' || CAST(doc_id AS VARCHAR) || '>' || chr(13) || chr(10) ||
+        'WARC-Target-URI: https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+        'Content-Length: ' || CAST(strlen(text) AS VARCHAR) || chr(13) || chr(10) ||
+        chr(13) || chr(10) || text || chr(13) || chr(10) || chr(13) || chr(10) ||
+        'WARC/1.0' || chr(13) || chr(10) ||
+        'WARC-Type: metadata' || chr(13) || chr(10) ||
+        'WARC-Record-ID: <urn:uuid:meta-' || CAST(doc_id AS VARCHAR) || '>' || chr(13) || chr(10) ||
+        'WARC-Target-URI: https://example.org/' || source || '/' || CAST(doc_id AS VARCHAR) || chr(13) || chr(10) ||
+        'Content-Length: ' || CAST(strlen('lang: ' || lang || ', ok') AS VARCHAR) || chr(13) || chr(10) ||
+        chr(13) || chr(10) || 'lang: ' || lang || ', ok' || chr(13) || chr(10) || chr(13) || chr(10)
+        AS warc
+      FROM documents
+    ),
+    recs AS (
+      SELECT doc_id, UNNEST(string_split(warc, 'WARC/1.0' || chr(13) || chr(10))) AS rec
+      FROM blob
+    ),
+    parsed AS (
+      SELECT doc_id,
+        regexp_extract(rec, 'WARC-Type: ([a-z]+)', 1) AS rec_type,
+        regexp_extract(rec, 'WARC-Record-ID: <([^>]+)>', 1) AS record_id,
+        regexp_extract(rec, 'WARC-Target-URI: ([^\\r]+)', 1) AS target_uri,
+        CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1) AS BIGINT) AS content_length,
+        regexp_extract(rec, '(?s)\\r\\n\\r\\n(.*?)\\r\\n\\r\\n$', 1) AS payload
+      FROM recs WHERE rec != ''
+    )
+    SELECT doc_id, rec_type, record_id, target_uri, content_length,
+           strlen(payload) = content_length AS length_ok
+    FROM parsed
+    """,
+    tags=("ext-ingest", "warc"),
+)
+def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC (ISO 28500) record parsing — the crawl-archive envelope a
+    web-scale pipeline reads before any text work: split a multi-record
+    WARC blob on the version marker, extract the header fields
+    (WARC-Type / Record-ID / Target-URI / Content-Length), slice the
+    payload, and VERIFY the envelope (``length_ok``: declared
+    Content-Length equals the actual payload byte length — the check a
+    real reader uses to resync after truncation).
+
+    Same verification-as-data shape as html_extract_text: the query
+    first builds a deterministic two-record blob (response + metadata)
+    per document, then parses it back; any drift in the record
+    splitting, the header regexes, or the payload slicing flips
+    ``length_ok`` or changes a parsed column and fails the value hash.
+    All string ops are zero-shuffle codegen; a production reader runs
+    the identical expressions over ``binaryFile``-ingested WARC shards
+    (io/sources.read_binary_files) with the record split per file
+    instead of per row. ASCII corpus ⇒ strlen == octet_length on both
+    engines (the documented levenshtein-family contract).
+    """
+    d = read_table(spark, sf_dir, "documents")
+    crlf = "\r\n"
+    uri = F.concat(
+        F.lit("https://example.org/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"),
+    )
+    rec1 = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: response" + crlf),
+        F.lit("WARC-Record-ID: <urn:uuid:doc-"), F.col("doc_id").cast("string"),
+        F.lit(">" + crlf + "WARC-Target-URI: "), uri, F.lit(crlf),
+        F.lit("Content-Length: "), F.octet_length("text").cast("string"),
+        F.lit(crlf + crlf), F.col("text"), F.lit(crlf + crlf),
+    )
+    rec2 = F.concat(
+        F.lit("WARC/1.0" + crlf + "WARC-Type: metadata" + crlf),
+        F.lit("WARC-Record-ID: <urn:uuid:meta-"), F.col("doc_id").cast("string"),
+        F.lit(">" + crlf + "WARC-Target-URI: "), uri, F.lit(crlf),
+        F.lit("Content-Length: "),
+        F.octet_length(F.concat(F.lit("lang: "), F.col("lang"), F.lit(", ok")))
+        .cast("string"),
+        F.lit(crlf + crlf),
+        F.lit("lang: "), F.col("lang"), F.lit(", ok"), F.lit(crlf + crlf),
+    )
+    blob = F.concat(rec1, rec2)
+    recs = d.select(
+        "doc_id", F.explode(F.split(blob, "WARC/1\\.0\r\n")).alias("rec")
+    ).filter(F.col("rec") != "")
+    payload = F.regexp_extract(F.col("rec"), r"(?s)\r\n\r\n(.*?)\r\n\r\n$", 1)
+    return recs.select(
+        "doc_id",
+        F.regexp_extract("rec", r"WARC-Type: ([a-z]+)", 1).alias("rec_type"),
+        F.regexp_extract("rec", r"WARC-Record-ID: <([^>]+)>", 1).alias("record_id"),
+        F.regexp_extract("rec", r"WARC-Target-URI: ([^\r]+)", 1).alias("target_uri"),
+        F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1)
+        .cast("bigint")
+        .alias("content_length"),
+        (F.octet_length(payload) == F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1).cast("bigint")).alias("length_ok"),
+    )

@@ -258,3 +258,18 @@ def test_html_extract_roundtrip_all_ok(spark):
     assert len(rows) > 0
     assert all(r.roundtrip_ok for r in rows)
     assert all("<" not in r.extracted and "track(" not in r.extracted for r in rows)
+
+
+def test_warc_parse_envelope_verified(spark):
+    from osmart_etl_spark.queries.base import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["warc_parse_records"].fn(spark, SF_SMALL).collect()
+    n_docs = spark.read.parquet(SF_SMALL + "/documents.parquet").count()
+    assert len(rows) == 2 * n_docs  # response + metadata per doc
+    assert all(r.length_ok for r in rows)
+    types = {r.doc_id: set() for r in rows}
+    for r in rows:
+        types[r.doc_id].add(r.rec_type)
+        assert r.target_uri.startswith("https://example.org/")
+    assert all(t == {"response", "metadata"} for t in types.values())
