@@ -1028,8 +1028,15 @@ def warc_parse_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("rec", r"WARC-Type: ([a-z]+)", 1).alias("rec_type"),
         F.regexp_extract("rec", r"WARC-Record-ID: <([^>]+)>", 1).alias("record_id"),
         F.regexp_extract("rec", r"WARC-Target-URI: ([^\r]+)", 1).alias("target_uri"),
+        # try_cast: a record with NO Content-Length header extracts ''
+        # and an ANSI cast would THROW — the §2.8 try-family doctrine
+        # (found by the malformed-envelope fuzz test)
         F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1)
-        .cast("bigint")
+        .try_cast("bigint")
         .alias("content_length"),
-        (F.octet_length(payload) == F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1).cast("bigint")).alias("length_ok"),
+        (
+            F.octet_length(payload)
+            == F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1)
+            .try_cast("bigint")
+        ).alias("length_ok"),
     )

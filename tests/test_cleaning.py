@@ -273,3 +273,36 @@ def test_warc_parse_envelope_verified(spark):
         types[r.doc_id].add(r.rec_type)
         assert r.target_uri.startswith("https://example.org/")
     assert all(t == {"response", "metadata"} for t in types.values())
+
+
+def test_warc_and_html_parsers_survive_malformed_input(spark):
+    """Errors-as-data for the text parsers too (the codec-fuzz
+    doctrine): truncated/malformed envelopes must yield empty/null
+    fields or a false verification boolean — never an exception."""
+    from pyspark.sql import functions as F
+
+    blobs = [
+        (1, "WARC/1.0\r\nWARC-Type: response\r\n"),             # no payload
+        (2, "WARC/1.0\r\nGarbage-Header\r\n\r\nbody"),          # no fields
+        (3, ""),                                                # empty
+        (4, "WARC/1.0\r\nContent-Length: 999\r\n\r\nhi\r\n\r\n"),  # lying length
+        (5, "no warc marker at all"),
+    ]
+    df = spark.createDataFrame(blobs, "doc_id bigint, rec string")
+    parsed = df.select(
+        "doc_id",
+        F.regexp_extract("rec", r"WARC-Type: ([a-z]+)", 1).alias("rec_type"),
+        F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1).alias("cl_raw"),
+        (
+            F.octet_length(
+                F.regexp_extract("rec", r"(?s)\r\n\r\n(.*?)\r\n\r\n$", 1)
+            )
+            == F.regexp_extract("rec", r"Content-Length: ([0-9]+)", 1)
+            .try_cast("bigint")
+        ).alias("length_ok"),
+    ).collect()
+    by_id = {r.doc_id: r for r in parsed}
+    assert by_id[1].rec_type == "response" and by_id[1].length_ok is None
+    assert by_id[2].rec_type == "" and by_id[2].cl_raw == ""
+    assert by_id[4].length_ok is False  # lying Content-Length detected
+    assert by_id[5].rec_type == ""
