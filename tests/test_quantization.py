@@ -136,3 +136,18 @@ def test_int8_quantize_bounds_and_error(spark):
     # max per-vector error <= 64 dims * (max_scale/127)^2
     row = out.agg(F.max("recon_err_sq").alias("m")).collect()[0]
     assert row["m"] < 64 * (2.0 / 127.0) ** 2 * 10  # loose sanity bound
+
+
+def test_jl_projection_distortion_bounds(spark):
+    """Deterministic seed + data => exact distortion stats; the audit
+    must report >=85% of pairs within [0.5, 2] per probe at k=16 (the
+    measured floor is 91), and ratios must be strictly positive."""
+    from osmart_etl_spark.queries.base import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    rows = REGISTRY["jl_projection_audit"].fn(spark, SF_SMALL).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_pairs == 100
+        assert 0 < r.min_ratio < 1 < r.max_ratio
+        assert r.n_within_2x >= 85
