@@ -1696,3 +1696,107 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size")).alias("sample_weight"),
     )
+
+
+_RECALL_SAMPLE_PRED = "doc_id % 4 = 0"  # deterministic audit sample
+_RECALL_BANDS_SQL = _BANDS_SQL.replace(
+    "FROM documents",
+    f"FROM (SELECT * FROM documents WHERE {_RECALL_SAMPLE_PRED})",
+)
+
+
+@query(
+    "lsh_recall_audit",
+    oracle=f"""
+    WITH {_RECALL_BANDS_SQL},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    sets AS (
+      SELECT doc_id, list(DISTINCT shingle) AS sh FROM shingles GROUP BY doc_id
+    ),
+    exact AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                   AS DOUBLE) >= 0.5
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e
+        JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b) AS n_found,
+      (SELECT COUNT(*) FROM exact e JOIN cand c
+         ON c.id_a = e.id_a AND c.id_b = e.id_b)
+        / CAST(NULLIF((SELECT COUNT(*) FROM exact), 0) AS DOUBLE) AS recall,
+      (SELECT COUNT(*) FROM exact e JOIN cand c
+         ON c.id_a = e.id_a AND c.id_b = e.id_b)
+        / CAST(NULLIF((SELECT COUNT(*) FROM cand), 0) AS DOUBLE) AS precision
+    """,
+    tags=("ext-dedup", "recall-audit"),
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end recall/precision of the PRODUCTION LSH configuration
+    (16 minhashes, 4 bands × 4 rows — the exact dedup_minhash_lsh
+    pipeline) against brute-force exact-Jaccard ground truth at the
+    verify threshold (0.5), on a deterministic 10% doc sample — the
+    dedup-stack twin of ann_recall_audit: index quality becomes a
+    driver-verified number instead of a band-math argument.
+
+    The ground truth is the one deliberately quadratic stage, which is
+    why it runs on the hash-gated sample (the audit-on-a-sample
+    doctrine: ~C(500,2) array intersects at sf0.1, constant in corpus
+    size for a fixed sample rate times corpus — rotate the residue
+    across snapshots for coverage). The LSH side runs the identical
+    ops/dedup.py pipeline restricted to the same sample, so the ratio
+    is exactly the production config's recall at this shingle profile.
+    recall/precision are single divisions of identical bigints
+    (NULLIF-guarded for an empty ground truth).
+    """
+    from osmart_etl_spark.ops.dedup import (
+        candidate_pairs,
+        minhash_band_keys,
+        shingle_sets,
+    )
+
+    d = read_table(spark, sf_dir, "documents").filter(F.expr(_RECALL_SAMPLE_PRED))
+    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
+    cand = candidate_pairs(bands, "doc_id")
+
+    a = sets.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sa"))
+    b = sets.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sb"))
+    inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = inter.cast("double") / (
+        F.size("sa") + F.size("sb") - inter
+    ).cast("double")
+    exact = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jac >= 0.5)
+        .select("id_a", "id_b")
+    )
+    found = exact.join(cand, ["id_a", "id_b"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = found.agg(F.count(F.lit(1)).alias("n_found"))
+    return (
+        n_exact.crossJoin(n_cand)
+        .crossJoin(n_found)
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_found",
+            (
+                F.col("n_found")
+                / F.nullif(F.col("n_exact"), F.lit(0)).cast("double")
+            ).alias("recall"),
+            (
+                F.col("n_found")
+                / F.nullif(F.col("n_candidates"), F.lit(0)).cast("double")
+            ).alias("precision"),
+        )
+    )

@@ -114,3 +114,19 @@ def test_containment_detects_true_embedding(spark, tmp_path):
         c, j = found[key]
         assert c >= 0.9
         assert j < 0.9  # and it is NOT a symmetric near-dup
+
+
+def test_lsh_recall_audit_finds_all_ground_truth(spark):
+    """The production banding config must have recall 1.0 on the audit
+    sample at every test SF (16 hashes / 4x4 bands at J>=0.5 — the
+    S-curve gives ~99.4% per-pair inclusion at J=0.5, and the sampled
+    ground truths here are all J well above threshold); precision is
+    intentionally low — banding is a candidate GENERATOR, the verify
+    stage owns precision."""
+    from osmart_etl_spark.queries.base import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    r = REGISTRY["lsh_recall_audit"].fn(spark, SF_SMALL).collect()[0]
+    assert r.n_exact > 0, "audit sample must contain ground-truth pairs"
+    assert r.n_found == r.n_exact and r.recall == 1.0
+    assert r.n_candidates >= r.n_found
