@@ -29,6 +29,10 @@ QUERIES = [
     "corpus_shard_packing",
     "weighted_median_price",
     "segmented_replay",
+    "dedup_edit_passjoin",
+    "jl_projection_audit",
+    "lsh_recall_audit",
+    "rendezvous_shard_routing",
 ]
 
 
