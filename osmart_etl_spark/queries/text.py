@@ -1750,7 +1750,11 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     why it runs on the hash-gated sample (the audit-on-a-sample
     doctrine: ~C(500,2) array intersects at sf0.1, constant in corpus
     size for a fixed sample rate times corpus — rotate the residue
-    across snapshots for coverage). The LSH side runs the identical
+    across snapshots for coverage). At true scale the knob is sample
+    SIZE, not rate: the quadratic ground truth means the modulus must
+    grow with the corpus so the sampled doc count stays ~constant
+    (500–1000 docs audits the config; the config's recall does not
+    depend on corpus size, only on the shingle profile). The LSH side runs the identical
     ops/dedup.py pipeline restricted to the same sample, so the ratio
     is exactly the production config's recall at this shingle profile.
     recall/precision are single divisions of identical bigints
