@@ -135,6 +135,7 @@ JOIN_QUERIES = [
 
 
 SKEW_HOT_FRACTION = 0.0  # set by --skew-tier (0.3)
+JOIN_SKEW_FRACTION = 0.0  # set by --join-skew-tier (0.3): hot c_custkey
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
 _AFFINE_A = (1, 3, 7, 9, 11, 15, 17, 19, 21, 23, 25, 5)
@@ -157,6 +158,8 @@ def build_amplified(spark, base: str, factor: int) -> str:
 
     name = os.path.basename(base.rstrip("/"))
     skew = f"_skew{int(SKEW_HOT_FRACTION * 100)}" if SKEW_HOT_FRACTION else ""
+    if JOIN_SKEW_FRACTION:
+        skew += f"_jskew{int(JOIN_SKEW_FRACTION * 100)}"
     out = f"/tmp/amplify_smoke/{name}_x{factor}_v5{skew}"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
@@ -205,10 +208,18 @@ def build_amplified(spark, base: str, factor: int) -> str:
         )
         # join tier: offset the orderkey/custkey FK chain consistently;
         # dim FKs (nationkey/partkey/suppkey) unchanged — see docstring
+        amp_ck = F.col("o_custkey") + F.lit(k * 1_000_000)
+        if JOIN_SKEW_FRACTION:
+            # hot customer: this fraction of every copy's orders lands
+            # on c_custkey 1 — the orders⋈customer skew probe
+            pct = int(JOIN_SKEW_FRACTION * 10)
+            amp_ck = F.when(
+                F.col("o_orderkey") % 10 < pct, F.lit(1).cast("bigint")
+            ).otherwise(amp_ck)
         o_parts.append(
             orders.select(
                 (F.col("o_orderkey") + F.lit(k * 1_000_000_000)).alias("o_orderkey"),
-                (F.col("o_custkey") + F.lit(k * 1_000_000)).alias("o_custkey"),
+                amp_ck.alias("o_custkey"),
                 "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority",
             )
         )
@@ -303,6 +314,11 @@ def main() -> int:
             queries = SKEW_QUERIES
             global SKEW_HOT_FRACTION
             SKEW_HOT_FRACTION = 0.3
+        if a == "--join-skew-tier":
+            queries = ["star_join_revenue", "tpch_q3_shipping_priority",
+                       "left_join_coalesce", "rollup_revenue"]
+            global JOIN_SKEW_FRACTION
+            JOIN_SKEW_FRACTION = 0.3
 
     import osmart_etl_spark.queries  # noqa: F401 — populates REGISTRY
     from osmart_etl_spark.queries.base import REGISTRY
