@@ -1804,3 +1804,74 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision"),
         )
     )
+
+
+@query(
+    "text_readability_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+        len(list_filter(string_split(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), ' '), x -> x != '')) AS n_words,
+        strlen(regexp_replace(regexp_replace(lower(trim(text)), ' +', ' ', 'g'), '[^a-z0-9]', '', 'g')) AS n_letters,
+        greatest(len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                 s -> trim(s) != '')), 1) AS n_sentences
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_letters,
+      CAST(n_words AS DOUBLE) / n_sentences AS words_per_sentence,
+      CAST(n_letters AS DOUBLE) / greatest(n_words, 1) AS letters_per_word,
+      0.0588 * (100.0 * n_letters / greatest(n_words, 1))
+        - 0.296 * (100.0 * n_sentences / greatest(n_words, 1))
+        - 15.8 AS coleman_liau_grade
+    FROM t
+    """,
+    tags=("ext-text", "readability", "curation"),
+)
+def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Readability features + Coleman–Liau grade (1975 — chosen over
+    Flesch BECAUSE it needs no syllable counting, which is
+    dictionary-dependent and engine-unportable): words per sentence,
+    letters per word, and the published linear formula
+    0.0588·L − 0.296·S − 15.8 over per-100-word letter/sentence rates.
+    A standard curation signal (too-low grade ≈ fragment soup, too-high
+    ≈ OCR noise / run-ons) next to the structural quality score and the
+    LM-perplexity filters.
+
+    Bit-exactness: the three counts are integers; every derived column
+    is a FIXED-ORDER arithmetic expression over them (divisions and the
+    three-literal dot product evaluate left-to-right identically in
+    both engines — no aggregation of doubles anywhere). Sentence count
+    clamps at 1 (a fragment with no terminal punctuation is one
+    sentence). Zero-shuffle codegen projection; scan-bound at 100 TB.
+    """
+    from osmart_etl_spark.ops.text import normalized_text, tokens
+
+    d = read_table(spark, sf_dir, "documents")
+    norm = normalized_text(F.col("text"))
+    n_words = F.size(tokens(norm)).cast("bigint")
+    n_letters = F.length(F.regexp_replace(norm, r"[^a-z0-9]", "")).cast("bigint")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != "",
+            )
+        ),
+        F.lit(1),
+    ).cast("bigint")
+    wps = n_words.cast("double") / n_sentences
+    lpw = n_letters.cast("double") / F.greatest(n_words, F.lit(1))
+    grade = (
+        F.lit(0.0588) * (F.lit(100.0) * n_letters / F.greatest(n_words, F.lit(1)))
+        - F.lit(0.296) * (F.lit(100.0) * n_sentences / F.greatest(n_words, F.lit(1)))
+        - F.lit(15.8)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_letters.alias("n_letters"),
+        wps.alias("words_per_sentence"),
+        lpw.alias("letters_per_word"),
+        grade.alias("coleman_liau_grade"),
+    )

@@ -306,3 +306,32 @@ def test_warc_and_html_parsers_survive_malformed_input(spark):
     assert by_id[2].rec_type == "" and by_id[2].cl_raw == ""
     assert by_id[4].length_ok is False  # lying Content-Length detected
     assert by_id[5].rec_type == ""
+
+
+def test_readability_matches_python_twin(spark):
+    import re
+
+    from osmart_etl_spark.queries.base import REGISTRY
+    from tests.conftest import SF_SMALL
+
+    got = {
+        r.doc_id: r
+        for r in REGISTRY["text_readability_score"].fn(spark, SF_SMALL).collect()
+    }
+    docs = spark.read.parquet(SF_SMALL + "/documents.parquet").collect()
+    for d in docs:
+        norm = re.sub(" +", " ", d.text.lower().strip())
+        n_words = len([w for w in norm.split(" ") if w])
+        n_letters = len(re.sub(r"[^a-z0-9]", "", norm))
+        n_sentences = max(
+            len([s for s in re.split(r"[.!?]+", d.text) if s.strip()]), 1
+        )
+        r = got[d.doc_id]
+        assert (r.n_words, r.n_letters, r.n_sentences) == (
+            n_words, n_letters, n_sentences,
+        )
+        assert r.coleman_liau_grade == (
+            0.0588 * (100.0 * n_letters / max(n_words, 1))
+            - 0.296 * (100.0 * n_sentences / max(n_words, 1))
+            - 15.8
+        )
