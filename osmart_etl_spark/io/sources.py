@@ -147,17 +147,27 @@ def read_jsonl(
     )
     raw = spark.read.text(path)
     parsed = raw.select(
+        F.col("value"),
         F.from_json(
             F.col("value"),
             full,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt_record"},
-        ).alias("j")
+        ).alias("j"),
     )
-    good = parsed.filter(F.col("j._corrupt_record").isNull()).select(
-        *[F.col(f"j.{f.name}") for f in schema.fields]
-    )
-    quarantine = parsed.filter(F.col("j._corrupt_record").isNotNull()).select(
-        F.col("j._corrupt_record").alias("_corrupt_record")
+    # Blank / whitespace-only lines parse to a NULL struct (not a struct
+    # with _corrupt_record set), so `j IS NOT NULL` is part of the good
+    # predicate — otherwise every empty line in a crawl shard fabricates
+    # a phantom all-null record. Such lines quarantine with their raw
+    # text so nothing is dropped silently.
+    good = parsed.filter(
+        F.col("j").isNotNull() & F.col("j._corrupt_record").isNull()
+    ).select(*[F.col(f"j.{f.name}") for f in schema.fields])
+    quarantine = parsed.filter(
+        F.col("j").isNull() | F.col("j._corrupt_record").isNotNull()
+    ).select(
+        F.coalesce(F.col("j._corrupt_record"), F.col("value")).alias(
+            "_corrupt_record"
+        )
     )
     return good, quarantine
 

@@ -143,10 +143,15 @@ def asof_join(
 def anti_join_exclusions(df: DataFrame, exclusions: DataFrame, on: list[str]) -> DataFrame:
     """P14 — drop rows present in the exclusion registry.
 
-    Ref: dq_exclusions_csv.py:68-72,89-94. The registry is tiny →
-    broadcast anti-join, no shuffle of the big side.
+    Ref: dq_exclusions_csv.py:68-72,89-94. No forced broadcast hint:
+    the reference's registry is a tiny CSV and AQE broadcasts it from
+    measured size (map-side anti-join, big side never shuffles), but
+    callers also feed fact-derived exclusion sets (e.g. a filtered
+    part slice) that scale with the corpus — a forced hint would OOM
+    the build at 100 TB where AQE instead degrades to a shuffle
+    anti-join.
     """
-    return df.join(F.broadcast(exclusions.select(*on).distinct()), on, "left_anti")
+    return df.join(exclusions.select(*on).distinct(), on, "left_anti")
 
 
 def reconcile_full_outer(

@@ -379,16 +379,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node", F.expr(f"CAST({_PR_MASS} AS BIGINT) DIV __n").alias("r")
     )
     # The edge⋈degree table is loop-invariant: materialize once, reuse
-    # every round. Per round the RANK table is orders of magnitude
-    # smaller than edges (nodes vs edges), so it rides a broadcast into
-    # the map side — edges are never reshuffled after this persist. At
-    # 100 TB (ranks too big to broadcast) both tables bucket on the
-    # node key instead and the per-round join is still shuffle-free;
-    # the only unavoidable exchange is the contribution SUM by dst.
+    # every round. The per-round rank and contribution tables have NODE
+    # cardinality — customers ∪ parts, i.e. fact-proportional — so they
+    # carry NO forced broadcast hint: AQE broadcasts them at bench
+    # scale (nodes ≪ edges by the average degree) and graduates to a
+    # shuffle join when the node set outgrows the build threshold. At
+    # 100 TB both tables bucket on the node key instead and the
+    # per-round join is shuffle-free; the only unavoidable exchange is
+    # the contribution SUM by dst. Only the 1-row node count keeps its
+    # hint (bounded by construction).
     esrc = edges.join(deg, "src").select("src", "dst", "deg").persist()
     for _ in range(_PR_ITERS):
         contribs = (
-            esrc.join(F.broadcast(ranks.withColumnRenamed("node", "src")), "src")
+            esrc.join(ranks.withColumnRenamed("node", "src"), "src")
             .select("dst", F.expr("r DIV deg").alias("__c"))
             .groupBy("dst")
             .agg(F.sum("__c").alias("__s"))
@@ -396,7 +399,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranks = (
             nodes.join(F.broadcast(nn))
             .join(
-                F.broadcast(contribs.withColumnRenamed("dst", "node")),
+                contribs.withColumnRenamed("dst", "node"),
                 "node",
                 "left",
             )

@@ -121,7 +121,12 @@ def _encode(
     vec = F.col("embedding").cast("array<double>")
     seeds = _codebooks(spark, emb)
     if targets is not None:
-        emb = emb.join(F.broadcast(targets.select("vec_id")), "vec_id")
+        # The candidate set is nprobe/K of the CORPUS — fact-
+        # proportional, so NO forced broadcast: AQE broadcasts the id
+        # list at bench scale and graduates to a shuffle semi-join when
+        # the candidate slice outgrows the build threshold (at 100 TB
+        # with K=2^16 lists the slice is still ~nprobe·corpus/K rows).
+        emb = emb.join(targets.select("vec_id"), "vec_id", "left_semi")
     scored = emb.crossJoin(F.broadcast(seeds)).select(
         "vec_id",
         "m",

@@ -281,10 +281,16 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionAll(
         pairs.select(F.col("pb").alias("part"), F.col("pa").alias("partner"), "n_ab")
     )
+    # deg has PART cardinality (distinct parts = 200k·SF, fact-
+    # proportional) — NO forced broadcast: AQE builds a broadcast hash
+    # table at bench scale and graduates to a shuffle join when the
+    # part dimension outgrows the threshold; the sym side is already
+    # hashed on (pa, pb) so the part-keyed probe is one extra exchange
+    # there, never an OOM.
     scored = (
-        sym.join(F.broadcast(deg.withColumnRenamed("l_partkey", "part")), "part")
+        sym.join(deg.withColumnRenamed("l_partkey", "part"), "part")
         .withColumnRenamed("n", "__na")
-        .join(F.broadcast(deg.withColumnRenamed("l_partkey", "partner")), "partner")
+        .join(deg.withColumnRenamed("l_partkey", "partner"), "partner")
         .withColumnRenamed("n", "__nb")
         .withColumn(
             "score",

@@ -1742,7 +1742,8 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end recall/precision of the PRODUCTION LSH configuration
     (16 minhashes, 4 bands × 4 rows — the exact dedup_minhash_lsh
     pipeline) against brute-force exact-Jaccard ground truth at the
-    verify threshold (0.5), on a deterministic 10% doc sample — the
+    verify threshold (0.5), on a deterministic 25% doc sample
+    (``doc_id % 4 = 0``) — the
     dedup-stack twin of ann_recall_audit: index quality becomes a
     driver-verified number instead of a band-math argument.
 

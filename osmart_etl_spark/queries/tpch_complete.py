@@ -99,9 +99,13 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The spec's correlated MIN subquery decorrelates to a window MIN
     over p_partkey — one extra exchange on p_partkey instead of a
-    re-scan of the whole eligible set per row. supplier/nation/region
-    broadcast; only the derived-partsupp groupBy and the window
-    exchange shuffle. The LIMIT plans as TakeOrderedAndProject (per-
+    re-scan of the whole eligible set per row. nation/region carry
+    broadcast hints (constant-size at any SF); part and supplier are
+    SF-linear (200k·SF / 10k·SF — smaller constants than lineitem,
+    same exponent) so they carry NO hint: AQE broadcasts them from
+    measured sizes at bench scale and graduates to a shuffle join at
+    100 TB instead of OOMing a forced build. The derived-partsupp
+    groupBy and the window exchange are the load-bearing shuffles. The LIMIT plans as TakeOrderedAndProject (per-
     partition top-100, then a 100-row driver merge), never a global
     sort. Deterministic order: s_suppkey (guaranteed unique) is the
     final tiebreaker on both sides, so (…, p_partkey, s_suppkey) is a
@@ -114,8 +118,8 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eligible = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
+        .join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -178,8 +182,11 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-nation per-year profit = revenue minus supply cost for parts
     whose name contains 'red'.
 
-    Scale shape: the part-name filter broadcasts a pruned part dim that
-    SEMI-filters lineitem before anything else; partsupp⋈lineitem is a
+    Scale shape: the part-name filter prunes part before its join to
+    lineitem; part and supplier carry NO forced hints — both are
+    SF-linear, and at SF≈100k even the '%red%'-filtered part slice is
+    ~1B rows, so AQE size-dispatches (broadcast at bench scale, shuffle
+    at 100 TB) instead of a forced multi-GB build; partsupp⋈lineitem is a
     co-partitioned join on (partkey, suppkey) — the derived view's own
     groupBy already hashed on exactly that pair, so AQE reuses the
     exchange; orders⋈lineitem is the one remaining big shuffle pair.
@@ -198,12 +205,12 @@ def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("ps_supplycost") * dec(F.col("l_quantity"))
     ).cast("decimal(28,5)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(
             ps,
             (li.l_partkey == ps.ps_partkey) & (li.l_suppkey == ps.ps_suppkey),
         )
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -253,14 +260,15 @@ def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold comparison is double-vs-
     double computed from the same exact decimals on both engines, so
     the boundary row set is identical. At 100 TB the only shuffles are
-    the derived groupBy and the per-part re-agg; supplier/nation/region
-    broadcast."""
+    the derived groupBy and the per-part re-agg; nation/region carry
+    broadcast hints (constant); supplier is SF-linear and unhinted —
+    AQE size-dispatches it."""
     ps = _derived_partsupp(spark, sf_dir)
     s = read_table(spark, sf_dir, "supplier")
     n = read_table(spark, sf_dir, "nation")
     r = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     vals = (
-        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps.join(s, ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("ps_partkey")
@@ -324,7 +332,7 @@ def tpch_q20_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     The double-nested IN becomes two stacked LEFT SEMI joins: shipped
     and partsupp share the (partkey, suppkey) hash, so their join
     reuses one exchange; the surviving ps_suppkey set semi-filters the
-    (broadcast-sized) supplier dim. No DISTINCT shuffle on the fact
+    (AQE-sized, unhinted — supplier is SF-linear) supplier dim. No DISTINCT shuffle on the fact
     side — dedup happens after projection to the tiny supplier
     output."""
     ps = _derived_partsupp(spark, sf_dir)
@@ -339,7 +347,7 @@ def tpch_q20_overstocked_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
     )
     p = read_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     overstocked = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey, "left_semi")
+        ps.join(p, ps.ps_partkey == p.p_partkey, "left_semi")
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)

@@ -153,8 +153,9 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
     """TPC-H Q14 shape: the global-ratio aggregate — promo revenue as a
     percent of all revenue, per ship year. Both the numerator (CASE'd)
     and denominator fold into ONE hash aggregate over the same join, so
-    the ratio costs no extra pass. part broadcasts; the only shuffle is
-    the per-year agg. Bit-safety: both sums are exact decimals; the
+    the ratio costs no extra pass. part is SF-linear and unhinted —
+    AQE broadcasts it at bench scale, shuffles at 100 TB; the only
+    planned shuffle is the per-year agg. Bit-safety: both sums are exact decimals; the
     division happens once, in double, in the same operand order on both
     engines."""
     li = read_table(spark, sf_dir, "lineitem")
@@ -162,7 +163,7 @@ def tpch_q14_promo_revenue_share(spark, sf_dir):
     rev = dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount")))
     promo = F.when(F.col("p_type") == "ECONOMY", rev).otherwise(F.lit(0).cast("decimal(18,2)"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
         .agg(
             (F.lit(100.0) * dbl(F.sum(promo)) / dbl(F.sum(rev))).alias("promo_share"),
@@ -188,8 +189,9 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
     """TPC-H Q16 shape (partsupp → lineitem on this schema): distinct
     suppliers per (brand, type, size), excluding a denylist (negative
     acctbal standing in for the complaints LIKE). The NOT IN becomes a
-    broadcast LEFT ANTI join — the denylist is tiny, so the exclusion
-    is map-side and free. COUNT(DISTINCT) expands to a two-phase
+    LEFT ANTI join; the denylist is a filtered slice of supplier — an
+    SF-linear table — so it carries NO forced hint and AQE makes the
+    exclusion a map-side broadcast at bench scale, a shuffle at 100 TB. COUNT(DISTINCT) expands to a two-phase
     aggregate (dedup on group+suppkey, then count) — one shuffle keyed
     by the group columns, no row explosion."""
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
@@ -200,8 +202,8 @@ def tpch_q16_supplier_cnt(spark, sf_dir):
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -266,11 +268,13 @@ def tpch_q19_disjunctive_join(spark, sf_dir):
     factors the single-side conjuncts out of the OR: the part scan gets
     `p_brand IN (...)`-style pushdown and lineitem gets the quantity
     range union, so neither scan reads rows no branch could accept; the
-    residual OR evaluates post-join inside codegen. part broadcasts —
-    zero shuffles before the single-row agg."""
+    residual OR evaluates post-join inside codegen. part is SF-linear
+    and unhinted: at bench scale AQE broadcasts it (zero shuffles
+    before the single-row agg); at 100 TB the same plan degrades to a
+    shuffle join instead of a forced multi-GB build."""
     li = read_table(spark, sf_dir, "lineitem")
     p = read_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    joined = li.join(p, li["l_partkey"] == p["p_partkey"])
     q = F.col("l_quantity")
     cond = (
         ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
@@ -320,7 +324,8 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
     the EXISTS, n_late=1 encodes the NOT-EXISTS (the late line's own
     supplier is the one late supplier). That turns two correlated
     self-joins into a single groupBy + join on orderkey — same key, so
-    AQE reuses the exchange; supplier broadcasts. 'Late' = shipped >60
+    AQE reuses the exchange; supplier (SF-linear) is unhinted and
+    AQE-dispatched. 'Late' = shipped >60
     days after the order date on this schema."""
     o = read_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
@@ -345,7 +350,7 @@ def tpch_q21_waiting_suppliers(spark, sf_dir):
             stats.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1)),
             F.col("l_orderkey") == F.col("st_key"),
         )
-        .join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
@@ -483,13 +488,14 @@ def tpch_q6_forecast_revenue(spark, sf_dir):
 )
 def tpch_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape (national market share): a seven-table snowflake.
-    Only the TRUE dimensions carry explicit broadcast hints —
-    nation/region (25/5 rows), supplier (10k·SF), and the type-filtered
-    part slice. orders (1.5M·SF rows) and customer (150k·SF rows) scale
-    WITH the fact table, so they get NO hint: at bench scale AQE still
-    picks a broadcast build for them from measured sizes, while at
-    100 TB the same plan degrades gracefully to a shuffle join instead
-    of OOMing on a forced multi-GB broadcast. The share is a
+    Only the CONSTANT dimensions carry explicit broadcast hints —
+    nation/region (25/5 rows at any SF). part (200k·SF), supplier
+    (10k·SF), orders (1.5M·SF) and customer (150k·SF) all scale WITH
+    the fact table — same exponent, smaller constants — so they get NO
+    hint: at bench scale AQE still picks a broadcast build for them
+    from measured sizes, while at 100 TB the same plan degrades
+    gracefully to a shuffle join instead of OOMing on a forced
+    multi-GB broadcast. The share is a
     conditional decimal sum over a filtered-dimension flag divided by
     the total — both sums exact, one double division. Region/part-type
     filters shrink the dimension hash tables BEFORE broadcast
@@ -507,12 +513,12 @@ def tpch_q8_market_share(spark, sf_dir):
     ns = n.select(F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation"))
     vol = dec(F.col("l_extendedprice")) * (F.lit(1) - dec(F.col("l_discount")))
     volumes = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(nc), c["c_nationkey"] == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_region") == r["r_regionkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(ns), s["s_nationkey"] == F.col("ns_key"))
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
@@ -570,6 +576,6 @@ def tpch_q15_top_supplier(spark, sf_dir):
     s = read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         revenue.join(F.broadcast(mx), F.col("__rev") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", dbl(F.col("__rev")).alias("total_revenue"))
     )

@@ -5,7 +5,7 @@ driver's correctness window; the SQL-surface siblings live in
 Q5 exercises the one join shape the existing pair doesn't: a SIX-table
 snowflake with a cycle — lineitem must match supplier AND the
 supplier's nation must equal the customer's nation — which Catalyst
-plans as broadcast dims over one fact-fact shuffle pair.
+plans as AQE-sized dimension joins over one fact-fact shuffle pair.
 """
 
 from __future__ import annotations
@@ -47,8 +47,9 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 local-supplier volume: region-filtered snowflake with
     the customer-nation = supplier-nation cycle, revenue per nation.
 
-    Scale shape: region/nation/supplier/customer broadcast (each orders
-    of magnitude below the fact tables at any SF); only
+    Scale shape: region/nation broadcast (constant-size);
+    supplier/customer are SF-linear so AQE decides for them
+    (broadcast at bench scale, shuffle at 100 TB); only
     orders⋈lineitem shuffles, and the date filter lands in the orders
     scan (PushedFilters) before that shuffle. The decimal-cast SUM
     keeps the revenue bit-identical across engines.
@@ -548,10 +549,10 @@ def tpch_q7_nation_volume(spark, sf_dir):
     the double-role dimension join — nation joins TWICE under different
     roles (supplier's vs customer's), with a cross-nation inequality.
 
-    Scale shape: both nation sides (25 rows each) and supplier
-    (10k·SF) broadcast; customer is 150k·SF — fact-proportional — so it
-    carries NO hint and AQE decides (broadcast at bench scale, shuffle
-    at 100 TB). The heavy shuffle pair is orders⋈lineitem (plus
+    Scale shape: both nation sides (25 rows each) carry broadcast
+    hints; supplier (10k·SF) and customer (150k·SF) are SF-linear —
+    fact-proportional — so they carry NO hint and AQE decides
+    (broadcast at bench scale, shuffle at 100 TB). The heavy shuffle pair is orders⋈lineitem (plus
     customer when AQE demotes it); the year extraction and the
     decimal revenue product fold into the scan-side projection. (The
     spec's two-nation literal filter is widened to all unequal pairs so
@@ -568,7 +569,7 @@ def tpch_q7_nation_volume(spark, sf_dir):
     nc = n.select(F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation"))
     rev = dec(F.col("l_extendedprice")) * (1 - dec(F.col("l_discount")))
     return (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))

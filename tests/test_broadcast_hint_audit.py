@@ -102,3 +102,46 @@ def test_both_sides_hinted_and_shared_marker_ambiguity():
         "+- Relation [something_else#9] parquet\n"
     )
     assert audit_query(unknown, SCHEMAS) == []
+
+
+def test_aggregate_on_fact_key_does_not_bound():
+    """Round-10 loophole close: an Aggregate whose GROUPING key is a
+    fact PK/FK (per-node ranks, per-part degrees) has fact-cardinality
+    output and must NOT whitelist a broadcast — while a GLOBAL
+    aggregate (single bracket list in Spark 4 plan text, always 1 row)
+    and an aggregate on a bounded attribute still bound."""
+    # grouped on a fact key -> NOT bounding
+    assert not _is_bounding(
+        "Aggregate [l_partkey#23L], [l_partkey#23L, count(1) AS n#99L]"
+    )
+    assert not _is_bounding(
+        "Aggregate [user_id#3L, _groupingexpression#42], "
+        "[user_id#3L, count(1) AS c#5L]"
+    )
+    # global aggregate: Spark 4 prints ONE bracket list -> 1 row, bounds
+    assert _is_bounding(
+        "Aggregate [min(o_custkey#370L) AS lo#1L, max(o_custkey#370L) AS hi#2L]"
+    )
+    assert _is_bounding("Aggregate [max(doc_id#449L) AS __max_id#455L]")
+    # grouped on a bounded attribute -> bounds
+    assert _is_bounding(
+        "Aggregate [event_type#9], [event_type#9, count(1) AS n#10L]"
+    )
+    # end-to-end: hinted side = per-fact-key aggregate over a fact scan
+    plan = (
+        "Join Inner, (a#1 = b#2), rightHint=(strategy=broadcast)\n"
+        ":- Relation [o_orderkey#3,o_custkey#4] parquet\n"
+        "+- Aggregate [o_custkey#6L], [o_custkey#6L, count(1) AS n#7L]\n"
+        "   +- Relation [o_orderkey#5,o_custkey#6] parquet\n"
+    )
+    assert audit_query(plan, SCHEMAS) == ["orders"]
+
+
+def test_point_filter_on_user_id_bounds():
+    """A `user_id = <literal>` probe pins ONE entity: downstream
+    per-entity aggregates are bounded by the attribute domain, not the
+    corpus."""
+    assert _is_bounding("Filter (isnotnull(user_id#328L) AND (user_id#328L = 1))")
+    assert not _is_bounding("Filter (value#4 > 50)")
+    # string-typed id point equality also bounds
+    assert _is_bounding("Filter (doc_id#9 = abc123)")

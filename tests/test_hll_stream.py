@@ -63,3 +63,50 @@ def test_hll_stream_registers_match_registry_query(spark, tmp_path):
         for r in REGISTRY["hll_portable_registers"].fn(spark, SF_SMALL).collect()
     }
     assert summary == batch
+
+
+def test_hll_state_recovery_skips_incomplete_version(spark, tmp_path):
+    """Crash-injection: a version directory WITHOUT _SUCCESS (crash
+    mid-write) must be invisible to recovery — the previous complete
+    version is the one read, so accumulated registers survive."""
+    import os
+
+    from osmart_etl_spark.streaming.hll_stream import _latest_complete_version
+
+    base = str(tmp_path / "hll_state")
+    complete = spark.createDataFrame(
+        [("a", 0, 5)], "event_type string, bucket bigint, reg bigint"
+    )
+    complete.coalesce(1).write.parquet(base + "_v3")
+    # simulate crash mid-write of v4: parquet data present, no _SUCCESS
+    partial = spark.createDataFrame(
+        [("a", 0, 1)], "event_type string, bucket bigint, reg bigint"
+    )
+    partial.coalesce(1).write.parquet(base + "_v4")
+    os.remove(os.path.join(base + "_v4", "_SUCCESS"))
+
+    assert _latest_complete_version(base) == base + "_v3"
+    got = spark.read.parquet(_latest_complete_version(base)).collect()
+    assert [(r.event_type, r.bucket, r.reg) for r in got] == [("a", 0, 5)]
+
+
+def test_hll_refold_same_batch_is_idempotent(spark):
+    """Replaying a batch against state that already absorbed it is a
+    no-op (MAX-merge idempotence) — the property that makes the
+    versioned protocol exactly-once under foreachBatch retries."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.streaming.hll_stream import batch_registers
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    regs = batch_registers(ev)
+    refolded = (
+        regs.unionByName(regs)
+        .groupBy("event_type", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    assert sorted(map(tuple, refolded.collect())) == sorted(
+        map(tuple, regs.collect())
+    )

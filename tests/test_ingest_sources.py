@@ -26,6 +26,8 @@ def test_read_jsonl_splits_good_and_corrupt(spark, tmp_path):
         '{"doc_id": 2, "text": "hola", "lang": "es"}',
         '{"doc_id": 3, "text": "unterminated',
         '{"doc_id": 4, "text": null, "lang": "fr"}',  # valid: null field
+        "",  # blank line: quarantine, NOT a phantom all-null row
+        "   ",  # whitespace-only line: same
     ]
     p.write_text("\n".join(lines) + "\n")
 
@@ -35,7 +37,7 @@ def test_read_jsonl_splits_good_and_corrupt(spark, tmp_path):
 
     assert g == {1: ("hello world", "en"), 2: ("hola", "es"), 4: (None, "fr")}
     assert sorted(q) == sorted(
-        ["this is not json at all", '{"doc_id": 3, "text": "unterminated']
+        ["this is not json at all", '{"doc_id": 3, "text": "unterminated', "", "   "]
     )
     # nothing silently dropped: good + quarantine == input lines
     assert len(g) + len(q) == len(lines)

@@ -541,19 +541,22 @@ def test_ewma_single_window_exchange(spark):
 
 
 def test_no_forced_broadcast_of_fact_proportional_tables(spark):
-    """The 100 TB plan-defect lock (round 9): orders (1.5M·SF rows) and
-    customer (150k·SF rows) scale WITH the fact table, so no query may
-    carry an explicit F.broadcast() hint on them — a hint both forces a
-    multi-GB build at scale AND disables AQE's size-based fallback.
+    """The 100 TB plan-defect lock (round 9, widened round 10): orders
+    (1.5M·SF), customer (150k·SF), part (200k·SF) and supplier (10k·SF)
+    ALL scale linearly with SF — same exponent as lineitem, smaller
+    constants — so no query may carry an explicit F.broadcast() hint on
+    any of them: a hint both forces a multi-GB build at scale AND
+    disables AQE's size-based fallback. Only nation (25 rows) and
+    region (5 rows) are constant and may keep hints.
 
     Deterministic simulation of "beyond the size threshold at amplified
     volume": with autoBroadcastJoinThreshold=-1 nothing is broadcast by
     SIZE, so any surviving BroadcastHashJoin must come from an explicit
     hint. For each formerly-defective query we assert (a) at least one
-    SortMergeJoin exists (the orders/customer joins degraded cleanly)
-    and (b) the BroadcastHashJoin count equals the number of TRUE-dim
-    hints the query keeps (nation/region/supplier/filtered-part), so a
-    reintroduced hint on orders/customer fails the exact count."""
+    SortMergeJoin exists (the fact-proportional joins degraded cleanly)
+    and (b) the BroadcastHashJoin count equals the number of CONSTANT-
+    dim hints the query keeps (nation/region), so a reintroduced hint
+    on orders/customer/part/supplier fails the exact count."""
     from osmart_etl_spark.queries.aggregates import (
         cube_revenue,
         proportional_allocation,
@@ -569,8 +572,8 @@ def test_no_forced_broadcast_of_fact_proportional_tables(spark):
 
     # (query, expected explicit-hint BroadcastHashJoins surviving -1 threshold)
     cases = [
-        (tpch_q8_market_share, 5),   # p, nc, r, s, ns
-        (tpch_q7_nation_volume, 3),  # s, ns, nc
+        (tpch_q8_market_share, 3),   # nc, r, ns (p and s de-hinted r10)
+        (tpch_q7_nation_volume, 2),  # ns, nc (s de-hinted r10)
         (star_join_revenue, 2),      # n, r
         (rollup_revenue, 2),         # n, r
         (cube_revenue, 2),           # n, r

@@ -32,31 +32,119 @@ import sys
 sys.path.insert(0, "/root/repo")
 
 #: logical nodes that bound their output size independent of input
-#: volume (Aggregate: |distinct keys|; limits: k). Window/Filter/
-#: Project/Generate do NOT bound.
-_BOUNDING = ("Aggregate", "GlobalLimit", "LocalLimit", "Deduplicate")
+#: volume (Aggregate: |distinct keys| — UNLESS the grouping key is a
+#: fact PK/FK, see below; limits: k). Window/Filter/Project/Generate
+#: do NOT bound.
+_BOUNDING = ("GlobalLimit", "LocalLimit", "Deduplicate")
 
 #: a Filter DOES bound when it pins the table's dense primary id to a
-#: literal point/prefix range (query batches, seed sets, codebook
-#: training slices: `vec_id == 0`, `vec_id < 64`, `doc_id <= 100`) —
-#: constant row count by KEY DENSITY, not by volume fraction. A filter
-#: on any non-key column (lang = 'en', hash-mod sampling) stays
+#: literal point/prefix/interval range (query batches, seed sets,
+#: codebook training slices: `vec_id == 0`, `vec_id < 64`,
+#: `doc_id <= 100`, `doc_id BETWEEN 10 AND 20` — the BETWEEN's `<=`
+#: conjunct is what matches) — constant row count by KEY DENSITY, not
+#: by volume fraction. A `>=`-only bound does NOT bound (unbounded
+#: above on a growing key space). Point equality on a STRING-typed id
+#: bounds too (`= <literal>` with a non-numeric literal). A filter on
+#: any non-key column (lang = 'en', hash-mod sampling) stays
 #: proportional and does NOT bound.
-_ID_COLS = ("vec_id", "doc_id", "event_id", "o_orderkey", "c_custkey", "l_orderkey")
-_ID_BOUND_RE = re.compile(
-    r"\((?:%s)#\d+L? (?:=|<|<=) \d+\)" % "|".join(_ID_COLS)
+#: user_id is here for POINT probes (`user_id = 7`): one user's
+#: post-aggregate profile is bounded by the attribute domain (bigram
+#: types), not by corpus volume.
+_ID_COLS = (
+    "vec_id",
+    "doc_id",
+    "event_id",
+    "o_orderkey",
+    "c_custkey",
+    "l_orderkey",
+    "user_id",
 )
+_ID_BOUND_RE = re.compile(
+    r"\((?:%s)#\d+L? (?:(?:=|<|<=) \d+|= [^)\s]+)\)" % "|".join(_ID_COLS)
+)
+
+#: fact PK/FK columns: an Aggregate GROUPED on one of these has
+#: fact-proportional key cardinality (per-order, per-customer,
+#: per-part, per-supplier, per-doc, per-vector, per-user groups), so
+#: it does NOT bound a broadcast — the round-9 pagerank/cooccurrence
+#: loophole. Grouping keys that are derived expressions over these
+#: (concat/hash aliases) are not traced; keep derived fact-key groups
+#: un-hinted by construction.
+FACT_KEYS = (
+    "o_orderkey",
+    "o_custkey",
+    "c_custkey",
+    "l_orderkey",
+    "l_partkey",
+    "l_suppkey",
+    "ps_partkey",
+    "ps_suppkey",
+    "p_partkey",
+    "s_suppkey",
+    "doc_id",
+    "event_id",
+    "user_id",
+    "vec_id",
+)
+_FACT_KEY_RE = re.compile(r"\b(?:%s)#\d+" % "|".join(FACT_KEYS))
+
+
+def _agg_grouping_text(text: str) -> str | None:
+    """The grouping-expression list of a GROUPED ``Aggregate [g...],
+    [a...]`` node (first balanced bracket group), or None for a GLOBAL
+    aggregate — Spark 4 prints those with a single bracket list
+    (``Aggregate [min(x) AS lo, ...]``), and a global aggregate is
+    always 1 row, i.e. bounding."""
+    start = text.find("[")
+    if start < 0:
+        return None
+    depth, end = 0, -1
+    for i in range(start, len(text)):
+        if text[i] == "[":
+            depth += 1
+        elif text[i] == "]":
+            depth -= 1
+            if depth == 0:
+                end = i
+                break
+    if end < 0:
+        # truncated plan line: be conservative, treat as grouped on
+        # whatever keys appear in the visible prefix
+        return text[start + 1 :]
+    if not text[end + 1 :].lstrip().startswith(", ["):
+        return None  # single list → global aggregate
+    return text[start + 1 : end]
 
 
 def _is_bounding(text: str) -> bool:
     if text.startswith(_BOUNDING):
         return True
+    if text.startswith("Aggregate"):
+        # |groups| is only a bound when the grouping key space is
+        # itself bounded — grouping on a fact PK/FK yields
+        # fact-cardinality output and must NOT whitelist a broadcast.
+        grouping = _agg_grouping_text(text)
+        if grouping is None:  # global aggregate: 1 row
+            return True
+        return not _FACT_KEY_RE.search(grouping)
     return text.startswith("Filter") and bool(_ID_BOUND_RE.search(text))
 
-#: tables whose cardinality scales with corpus/fact volume. nation/
-#: region are constant; supplier/part are the reference doctrine's
-#: broadcastable dims (they grow ~100x slower than lineitem).
-FACT_TABLES = ("orders", "customer", "lineitem", "documents", "events", "embeddings")
+#: tables whose cardinality scales with corpus/fact volume. Only
+#: nation (25 rows) and region (5 rows) are constant in SF — part
+#: (200k·SF) and supplier (10k·SF) grow LINEARLY with SF exactly like
+#: lineitem (smaller constants, same exponent), so they are fact
+#: tables for broadcast purposes: at SF≈100k (the 100 TB north star)
+#: part is ~20B rows and a forced broadcast OOMs every executor.
+FACT_TABLES = (
+    "orders",
+    "customer",
+    "lineitem",
+    "documents",
+    "events",
+    "embeddings",
+    "part",
+    "supplier",
+)
 
 _PREFIXES = (":  ", "   ", ":- ", "+- ")
 
