@@ -305,3 +305,72 @@ def replay_running_balance_pandas(
         return pdf
 
     return df.groupBy(key).applyInPandas(replay, schema=out_schema)
+
+
+def distributed_ntile(
+    df: DataFrame,
+    sort_cols: list[Column],
+    k: int,
+    out_col: str,
+    *,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exact ``NTILE(k)`` over a global order WITHOUT a single-partition
+    sort — the two-phase distributed ranking pattern (same family as
+    ``ops/packing.assign_token_shards``'s prefix sum):
+
+    1. ``repartitionByRange`` on the sort key: partition i's keys all
+       precede partition i+1's, each partition sorts locally in
+       parallel.
+    2. per-partition ``row_number`` + an exclusive prefix count of
+       partition sizes (a <= n_parts-row aggregate — the only global
+       window runs over THAT, bounded by construction) gives the exact
+       global rank.
+    3. NTILE arithmetic from the rank and the total count n (1-row
+       broadcast): with q = n div k, r = n mod k, the first r buckets
+       take q+1 rows — bit-identical to the window function on any
+       engine given a total order, which callers pin with a unique
+       tiebreak column.
+
+    Output ranks are independent of where range boundaries land, so the
+    result is deterministic under any sampling the partitioner does.
+    """
+    if n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
+    part = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = part.withColumn(
+        "__lrn", F.row_number().over(Window.partitionBy("__pid").orderBy(*sort_cols))
+    )
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+    w_off = (
+        Window.partitionBy(F.lit(0))  # <= n_parts rows — bounded
+        .orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = counts.select(
+        "__pid", (F.sum("__c").over(w_off) - F.col("__c")).alias("__off")
+    )
+    tot = df.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    rn = F.col("__lrn") + F.col("__off")
+    q = F.expr(f"__n DIV {k}")
+    r = F.col("__n") % k
+    # integer DIV throughout (exact); greatest(q, 1) guards the
+    # never-taken otherwise branch when n < k (q = 0)
+    bucket = (
+        F.when(rn <= r * (q + 1), F.expr(f"(__lrn + __off - 1) DIV (__n DIV {k} + 1) + 1"))
+        .otherwise(
+            F.expr(
+                f"__n % {k} + (__lrn + __off - 1 - (__n % {k}) * (__n DIV {k} + 1))"
+                f" DIV greatest(__n DIV {k}, 1) + 1"
+            )
+        )
+        .cast("bigint")
+    )
+    return (
+        local.join(F.broadcast(offs), "__pid")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(out_col, bucket)
+        .drop("__pid", "__lrn", "__c", "__off", "__n")
+    )

@@ -236,10 +236,26 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a per-order LIMIT — omitted here because the oracle would then
     need the same cap, and the testdata's baskets are bounded anyway.
     """
-    basket = (
-        read_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Numbered repartitions must SCALE WITH VOLUME: a fixed 2x-cores
+    # count starved x100 amplification (7.5M-row per-task sorts, OOM at
+    # ~100 MB/thread execution memory), while a blanket 4x count
+    # sextupled bench-scale wall time in scheduler overhead (measured
+    # round 10). Derive the count from the scan's plan-statistics byte
+    # size (file footer metadata — no job): one ~32 MB-input partition
+    # per task, floored at 2x cores, capped at 16x cores.
+    from osmart_etl_spark.ops.partitioning import scaled_partitions
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_par = scaled_partitions(li)
+    # ONE numbered exchange on l_orderkey serves the whole left spine:
+    # hashpartitioning(l_orderkey) satisfies the clustering requirement
+    # of BOTH the (l_orderkey, l_partkey) dedup (subset key) and the
+    # downstream basket-collapse groupBy(l_orderkey), so neither adds
+    # an exchange — one fewer basket-volume shuffle than distinct() +
+    # re-repartition, and the fixed count is exempt from the byte-based
+    # AQE coalescing that serialized the dedup reduce at x10/x100.
+    basket = li.repartition(n_par, "l_orderkey").dropDuplicates(
+        ["l_orderkey", "l_partkey"]
     )
     deg = basket.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
     # Pair generation MAP-SIDE: collapse each basket to a sorted array
@@ -254,10 +270,10 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # records, measured at sf0.1) even though their cost is per-record
     # CPU; the fixed-count exchanges satisfy the agg requirements and
     # are exempt from coalescing.
-    n_par = spark.sparkContext.defaultParallelism * 2
     arrs = (
-        basket.repartition(n_par, "l_orderkey")
-        .groupBy("l_orderkey")
+        # basket is already hashpartitioned on l_orderkey (the spine
+        # exchange above): no new shuffle here
+        basket.groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
     pair_col = F.flatten(

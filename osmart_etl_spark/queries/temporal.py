@@ -496,9 +496,18 @@ def stock_points_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning so the whole chain runs off two exchanges (key, then
     key+day).
     """
+    from osmart_etl_spark.ops.partitioning import scaled_partitions
     from osmart_etl_spark.ops.windows import change_points, replay_running_balance
 
     mv = movement_events(spark, sf_dir)
+    # ONE volume-scaled numbered exchange on user_id at the head of the
+    # chain: every downstream window/groupBy keys on user_id (or
+    # user_id+day, which hash(user_id) also satisfies), so this is the
+    # only fact-volume shuffle — and the fixed count keeps AQE's
+    # byte-based coalescing from serializing the narrow-row window
+    # sorts (measured round 10: 1-task stages reading 4.6M records at
+    # x100 amplification, 26 s -> see SCALE.md).
+    mv = mv.repartition(scaled_partitions(mv), "user_id")
     zero = F.lit(0).cast("decimal(18,2)")
 
     eff = replay_running_balance(
@@ -508,16 +517,31 @@ def stock_points_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = eff.groupBy("user_id", F.to_date("ts").alias("d")).agg(
         F.sum("effective_delta").alias("net")
     )
-    bounds = daily.groupBy("user_id").agg(
-        F.min("d").alias("dmin"), F.date_add(F.max("d"), 1).alias("dmax")
+    # Join-free scaffold (round 10): the spine⋈daily left join made
+    # EnsureRequirements re-exchange BOTH sides on (user_id, cal_date)
+    # and then re-exchange back to user_id for the cumsum window (AQE
+    # also serialized those narrow exchanges to 1-2 tasks at x100).
+    # Collapsing daily to a per-user day→net MAP keeps everything on
+    # the head exchange's hash(user_id) partitioning: the per-user agg,
+    # the sequence explode, the map lookup, and every downstream window
+    # are all exchange-free. Map size = that user's active-day count,
+    # bounded by the calendar span — never corpus-proportional.
+    per_user = daily.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("d", "net"))).alias("__nets"),
+        F.min("d").alias("dmin"),
+        F.date_add(F.max("d"), 1).alias("dmax"),
     )
-    spine = bounds.select(
+    dense = per_user.select(
         "user_id",
-        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias("cal_date"),
+        F.explode(F.sequence("dmin", "dmax", F.expr("interval 1 day"))).alias(
+            "cal_date"
+        ),
+        "__nets",
+    ).select(
+        "user_id",
+        "cal_date",
+        F.coalesce(F.element_at("__nets", F.col("cal_date")), zero).alias("net"),
     )
-    dense = spine.join(
-        daily.withColumnRenamed("d", "cal_date"), ["user_id", "cal_date"], "left"
-    ).select("user_id", "cal_date", F.coalesce(F.col("net"), zero).alias("net"))
 
     w_cum = (
         Window.partitionBy("user_id")

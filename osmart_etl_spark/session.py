@@ -73,11 +73,16 @@ def get_spark(
         .config("spark.driver.maxResultSize", "2g")
         # local[N] puts all N executor threads in the driver JVM; the
         # 1g default heap made round-3's bench flaky under concurrent
-        # wide joins (BENCH_r03 rc=1 was an executor OOM-crash). On a
-        # real cluster this maps to spark.executor.memory sizing.
-        # Honored only when this builder launches the JVM; a driver
-        # that brings its own session keeps its own heap.
-        .config("spark.driver.memory", "6g")
+        # wide joins (BENCH_r03 rc=1 was an executor OOM-crash), and 6g
+        # left ~100 MB of execution memory per thread — enough for the
+        # bench tier but starved 32 concurrent multi-million-row sorts
+        # in the round-10 x100 amplification runs. 10g ≈ 300 MB of
+        # execution memory per thread, still far below a real
+        # executor's per-core share. On a cluster this maps to
+        # spark.executor.memory sizing. Honored only when this builder
+        # launches the JVM; a driver that brings its own session keeps
+        # its own heap.
+        .config("spark.driver.memory", "10g")
         .config("spark.ui.enabled", "false")
     )
     if extra_conf:

@@ -294,3 +294,36 @@ def test_replay_chunked_with_init(spark):
         _collect_replay_chunked(df, chunk, init_col="init_balance")
         == _collect_replay(df, init_col="init_balance")
     )
+
+
+def test_distributed_ntile_equals_window_ntile(spark):
+    """ops/windows.distributed_ntile (two-phase range-partition +
+    prefix-count ranking — rfm_segmentation's beyond-threshold path)
+    must be bit-equal to F.ntile for every (n, k) shape: n % k == 0,
+    n % k != 0, n < k, and a multi-column order with a unique
+    tiebreak."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.ops.windows import distributed_ntile
+
+    rng = random.Random(7)
+    for n, k in [(100, 4), (101, 4), (7, 3), (3, 5), (64, 8)]:
+        rows = [(i, rng.randint(0, 20), rng.random()) for i in range(n)]
+        df = spark.createDataFrame(rows, "id bigint, grp int, v double")
+        order = [F.col("v").desc(), F.col("id").asc()]
+        want = {
+            r.id: r.b
+            for r in df.select(
+                "id", F.ntile(k).over(Window.orderBy(*order)).cast("bigint").alias("b")
+            ).collect()
+        }
+        got = {
+            r.id: r.b
+            for r in distributed_ntile(df, order, k, "b", n_parts=5)
+            .select("id", "b")
+            .collect()
+        }
+        assert got == want, (n, k)

@@ -27,18 +27,21 @@ Construction — why the copies can't cheat the dedup semantics:
 - ``doc_id`` is offset by k * 10^9 (deterministic, collision-free).
 - ``events`` copy k offsets ``event_id``/``user_id`` (new users with
   the same behavioral mix — volumes scale, key cardinality scales).
-- JOIN TIER (round 9): ``orders``/``customer``/``lineitem`` copy k
-  offsets the FK chain consistently — ``c_custkey``/``o_custkey`` by
-  k * 10^6 and ``o_orderkey``/``l_orderkey`` by k * 10^9 — so every
-  amplified order still resolves to exactly one amplified customer and
-  every lineitem to its order: join FAN-OUT stays constant while both
-  sides' volume AND key cardinality scale by k (the realistic growth
-  mode: more customers, not more rows per key). ``l_partkey``/
-  ``l_suppkey``/``c_nationkey`` stay unchanged: part/supplier/nation
-  remain fixed-size dims, so per-dim-key fan-in grows k-fold — exactly
-  the regime where a forced dim broadcast is still fine but a forced
-  orders/customer broadcast blows up (the round-8 defect this audit
-  exists to catch mechanically).
+- JOIN TIER (round 9; part/supplier added round 10): ``orders``/
+  ``customer``/``lineitem``/``part``/``supplier`` copy k offsets the
+  FK chain consistently — ``c_custkey``/``o_custkey`` by k * 10^6,
+  ``o_orderkey``/``l_orderkey`` by k * 10^9, ``p_partkey``/
+  ``l_partkey`` by k * 10^6 and ``s_suppkey``/``l_suppkey`` by
+  k * 10^5 — so every amplified order still resolves to exactly one
+  amplified customer, every lineitem to its order/part/supplier: join
+  FAN-OUT stays constant while both sides' volume AND key cardinality
+  scale by k (the realistic growth mode: more customers/parts, not
+  more rows per key — exactly how TPC-H's own SF scales every table
+  except nation/region). Only ``c_nationkey``/``s_nationkey`` stay
+  unchanged: nation/region are the only constant dims, so this tier
+  catches a forced broadcast of ANY SF-linear table
+  (orders/customer/part/supplier) by OOM or wall-time instead of by
+  code reading — the round-9/10 defect class.
 - Every other table is symlinked from the base sf dir unchanged.
 
 Per run the tool scrapes the Spark UI REST API for the query's jobs
@@ -131,6 +134,13 @@ JOIN_QUERIES = [
     "star_join_revenue",
     "sales_pipeline_full",
     "lm_perplexity_kneser_ney",  # round-9 single-occ-shuffle rework
+    # round 10: part/supplier de-hinting probes + the composed EP3
+    # chain (filtered union → replay → scaffold → sparse encode) at
+    # the FK-offset construction
+    "tpch_q2_min_cost_supplier",
+    "item_cooccurrence_topk",
+    "graph_pagerank",
+    "stock_points_pipeline",
 ]
 
 
@@ -160,7 +170,7 @@ def build_amplified(spark, base: str, factor: int) -> str:
     skew = f"_skew{int(SKEW_HOT_FRACTION * 100)}" if SKEW_HOT_FRACTION else ""
     if JOIN_SKEW_FRACTION:
         skew += f"_jskew{int(JOIN_SKEW_FRACTION * 100)}"
-    out = f"/tmp/amplify_smoke/{name}_x{factor}_v5{skew}"
+    out = f"/tmp/amplify_smoke/{name}_x{factor}_v6{skew}"
     done = f"{out}/_AMPLIFIED_OK"
     if os.path.exists(done):
         return out
@@ -171,12 +181,16 @@ def build_amplified(spark, base: str, factor: int) -> str:
     orders = read_table(spark, base, "orders")
     customer = read_table(spark, base, "customer")
     lineitem = read_table(spark, base, "lineitem")
+    part = read_table(spark, base, "part")
+    supplier = read_table(spark, base, "supplier")
     emb = read_table(spark, base, "embeddings")
     doc_parts = [docs]
     ev_parts = [events]
     o_parts = [orders]
     c_parts = [customer]
     li_parts = [lineitem]
+    p_parts = [part]
+    s_parts = [supplier]
     emb_parts = [emb]
     for k in range(1, factor):
         perm = _permuted_alphabet(k)
@@ -263,9 +277,26 @@ def build_amplified(spark, base: str, factor: int) -> str:
         li_parts.append(
             lineitem.select(
                 (F.col("l_orderkey") + F.lit(k * 1_000_000_000)).alias("l_orderkey"),
-                "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+                (F.col("l_partkey") + F.lit(k * 1_000_000)).alias("l_partkey"),
+                (F.col("l_suppkey") + F.lit(k * 100_000)).alias("l_suppkey"),
+                "l_linenumber", "l_quantity",
                 "l_extendedprice", "l_discount", "l_tax",
                 "l_returnflag", "l_linestatus", "l_shipdate",
+            )
+        )
+        # part/supplier copies: SF-linear dims (round 10) — key spaces
+        # offset to match the lineitem FKs above; nationkey unchanged
+        # (nation/region stay the only constant dims)
+        p_parts.append(
+            part.select(
+                (F.col("p_partkey") + F.lit(k * 1_000_000)).alias("p_partkey"),
+                "p_name", "p_brand", "p_type", "p_size", "p_retailprice",
+            )
+        )
+        s_parts.append(
+            supplier.select(
+                (F.col("s_suppkey") + F.lit(k * 100_000)).alias("s_suppkey"),
+                "s_name", "s_nationkey", "s_acctbal",
             )
         )
 
@@ -283,8 +314,13 @@ def build_amplified(spark, base: str, factor: int) -> str:
     _write(o_parts, "orders")
     _write(c_parts, "customer")
     _write(li_parts, "lineitem")
+    _write(p_parts, "part")
+    _write(s_parts, "supplier")
     _write(emb_parts, "embeddings")
-    amplified = ("documents", "events", "orders", "customer", "lineitem", "embeddings")
+    amplified = (
+        "documents", "events", "orders", "customer", "lineitem",
+        "part", "supplier", "embeddings",
+    )
     for t in TABLES:
         if t in amplified:
             continue
