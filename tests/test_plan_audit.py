@@ -100,3 +100,86 @@ def test_no_broadcast_hint_on_unbounded_fact_subtree(spark):
         "broadcast hint on an unbounded fact-proportional subtree "
         f"(see tools/broadcast_hint_audit.py): {offenders}"
     )
+
+
+def test_no_unbounded_global_windows(spark):
+    """Round-10 structural lock replacing the WindowExec warning noise:
+    every GLOBAL (zero-partition) window in every registry query must
+    run over a bounded input subtree — an Aggregate on a non-fact key,
+    a Limit/Deduplicate, or a point/prefix id filter — because a global
+    window over fact-proportional rows is a single-partition sort at
+    100 TB. Spark 4.1 constant-folds partitionBy(lit(0)) away, so the
+    old silencing idiom can't hide one; this test fails instead.
+
+    Whitelist: queries that size-dispatch the global sort to a
+    distributed form beyond a scan-bytes threshold — the plan audited
+    here (sf0.001) is deliberately the small-scale branch."""
+    from tools.window_audit import audit_windows
+    from tools.broadcast_hint_audit import optimized_section
+
+    import osmart_etl_spark.queries  # noqa: F401
+    from osmart_etl_spark.queries.base import REGISTRY
+
+    # query -> justification for the below-threshold global window
+    whitelist = {
+        # plain NTILE below _RFM_DIST_BYTES; ops/windows.distributed_ntile
+        # (bit-equal by test_distributed_ntile_equals_window_ntile)
+        # takes over beyond it — queries/tpch_more.py
+        "rfm_segmentation": "size-dispatched to distributed_ntile",
+    }
+    offenders = []
+    n = 0
+    for name, qd in REGISTRY.items():
+        n += 1
+        if name in whitelist:
+            continue
+        plan = optimized_section(qd.fn(spark, SF_SMALL))
+        assert plan, f"{name}: optimized plan section not found"
+        bad = audit_windows(plan)
+        if bad:
+            offenders.append((name, bad))
+    assert n >= 223
+    assert not offenders, (
+        "GLOBAL window over an unbounded input subtree "
+        f"(see tools/window_audit.py): {offenders}"
+    )
+
+
+def test_window_audit_parser_rules():
+    """The global-window detector itself: partitioned-no-order windows
+    print two bracket groups exactly like global ordered windows, so
+    classification must come from the windowspecdefinition args."""
+    from tools.window_audit import audit_windows, is_global_window
+
+    glob = (
+        "Window [row_number() windowspecdefinition(id#0L ASC NULLS FIRST, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+        "AS rn#1], [id#0L ASC NULLS FIRST]"
+    )
+    part_no_order = (
+        "Window [count(1) windowspecdefinition(cluster_id#15L, "
+        "specifiedwindowframe(RowFrame, unboundedpreceding$(), "
+        "unboundedfollowing$())) AS _we1#5L], [cluster_id#15L]"
+    )
+    part_ordered = (
+        "Window [lag(v#2, -1, null) windowspecdefinition(user_id#3L, "
+        "ts#4 ASC NULLS FIRST, specifiedwindowframe(RowFrame, -1, -1)) "
+        "AS p#6], [user_id#3L], [ts#4 ASC NULLS FIRST]"
+    )
+    assert is_global_window(glob)
+    assert not is_global_window(part_no_order)
+    assert not is_global_window(part_ordered)
+    # global window over an Aggregate-bounded input -> clean
+    bounded_plan = (
+        glob + "\n"
+        "+- Aggregate [event_type#9], [event_type#9, count(1) AS n#10L]\n"
+        "   +- Relation [event_type#9,user_id#11L] parquet\n"
+    )
+    assert audit_windows(bounded_plan) == 0
+    # global window directly over a fact scan -> flagged
+    unbounded_plan = (
+        glob + "\n"
+        "+- Project [id#0L]\n"
+        "   +- Relation [o_orderkey#3L,o_custkey#4L] parquet\n"
+    )
+    assert audit_windows(unbounded_plan) == 1
