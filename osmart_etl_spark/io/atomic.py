@@ -173,12 +173,40 @@ def commit_version(
     """
     base = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
-    jvm, fs, _ = _fs(spark, base)
 
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/_v-{token}")
+
+    return publish_staged(
+        spark,
+        base,
+        token,
+        expected_seq=expected_seq,
+        keep_versions=keep_versions,
+        orphan_ttl_s=orphan_ttl_s,
+    )
+
+
+def publish_staged(
+    spark: SparkSession,
+    table: str,
+    token: str,
+    *,
+    expected_seq: int | None = None,
+    keep_versions: int = 2,
+    orphan_ttl_s: float = 3600.0,
+) -> int:
+    """Phase 2 of ``commit_version``, exposed for callers that stage
+    ``_v-<token>`` themselves (the bucket-granular merge sink renames a
+    pre-written directory into place instead of running a per-bucket
+    Spark job): claim the next sequence with one exclusive create, bind
+    it to the token with the marker file, GC. The staged directory must
+    already be complete — a crash before this call leaves the live
+    table untouched and the orphan swept later."""
+    base = table.rstrip("/")
+    jvm, fs, _ = _fs(spark, base)
 
     log = _commit_log(spark, base)
     last_seq = log[-1][0] if log else 0

@@ -137,9 +137,12 @@ def merge_upsert_partitioned(
        — a deterministic function of the key, so every key lives in
        exactly one partition directory forever;
     2. an incoming batch touches only the buckets its keys hash to —
-       read back JUST those partitions (directory pruning, not a table
-       scan), merge keep-latest, and rewrite JUST those directories via
-       dynamic partition overwrite.
+       read back JUST those buckets' current versions (directory
+       pruning, not a table scan), merge keep-latest, and publish each
+       touched bucket as a NEW immutable ``_v-<token>`` version through
+       ``io/atomic``'s commit log (staged in one Spark job, renamed and
+       CAS-published per bucket) — never an in-place overwrite, so a
+       crash at any point leaves every bucket at a complete version.
 
     Per-batch cost: O(|delta| + size of touched buckets) ≈
     O(|delta| × table_size/n_buckets · distinct_buckets). With Delta Lake
@@ -155,16 +158,21 @@ def merge_upsert_partitioned(
 
     Returns the list of touched bucket ids (for tests / observability).
     """
+    import uuid
+
+    from osmart_etl_spark.io.atomic import _fs, publish_staged
+    from osmart_etl_spark.io.sources import path_exists
+
+    base = path.rstrip("/")
     bucketed = new.withColumn(
         bucket_col, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
     )
     # ONE materialization of the incoming batch: the touched-bucket set
     # and the written rows must come from the same evaluation — a
     # nondeterministic source re-evaluated at write time could emit rows
-    # into buckets absent from `touched`, and dynamic overwrite would
-    # then replace those directories losing every pre-existing row.
+    # into buckets absent from `touched`, silently losing pre-existing
+    # rows of those directories.
     bucketed = bucketed.localCheckpoint(eager=True)
-    from osmart_etl_spark.io.sources import path_exists
 
     layout = {
         "n_buckets": n_buckets,
@@ -172,42 +180,95 @@ def merge_upsert_partitioned(
         "order_col": order_col,
         "bucket_col": bucket_col,
     }
-    layout_path = f"{path.rstrip('/')}/_layout"
-    if not path_exists(spark, path):
-        bucketed.write.mode("overwrite").partitionBy(bucket_col).parquet(path)
-        # Sidecar AFTER the table write (the overwrite would delete it).
-        spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(layout_path)
-        return sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
-
-    # F.hash is order-sensitive over its arguments, so the key LIST (not
-    # set) must match exactly.
-    stored = _read_layout(spark, layout_path)
-    if stored != layout:
-        raise ValueError(
-            f"merge_upsert_partitioned layout mismatch at {path}: "
-            f"table was created with {stored}, this batch supplies {layout}. "
-            "Changing n_buckets/keys re-homes keys to different directories; "
-            "rebuild the table instead."
+    layout_path = f"{base}/_layout"
+    if path_exists(spark, path):
+        # F.hash is order-sensitive over its arguments, so the key LIST
+        # (not set) must match exactly.
+        stored = _read_layout(spark, layout_path)
+        if stored != layout:
+            raise ValueError(
+                f"merge_upsert_partitioned layout mismatch at {path}: "
+                f"table was created with {stored}, this batch supplies {layout}. "
+                "Changing n_buckets/keys re-homes keys to different directories; "
+                "rebuild the table instead."
+            )
+    else:
+        spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
+            layout_path
         )
 
     # ≤ n_buckets small ints — a bounded driver-side read, not a data scan.
     touched = sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
-    old_touched = spark.read.parquet(path).filter(F.col(bucket_col).isin(touched))
-    merged = upsert_keep_latest(old_touched, bucketed, keys, order_col)
-    # Reading from and overwriting the same directories: materialize on
-    # the executors first so the overwrite never consumes files it is
-    # deleting.
+    old_dirs = [
+        d
+        for b in touched
+        if (d := _bucket_version_dir(spark, base, b)) is not None
+    ]
+    if old_dirs:
+        # the staged version dirs store only user columns (the bucket is
+        # the directory); recompute the bucket from the keys — the same
+        # deterministic hash — to restore the merge/partition column
+        old_touched = spark.read.parquet(*old_dirs).withColumn(
+            bucket_col, F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+        )
+        merged = upsert_keep_latest(old_touched, bucketed, keys, order_col)
+    else:
+        merged = bucketed
     merged = merged.localCheckpoint(eager=True)
-    (
-        merged.write.mode("overwrite")
-        # Per-write dynamic overwrite: only partitions PRESENT in `merged`
-        # (exactly the touched buckets) are replaced; the rest of the
-        # table's directories are never listed, read, or rewritten.
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(bucket_col)
-        .parquet(path)
-    )
+
+    # Crash-safe per-bucket publish (round 10 — replaces the in-place
+    # dynamic partition overwrite, whose delete-then-write window could
+    # fail the job AFTER dropping partitions): stage every touched
+    # bucket in ONE Spark job, then for each bucket rename the staged
+    # directory to an immutable `bucket=<b>/_v-<token>` version and
+    # CAS-publish it through io/atomic's commit log. A crash during
+    # staging leaves every live bucket untouched; a crash between
+    # bucket publishes leaves each bucket at a COMPLETE version (old or
+    # new) and the keep-latest merge makes a replay of the same batch
+    # converge — per-bucket atomicity + idempotent retry. Readers that
+    # need a cross-bucket snapshot use `upsert_versioned` instead
+    # (whole-table versions); this sink trades snapshot isolation for
+    # O(delta) writes, and now loses nothing in a crash.
+    token = uuid.uuid4().hex[:12]
+    stage = f"{base}/_stage-{token}"
+    merged.write.mode("overwrite").partitionBy(bucket_col).parquet(stage)
+    jvm, fs, _ = _fs(spark, base)
+    Path = jvm.org.apache.hadoop.fs.Path
+    # sweep crashed-writer staging debris (>1h old) — same TTL doctrine
+    # as io/atomic._gc; never touches the current token's stage
+    import time as _time
+
+    for st in fs.listStatus(Path(base)):
+        nm = st.getPath().getName()
+        if (
+            nm.startswith("_stage-")
+            and nm != f"_stage-{token}"
+            and st.getModificationTime() < (_time.time() - 3600.0) * 1000
+        ):
+            fs.delete(st.getPath(), True)
+    for b in touched:
+        bdir = f"{base}/bucket={b}"
+        fs.mkdirs(Path(bdir))
+        if not fs.rename(
+            Path(f"{stage}/{bucket_col}={b}"), Path(f"{bdir}/_v-{token}")
+        ):
+            raise IOError(f"staging rename failed for bucket {b} under {base}")
+        publish_staged(spark, bdir, token)
+    fs.delete(Path(stage), True)
     return touched
+
+
+def _bucket_version_dir(spark: SparkSession, base: str, bucket: int) -> str | None:
+    """Current committed version directory of one bucket, or None if the
+    bucket has never been written."""
+    from osmart_etl_spark.io.atomic import current_version
+    from osmart_etl_spark.io.sources import path_exists
+
+    bdir = f"{base}/bucket={bucket}"
+    if not path_exists(spark, bdir):
+        return None
+    cur = current_version(spark, bdir)
+    return None if cur is None else f"{bdir}/_v-{cur[1]}"
 
 
 def _read_layout(spark: SparkSession, layout_path: str) -> dict:
@@ -222,8 +283,24 @@ def _read_layout(spark: SparkSession, layout_path: str) -> dict:
 
 
 def read_merge_table(spark: SparkSession, path: str, bucket_col: str = "__bucket") -> DataFrame:
-    """Read a ``merge_upsert_partitioned`` table without the layout column."""
-    return spark.read.parquet(path).drop(bucket_col)
+    """Read a ``merge_upsert_partitioned`` table: resolve every bucket's
+    current committed version through its commit log (one directory
+    listing per bucket — O(n_buckets) metadata, no data scan) and union
+    the immutable version directories. An in-flight merge is invisible:
+    unpublished ``_v-*`` staging never appears in a commit log."""
+    from osmart_etl_spark.io.atomic import _listdir
+
+    base = path.rstrip("/")
+    dirs = []
+    for name in _listdir(spark, base):
+        if not name.startswith("bucket="):
+            continue
+        d = _bucket_version_dir(spark, base, int(name.split("=", 1)[1]))
+        if d is not None:
+            dirs.append(d)
+    if not dirs:
+        raise FileNotFoundError(f"no committed buckets under {base}")
+    return spark.read.parquet(*dirs)
 
 
 def write_quarantine(df: DataFrame, path: str) -> None:

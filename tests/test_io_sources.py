@@ -279,3 +279,85 @@ def test_observe_dq_single_pass(spark, tmp_path):
     assert got["null_props"] == want_null_props
     assert got["null_event_type"] == 0
     assert got["oob_value"] == want_oob
+
+
+def test_merge_upsert_crash_before_publish_keeps_previous_state(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-injection (round 10): a failure after staging but BEFORE
+    any bucket publish must leave the table exactly as it was — the
+    in-place dynamic overwrite this sink replaced could fail the job
+    AFTER dropping partitions."""
+    import osmart_etl_spark.io.atomic as atomic
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(100)], "k1 int, k2 int, v double, ver int"
+    )
+    batch = spark.createDataFrame(
+        [(i, 0, -99.0, 2) for i in range(100)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+    before = _merge_rows(spark, path)
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before first bucket publish")
+
+    monkeypatch.setattr(atomic, "publish_staged", boom)
+    try:
+        merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=8)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+    assert _merge_rows(spark, path) == before  # nothing lost, nothing half-applied
+
+
+def test_merge_upsert_crash_mid_publish_is_replayable(spark, tmp_path, monkeypatch):
+    """Crash-injection: a failure BETWEEN bucket publishes leaves every
+    bucket at a COMPLETE version (some old, some new — never partial or
+    missing), and replaying the same batch converges to the intended
+    final state (keep-latest idempotence)."""
+    import osmart_etl_spark.io.atomic as atomic
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned, upsert_keep_latest
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(200)], "k1 int, k2 int, v double, ver int"
+    )
+    batch = spark.createDataFrame(
+        [(i, 0, -7.0, 2) for i in range(200)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+
+    real = atomic.publish_staged
+    calls = {"n": 0}
+
+    def crash_on_second(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash after first bucket publish")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(atomic, "publish_staged", crash_on_second)
+    try:
+        merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=8)
+        raise AssertionError("injected crash did not propagate")
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # table still fully readable: every key present exactly once, each
+    # bucket at a complete (old or new) version
+    mid = _merge_rows(spark, path)
+    assert set(mid) == {(i, 0) for i in range(200)}
+    assert all(val in ((float(k1), 1), (-7.0, 2)) for (k1, _), val in mid.items())
+
+    # replaying the SAME batch converges to the intended final state
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=8)
+    expect = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in upsert_keep_latest(base, batch, ["k1", "k2"], "ver").collect()
+    }
+    assert _merge_rows(spark, path) == expect
