@@ -748,3 +748,55 @@ def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+@query(
+    "event_value_decile_distributed",
+    oracle="""
+    SELECT decile,
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(MIN(value) AS DOUBLE) AS lo,
+      CAST(MAX(value) AS DOUBLE) AS hi
+    FROM (
+      SELECT value,
+        CAST(NTILE(10) OVER (ORDER BY value ASC, event_id ASC) AS BIGINT) AS decile
+      FROM events
+    )
+    GROUP BY decile
+    """,
+    tags=("scale-tech", "W7", "distributed-rank"),
+)
+def event_value_decile_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global deciles of the event-value distribution, computed
+    by ``ops/windows.distributed_ntile`` — the two-phase
+    range-partition + prefix-count ranking — so the driver's oracle
+    gate verifies the DISTRIBUTED form of NTILE against the window
+    function itself, over the full fact table (not just the unit test's
+    synthetic shapes). Summarized per decile (count + value bounds) so
+    the output is bounded while every row's bucket assignment still
+    feeds the hash through the per-decile MIN/MAX/COUNT.
+
+    Scale shape: one range exchange of events (parallel slices sorted
+    independently), a <= n_parts-row prefix-count aggregate, and a
+    map-side-combinable decile roll-up. NO single-partition sort at any
+    volume — the shape ``rfm_segmentation`` dispatches to beyond its
+    threshold, here unconditional and driver-verified. event_id breaks
+    value ties so the total order (and hence every bucket) is unique
+    on both engines.
+    """
+    from osmart_etl_spark.ops.partitioning import scaled_partitions
+    from osmart_etl_spark.ops.windows import distributed_ntile
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "value")
+    ranked = distributed_ntile(
+        ev,
+        [F.col("value").asc(), F.col("event_id").asc()],
+        10,
+        "decile",
+        n_parts=scaled_partitions(ev, floor_mult=0, min_parts=8),
+    )
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        dbl(F.min("value")).alias("lo"),
+        dbl(F.max("value")).alias("hi"),
+    )
