@@ -428,8 +428,8 @@ def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
     )
 
 
-def _decode_image(payload: bytes) -> np.ndarray:
-    """Image feature dispatch: PNG payloads decode FOR REAL via the
+def decode_image_pixels(payload: bytes) -> np.ndarray:
+    """Image PIXEL dispatch: PNG payloads decode FOR REAL via the
     pure-stdlib codec above, JPEG payloads decode FOR REAL via the
     pure-numpy codec (ops/jpeg.py — T.81 sequential AND progressive
     DCT with 4:4:4/4:2:2/4:2:0 and restart markers; arithmetic/
@@ -440,52 +440,54 @@ def _decode_image(payload: bytes) -> np.ndarray:
     DCT/WHT, in-loop deblocking — validated bit-exact against the
     system libwebp), and GIF decodes FOR REAL via ops/gif.py (LZW,
     interlace, animation composition; third-party-fixture validated).
-    All featurize like raw images. Only unknown image formats fall
-    through to the deterministic fake (-> decode_status
-    'fake_decoder')."""
+    Returns the PIXEL array (H, W[, C]) uint8. Unknown image formats
+    raise ``ValueError('unknown image format')`` — ``_decode_image``
+    maps that to the deterministic fake feature (decode_status
+    'fake_decoder') and ``ops/imagehash`` maps it to a per-row
+    decode_status."""
     if payload[:8] == _PNG_MAGIC:
-        return _quadrant_feature(decode_png(payload))
+        return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         from osmart_etl_spark.ops.jpeg import decode_jpeg
 
         img = decode_jpeg(payload)
         if img.ndim == 2:  # grayscale JPEG -> single-channel plane
             img = img[:, :, None]
-        return _quadrant_feature(img)
+        return img
     if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
         from osmart_etl_spark.ops.vp8l import decode_webp
 
-        return _quadrant_feature(decode_webp(payload))
+        return decode_webp(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         from osmart_etl_spark.ops.gif import decode_gif
 
         # still GIFs have one frame; for animations the first composed
-        # canvas is the representative image-tier feature
-        return _quadrant_feature(decode_gif(payload)[0])
+        # canvas is the representative image-tier frame
+        return decode_gif(payload)[0]
     if payload[:1] == b"P" and payload[1:2] in b"123456":
         from osmart_etl_spark.ops.imagefmt import decode_pnm
 
-        return _quadrant_feature(decode_pnm(payload))
+        return decode_pnm(payload)
     if payload[:2] == b"BM":
         from osmart_etl_spark.ops.imagefmt import decode_bmp
 
-        return _quadrant_feature(decode_bmp(payload))
+        return decode_bmp(payload)
     if payload[:4] == b"\x59\xa6\x6a\x95":
         from osmart_etl_spark.ops.imagefmt import decode_ras
 
-        return _quadrant_feature(decode_ras(payload))
+        return decode_ras(payload)
     if payload[:4] in (b"II*\x00", b"MM\x00*"):
         from osmart_etl_spark.ops.imagefmt import decode_tiff
 
-        return _quadrant_feature(decode_tiff(payload))
+        return decode_tiff(payload)
     if payload[:2] == b"\x01\xda":
         from osmart_etl_spark.ops.imagefmt import decode_sgi
 
-        return _quadrant_feature(decode_sgi(payload))
+        return decode_sgi(payload)
     if payload[:7] == b"#define":
         from osmart_etl_spark.ops.imagefmt import decode_xbm
 
-        return _quadrant_feature(decode_xbm(payload))
+        return decode_xbm(payload)
     if payload[:4] == b"\x76\x2f\x31\x01":
         from osmart_etl_spark.ops.imagefmt import decode_exr
 
@@ -494,10 +496,21 @@ def _decode_image(payload: bytes) -> np.ndarray:
         # pipeline parameterizes the tone-map — exr_tonemap_uint8 is
         # the gamma alternative)
         img = decode_exr(payload)
-        return _quadrant_feature(
-            np.clip(np.round(255.0 * img), 0, 255).astype(np.uint8)
-        )
-    return _fake_decode_image(payload)
+        return np.clip(np.round(255.0 * img), 0, 255).astype(np.uint8)
+    raise ValueError("unknown image format")
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Image FEATURE dispatch: real pixels via ``decode_image_pixels``,
+    quadrant-featurized; only unknown image formats fall through to the
+    deterministic fake (-> decode_status 'fake_decoder')."""
+    try:
+        img = decode_image_pixels(payload)
+    except ValueError as exc:
+        if str(exc) == "unknown image format":
+            return _fake_decode_image(payload)
+        raise
+    return _quadrant_feature(img)
 
 
 class FakeDecodeFeature(Exception):

@@ -1876,3 +1876,54 @@ def text_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         lpw.alias("letters_per_word"),
         grade.alias("coleman_liau_grade"),
     )
+
+
+@query(
+    "simhash_hamming_neardup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '), x -> x != '')) AS tok
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+    ),
+    bits AS (
+      SELECT doc_id, b,
+        CASE WHEN (h & CAST(POWER(2, b) AS BIGINT)) != 0 THEN 1 ELSE -1 END AS c
+      FROM hashes CROSS JOIN (SELECT UNNEST(generate_series(0, 59)) AS b) bs
+    ),
+    votes AS (SELECT doc_id, b, SUM(c) AS v FROM bits GROUP BY doc_id, b),
+    fp AS MATERIALIZED (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN v > 0 THEN CAST(POWER(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    tags=("ext-dedup", "simhash", "hamming-band"),
+)
+def simhash_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs within Hamming distance 3 of the 60-bit SimHash —
+    ``ops/imagehash.hamming_neardup_pairs`` (COMPLETE pigeonhole
+    banding: 4 contiguous 15-bit bands, a <=3-distance pair must match
+    at least one band exactly; per-band bucket join + one
+    bit_count(XOR) verification, all codegen) put under the driver's
+    oracle gate against a brute-force DuckDB cross join. The SAME
+    operator serves the image tier (phash64/dhash64 over the real
+    pixel decoders) where no SQL oracle can exist — this query is the
+    banding's correctness certificate.
+
+    Scale shape: banding shuffles bands x corpus 16-byte rows instead
+    of the O(n²) brute force; the verify touches only bucket
+    collisions. Same cost model as the MinHash-LSH band join.
+    """
+    from osmart_etl_spark.ops.dedup import simhash60
+    from osmart_etl_spark.ops.imagehash import hamming_neardup_pairs
+
+    d = read_table(spark, sf_dir, "documents")
+    fp = simhash60(d, "doc_id", "text")
+    return hamming_neardup_pairs(fp, "doc_id", "simhash", max_dist=3, bits=60)

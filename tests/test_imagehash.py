@@ -1,0 +1,133 @@
+"""Perceptual image hashing + Hamming banding (ops/imagehash) — the
+image tier of the dedup stack. Hash robustness is tested on real
+encoded images (PNG/PNM via the repo's own codecs), banding
+completeness against brute force, and the Spark surface end-to-end
+with per-row decode failures."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from osmart_etl_spark.ops.imagehash import (
+    box_resize,
+    dhash64,
+    hamming64,
+    hamming_neardup_pairs,
+    image_hashes,
+    phash64,
+)
+
+
+def _base_image(seed: int = 5, h: int = 48, w: int = 64) -> np.ndarray:
+    """A structured test image: smooth gradient + blocks + seeded noise
+    (pure noise has no low-frequency structure for pHash to key on)."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = 80 + 100 * np.sin(xx / 9.0) + 60 * (yy > h // 2)
+    img = img + rng.normal(0, 6, size=(h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def test_hashes_stable_under_benign_transforms():
+    img = _base_image()
+    ph, dh = phash64(img), dhash64(img)
+
+    # resize (downscale 2x): both hashes stay near-identical
+    small = box_resize(img.astype(np.float64), 24, 32)
+    small = np.clip(np.round(small), 0, 255).astype(np.uint8)
+    assert hamming64(ph, phash64(small)) <= 10
+    assert hamming64(dh, dhash64(small)) <= 6
+
+    # brightness/contrast (monotone intensity map): dHash INVARIANT,
+    # pHash near-invariant (median threshold tracks the shift)
+    bright = np.clip(img.astype(np.int32) + 40, 0, 255).astype(np.uint8)
+    assert dhash64(bright) == dh
+    assert hamming64(ph, phash64(bright)) <= 16
+
+    # mild noise
+    rng = np.random.default_rng(11)
+    noisy = np.clip(
+        img.astype(np.float64) + rng.normal(0, 3, img.shape), 0, 255
+    ).astype(np.uint8)
+    assert hamming64(ph, phash64(noisy)) <= 6
+    assert hamming64(dh, dhash64(noisy)) <= 10
+
+
+def test_distinct_images_are_far():
+    a, b = _base_image(seed=5), _base_image(seed=99).T.copy()
+    # different structure -> hashes far apart (random baseline is 32)
+    assert hamming64(phash64(a), phash64(b)) >= 16
+    assert hamming64(dhash64(a), dhash64(b)) >= 16
+
+
+def test_banding_completeness_vs_brute_force(spark):
+    """Pigeonhole banding must find EVERY pair within max_dist — seeded
+    random 64-bit hashes plus planted near-dup clusters, compared
+    against the O(n²) definition."""
+    rng = random.Random(42)
+    rows = []
+    base_hashes = [rng.getrandbits(64) for _ in range(60)]
+    hid = 0
+    for h in base_hashes:
+        rows.append((hid, h - (1 << 64) if h >= 1 << 63 else h))
+        hid += 1
+        if rng.random() < 0.4:  # planted near-dup: flip <=3 bits
+            flipped = h
+            for _ in range(rng.randint(0, 3)):
+                flipped ^= 1 << rng.randrange(64)
+            rows.append(
+                (hid, flipped - (1 << 64) if flipped >= 1 << 63 else flipped)
+            )
+            hid += 1
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+    got = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in hamming_neardup_pairs(df, "id", "h", max_dist=3).collect()
+    }
+    want = set()
+    for i, (ia, ha) in enumerate(rows):
+        for ib, hb in rows[i + 1 :]:
+            d = bin((ha ^ hb) & ((1 << 64) - 1)).count("1")
+            if d <= 3:
+                want.add((min(ia, ib), max(ia, ib), d))
+    assert got == want and len(want) > 0
+
+
+def test_image_hashes_spark_surface(spark):
+    """End-to-end: encode real PNG/PNM payloads, hash via mapInPandas,
+    find the planted near-dup pair via banding; a corrupt payload
+    becomes decode_status, never a fabricated hash."""
+    from osmart_etl_spark.ops.imagefmt import encode_pnm
+    from osmart_etl_spark.ops.multimodal import encode_png
+
+    img = _base_image()
+    rng = np.random.default_rng(3)
+    noisy = np.clip(
+        img.astype(np.float64) + rng.normal(0, 2, img.shape), 0, 255
+    ).astype(np.uint8)
+    other = _base_image(seed=99).T.copy()
+
+    rows = [
+        (0, bytearray(encode_png(img[:, :, None]))),
+        (1, bytearray(encode_pnm(noisy))),  # same scene, different codec
+        (2, bytearray(encode_png(other[:, :, None]))),
+        (3, bytearray(b"\x89PNG\r\n\x1a\truncated-not-a-real-png")),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    hashes = image_hashes(media).cache()
+    by_id = {r.media_id: r for r in hashes.collect()}
+    assert by_id[0].decode_status == "ok" and by_id[1].decode_status == "ok"
+    assert by_id[2].decode_status == "ok"
+    assert by_id[3].decode_status.startswith("error:") and by_id[3].phash is None
+
+    ok = hashes.filter("decode_status = 'ok'")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in hamming_neardup_pairs(
+            ok, "media_id", "phash", max_dist=10
+        ).collect()
+    }
+    assert (0, 1) in pairs  # the cross-codec near-dup pair
+    assert (0, 2) not in pairs and (1, 2) not in pairs
