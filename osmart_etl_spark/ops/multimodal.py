@@ -638,40 +638,51 @@ def _wav_feature(samples: np.ndarray) -> np.ndarray:
     return np.array(rms + zcr, dtype=np.float32)
 
 
-def _decode_audio(payload: bytes) -> np.ndarray:
-    """Audio feature dispatch: RIFF/WAVE payloads decode FOR REAL via
+def decode_audio_samples(payload: bytes) -> tuple[np.ndarray, int]:
+    """Audio SAMPLE dispatch: RIFF/WAVE payloads decode FOR REAL via
     the pure-stdlib PCM codec, and — since round 7 — AIFF/AIFC (incl.
     the G.711 ulaw/alaw compression types and the 'sowt' LE form) and
     AU/Sun audio decode FOR REAL via ops/audio.py, and FLAC decodes
     FOR REAL via the RFC 9639 codec in ops/flac.py (CRC-8/CRC-16/MD5
-    verified); all featurize with the same RMS+ZCR windows. The
-    remaining lossy formats (mp3/ogg) fall through to the deterministic
-    fake PERMANENTLY IN THIS CONTAINER — a documented decision, not a
-    TODO: their sample reconstruction requires large normative constant
-    tables (ISO 11172-3 B.7 Huffman + B.3 synthesis window; Vorbis
+    verified). Returns (samples [n_frames, n_channels] float in
+    [-1, 1), sample_rate). Lossy formats (mp3/ogg) raise
+    ``ValueError('unknown audio format')`` — PERMANENTLY IN THIS
+    CONTAINER, a documented decision, not a TODO: their sample
+    reconstruction requires large normative constant tables
+    (ISO 11172-3 B.7 Huffman + B.3 synthesis window; Vorbis
     floor/residue codebook setup) that no container library, fixture,
     or reference decoder exists to validate against (see ops/mp3.py's
     docstring for the search evidence). MP3 STRUCTURE still parses for
     real — ``audio_stream_info`` below probes it via ops/mp3.py."""
     if payload[:4] == _WAV_MAGIC_RIFF and payload[8:12] == _WAV_MAGIC_WAVE:
-        samples, _rate = decode_wav(payload)
-        return _wav_feature(samples)
+        return decode_wav(payload)
     if payload[:4] == b"FORM" and payload[8:12] in (b"AIFF", b"AIFC"):
         from osmart_etl_spark.ops.audio import decode_aiff
 
-        samples, _rate = decode_aiff(payload)
-        return _wav_feature(samples)
+        return decode_aiff(payload)
     if payload[:4] == b".snd":
         from osmart_etl_spark.ops.audio import decode_au
 
-        samples, _rate = decode_au(payload)
-        return _wav_feature(samples)
+        return decode_au(payload)
     if payload[:4] == b"fLaC":
         from osmart_etl_spark.ops.flac import decode_flac
 
-        samples, _rate = decode_flac(payload)
-        return _wav_feature(samples)
-    return _fake_decode_audio(payload)
+        return decode_flac(payload)
+    raise ValueError("unknown audio format")
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """Audio FEATURE dispatch: real samples via ``decode_audio_samples``
+    featurized with the RMS+ZCR windows; unknown/lossy formats fall
+    through to the deterministic fake (-> decode_status
+    'fake_decoder')."""
+    try:
+        samples, _rate = decode_audio_samples(payload)
+    except ValueError as exc:
+        if str(exc) == "unknown audio format":
+            return _fake_decode_audio(payload)
+        raise
+    return _wav_feature(samples)
 
 
 def _fake_decode_audio(payload: bytes) -> np.ndarray:
