@@ -47,6 +47,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StringType,
     StructField,
@@ -230,4 +231,105 @@ def hamming_neardup_pairs(
         )
         .filter(F.col("hamming") <= max_dist)
         .distinct()
+    )
+
+
+VIDEO_HASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_phashes", ArrayType(LongType())),
+        StructField("n_frames", LongType()),
+        StructField("decode_status", StringType()),
+    ]
+)
+
+
+def video_phashes(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    k_frames: int = 8,
+) -> DataFrame:
+    """(id, frame_phashes, n_frames, decode_status) — the VIDEO tier of
+    perceptual dedup: decode real frames (Y4M / AVI-MJPEG via
+    ``ops/multimodal.decode_video_frames``), sample up to ``k_frames``
+    evenly (first and last always included), pHash each. Inter-frame
+    codecs and corrupt payloads surface as ``decode_status``.
+
+    Near-dup clips: explode ``frame_phashes`` with their index and feed
+    ``hamming_neardup_pairs`` per frame slot, then require a minimum
+    number of matching slots per clip pair (``video_neardup_pairs``) —
+    temporal trimming tolerance comes from matching on frame HASH
+    values, spatial tolerance from pHash itself."""
+    from osmart_etl_spark.ops.multimodal import _sample_evenly, decode_video_frames
+
+    def hash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fhs, nfs, status = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                ids.append(mid)
+                try:
+                    frames = decode_video_frames(bytes(payload))
+                    sampled = _sample_evenly(frames, k_frames)
+                    fhs.append([phash64(f) for f in sampled])
+                    nfs.append(len(frames))
+                    status.append("ok")
+                except NotImplementedError as exc:
+                    fhs.append(None)
+                    nfs.append(None)
+                    status.append(f"stub_not_implemented:{exc}"[:120])
+                except Exception as exc:  # noqa: BLE001 — per-row triage
+                    fhs.append(None)
+                    nfs.append(None)
+                    status.append(f"error:{type(exc).__name__}:{exc}"[:120])
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(ids, dtype="Int64"),
+                    "frame_phashes": fhs,
+                    "n_frames": pd.array(nfs, dtype="Int64"),
+                    "decode_status": status,
+                }
+            )
+
+    return media.select(id_col, content_col).mapInPandas(
+        hash_batches, schema=VIDEO_HASH_SCHEMA
+    )
+
+
+def video_neardup_pairs(
+    vhashes: DataFrame,
+    id_col: str = "media_id",
+    *,
+    max_dist: int = 8,
+    min_matching_frames: int = 2,
+) -> DataFrame:
+    """Clip pairs sharing >= ``min_matching_frames`` near-identical
+    sampled frames (pHash Hamming <= ``max_dist``): explode the frame
+    hashes, run the banded Hamming join over ALL frames of all clips,
+    then count distinct matching frame slots per clip pair. Output
+    (id_a, id_b, n_matching_frames)."""
+    frames = vhashes.select(
+        F.col(id_col),
+        F.posexplode("frame_phashes").alias("slot", "fh"),
+    ).withColumn(
+        # composite row id: clip id x 1000 + slot (banding needs unique
+        # ids; requires non-negative clip ids and k_frames < 1000)
+        "__fid",
+        F.col(id_col) * 1000 + F.col("slot"),
+    )
+    pairs = hamming_neardup_pairs(frames, "__fid", "fh", max_dist=max_dist)
+    clip_pairs = pairs.select(
+        F.expr("id_a DIV 1000").alias("clip_a"),
+        (F.col("id_a") % 1000).alias("slot_a"),
+        F.expr("id_b DIV 1000").alias("clip_b"),
+    ).filter(F.col("clip_a") != F.col("clip_b"))
+    norm = clip_pairs.select(
+        F.least("clip_a", "clip_b").alias("id_a"),
+        F.greatest("clip_a", "clip_b").alias("id_b"),
+        "slot_a",
+    ).distinct()
+    return (
+        norm.groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_matching_frames"))
+        .filter(F.col("n_matching_frames") >= min_matching_frames)
     )

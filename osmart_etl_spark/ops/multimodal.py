@@ -719,25 +719,31 @@ def _video_feature(frames: list) -> np.ndarray:
     return np.concatenate([feats.mean(axis=0), feats.std(axis=0)]).astype(np.float32)
 
 
-def _decode_video(payload: bytes) -> np.ndarray:
-    """Video feature dispatch: Y4M (YUV4MPEG2 raw planar YUV) and
+def decode_video_frames(payload: bytes) -> list:
+    """Video FRAME dispatch: Y4M (YUV4MPEG2 raw planar YUV) and
     AVI/MJPEG (per-frame baseline JPEG incl. the omitted-DHT quirk)
     decode FOR REAL via ops/video.py — pure numpy + the in-tree T.81
-    codec, no ffmpeg. Inter-frame codecs (MP4/H.264, VP9, MKV) remain
-    an HONEST stub: NotImplementedError -> decode_status
-    'stub_not_implemented', never a fabricated feature tagged 'ok'."""
+    codec, no ffmpeg; returns the RGB frame list. Inter-frame codecs
+    (MP4/H.264, VP9, MKV) remain an HONEST stub: NotImplementedError
+    -> decode_status 'stub_not_implemented', never fabricated frames."""
     if payload[:9] == b"YUV4MPEG2":
         from osmart_etl_spark.ops.video import decode_y4m
 
-        return _video_feature(decode_y4m(payload))
+        return decode_y4m(payload)
     if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
         from osmart_etl_spark.ops.video import decode_avi
 
-        return _video_feature(decode_avi(payload))
+        return decode_avi(payload)
     raise NotImplementedError(
         "inter-frame video codecs need ffmpeg (not in container); "
         "Y4M and AVI/MJPEG decode for real via ops/video.py"
     )
+
+
+def _decode_video(payload: bytes) -> np.ndarray:
+    """Video FEATURE dispatch: real frames via ``decode_video_frames``,
+    featurized over evenly sampled frames."""
+    return _video_feature(decode_video_frames(payload))
 
 
 DECODERS = {

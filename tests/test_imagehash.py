@@ -131,3 +131,61 @@ def test_image_hashes_spark_surface(spark):
     }
     assert (0, 1) in pairs  # the cross-codec near-dup pair
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_video_phash_neardup(spark):
+    """Video tier: Y4M clips built from the image fixtures — a clip and
+    its noisy re-encode match on (nearly) all sampled frames; a clip of
+    different scenes does not; an inter-frame codec payload surfaces as
+    stub_not_implemented."""
+    from osmart_etl_spark.ops.imagehash import video_neardup_pairs, video_phashes
+    from osmart_etl_spark.ops.video import encode_y4m
+
+    h, w = 48, 64
+    rng = np.random.default_rng(2)
+
+    def planes(img):
+        # 420jpeg: quarter-size chroma planes (flat gray chroma)
+        return (
+            img.astype(np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+        )
+
+    scenes = [_base_image(seed=s) for s in (5, 6, 7, 8)]
+    clip_a = encode_y4m([planes(s) for s in scenes], w, h)
+    noisy_scenes = [
+        np.clip(s.astype(np.float64) + rng.normal(0, 2, s.shape), 0, 255).astype(
+            np.uint8
+        )
+        for s in scenes
+    ]
+    clip_b = encode_y4m([planes(s) for s in noisy_scenes], w, h)
+    # transposed geometry (gradient runs vertically) = genuinely
+    # different scenes, at the correct (h, w) frame shape
+    other = [
+        np.ascontiguousarray(_base_image(seed=s, h=w, w=h).T) for s in (60, 61, 62, 63)
+    ]
+    clip_c = encode_y4m([planes(s) for s in other], w, h)
+
+    rows = [
+        (0, bytearray(clip_a)),
+        (1, bytearray(clip_b)),
+        (2, bytearray(clip_c)),
+        (3, bytearray(b"\x00\x00\x00\x18ftypmp42-not-decodable")),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    vh = video_phashes(media, k_frames=4).cache()
+    by_id = {r.media_id: r for r in vh.collect()}
+    assert by_id[0].decode_status == "ok" and by_id[0].n_frames == 4
+    assert len(by_id[0].frame_phashes) == 4
+    assert by_id[3].decode_status.startswith("stub_not_implemented")
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_matching_frames
+        for r in video_neardup_pairs(
+            vh.filter("decode_status = 'ok'"), max_dist=8, min_matching_frames=3
+        ).collect()
+    }
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 3
+    assert (0, 2) not in pairs and (1, 2) not in pairs
