@@ -231,7 +231,17 @@ def merge_upsert_partitioned(
     # O(delta) writes, and now loses nothing in a crash.
     token = uuid.uuid4().hex[:12]
     stage = f"{base}/_stage-{token}"
-    merged.write.mode("overwrite").partitionBy(bucket_col).parquet(stage)
+    # one shuffle task per touched bucket -> each version directory is
+    # ~one file (a bucket is table_size/n_buckets by design, sized to
+    # write in one task); without this, every one of the write's input
+    # tasks leaves a file in every bucket it touches (n_par x buckets
+    # small files per batch)
+    (
+        merged.repartition(max(len(touched), 1), F.col(bucket_col))
+        .write.mode("overwrite")
+        .partitionBy(bucket_col)
+        .parquet(stage)
+    )
     jvm, fs, _ = _fs(spark, base)
     Path = jvm.org.apache.hadoop.fs.Path
     # sweep crashed-writer staging debris (>1h old) — same TTL doctrine

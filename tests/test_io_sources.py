@@ -361,3 +361,21 @@ def test_merge_upsert_crash_mid_publish_is_replayable(spark, tmp_path, monkeypat
         for r in upsert_keep_latest(base, batch, ["k1", "k2"], "ver").collect()
     }
     assert _merge_rows(spark, path) == expect
+
+
+def test_merge_upsert_one_file_per_bucket_version(spark, tmp_path):
+    """Small-file control: each bucket's version directory holds ~one
+    data file (the staged write shuffles one task per touched bucket),
+    not one file per upstream write task."""
+    import glob
+
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(300)], "k1 int, k2 int, v double, ver int"
+    ).repartition(16)  # many upstream tasks
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+    for vdir in glob.glob(f"{path}/bucket=*/_v-*"):
+        data = [f for f in glob.glob(f"{vdir}/part-*") if not f.endswith(".crc")]
+        assert len(data) == 1, (vdir, data)
