@@ -912,3 +912,63 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(_SRC_MH_K).cast("double")
         ).alias("est_jaccard"),
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle="""
+    WITH canon AS (
+      SELECT doc_id, md5(text) AS digest,
+        MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    )
+    SELECT doc_id, canonical_id,
+      CASE
+        WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT % 10 < 8
+          THEN 'train'
+        WHEN ('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15))::BIGINT % 10 = 8
+          THEN 'val'
+        ELSE 'test'
+      END AS split
+    FROM canon
+    """,
+    tags=("ext-curation", "split", "decontamination"),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic leakage-safe train/val/test split (80/10/10): the
+    split is assigned per DUPLICATE CLUSTER, not per document — every
+    member of an exact-duplicate group follows its canonical (min
+    doc_id) member, so a document can never appear in train while its
+    copy sits in test (the eval-contamination failure mode a naive
+    per-doc hash split has at exactly the rate of the corpus's
+    duplication level). md5-derived buckets make the assignment
+    engine-portable, reproducible across runs/engines, and stable
+    under corpus growth (a new document never re-homes an old one;
+    a new DUPLICATE inherits its cluster's split).
+
+    Near-dup generalization: swap the digest for the
+    ``dedup_components`` component id and the same hash-the-canonical
+    rule extends leakage safety to near-duplicate clusters — this
+    query keeps the exact-dup form so the oracle stays a pure window
+    expression.
+
+    Scale shape: one digest window (partitioned, parallel by digest)
+    over a zero-shuffle projection; the split column is md5 codegen —
+    nothing here is corpus-bounded except the single hash exchange.
+    """
+    d = read_table(spark, sf_dir, "documents")
+    canonical = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("canonical_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_id"))
+        .withColumn(
+            "split",
+            F.when(bucket < 8, F.lit("train"))
+            .when(bucket == 8, F.lit("val"))
+            .otherwise(F.lit("test")),
+        )
+    )
