@@ -199,11 +199,13 @@ def merge_upsert_partitioned(
 
     # ≤ n_buckets small ints — a bounded driver-side read, not a data scan.
     touched = sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
-    old_dirs = [
-        d
-        for b in touched
-        if (d := _bucket_version_dir(spark, base, b)) is not None
-    ]
+    # snapshot each touched bucket's (version dir, committed seq): the
+    # seq makes every publish a CAS — a writer that committed to the
+    # same bucket after this read surfaces as ConcurrentCommitError
+    # instead of a silently lost update (retry re-merges from the fresh
+    # snapshot; keep-latest makes the retry converge)
+    snapshots = {b: _bucket_snapshot(spark, base, b) for b in touched}
+    old_dirs = [d for d, _seq in snapshots.values() if d is not None]
     if old_dirs:
         # the staged version dirs store only user columns (the bucket is
         # the directory); recompute the bucket from the keys — the same
@@ -263,22 +265,30 @@ def merge_upsert_partitioned(
             Path(f"{stage}/{bucket_col}={b}"), Path(f"{bdir}/_v-{token}")
         ):
             raise IOError(f"staging rename failed for bucket {b} under {base}")
-        publish_staged(spark, bdir, token)
+        publish_staged(spark, bdir, token, expected_seq=snapshots[b][1])
     fs.delete(Path(stage), True)
     return touched
 
 
-def _bucket_version_dir(spark: SparkSession, base: str, bucket: int) -> str | None:
-    """Current committed version directory of one bucket, or None if the
-    bucket has never been written."""
+def _bucket_snapshot(
+    spark: SparkSession, base: str, bucket: int
+) -> tuple[str | None, int]:
+    """(current committed version dir or None, committed seq — 0 for a
+    never-written bucket) of one bucket."""
     from osmart_etl_spark.io.atomic import current_version
     from osmart_etl_spark.io.sources import path_exists
 
     bdir = f"{base}/bucket={bucket}"
     if not path_exists(spark, bdir):
-        return None
+        return None, 0
     cur = current_version(spark, bdir)
-    return None if cur is None else f"{bdir}/_v-{cur[1]}"
+    return (None, 0) if cur is None else (f"{bdir}/_v-{cur[1]}", cur[0])
+
+
+def _bucket_version_dir(spark: SparkSession, base: str, bucket: int) -> str | None:
+    """Current committed version directory of one bucket, or None if the
+    bucket has never been written."""
+    return _bucket_snapshot(spark, base, bucket)[0]
 
 
 def _read_layout(spark: SparkSession, layout_path: str) -> dict:

@@ -379,3 +379,61 @@ def test_merge_upsert_one_file_per_bucket_version(spark, tmp_path):
     for vdir in glob.glob(f"{path}/bucket=*/_v-*"):
         data = [f for f in glob.glob(f"{vdir}/part-*") if not f.endswith(".crc")]
         assert len(data) == 1, (vdir, data)
+
+
+def test_merge_upsert_concurrent_commit_detected(spark, tmp_path, monkeypatch):
+    """Lost-update guard: each bucket publish is a CAS against the seq
+    snapshotted when the merge READ that bucket — a writer committing
+    in between surfaces as ConcurrentCommitError (retry converges),
+    never a silent overwrite of the racer's rows."""
+    import osmart_etl_spark.io.atomic as atomic
+    from osmart_etl_spark.io.atomic import ConcurrentCommitError
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "merge_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(100)], "k1 int, k2 int, v double, ver int"
+    )
+    batch = spark.createDataFrame(
+        [(i, 0, -1.0, 2) for i in range(100)], "k1 int, k2 int, v double, ver int"
+    )
+    racer = spark.createDataFrame(
+        [(i, 0, 77.0, 3) for i in range(100)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=4)
+
+    real = atomic.publish_staged
+    state = {"raced": False}
+
+    def race_once(spark_, table, token, **kw):
+        # a concurrent writer lands a full merge between our snapshot
+        # read and our first publish
+        if not state["raced"]:
+            state["raced"] = True
+            monkeypatch.setattr(atomic, "publish_staged", real)
+            merge_upsert_partitioned(
+                spark, racer, path, ["k1", "k2"], "ver", n_buckets=4
+            )
+            monkeypatch.setattr(atomic, "publish_staged", race_once)
+        return real(spark_, table, token, **kw)
+
+    monkeypatch.setattr(atomic, "publish_staged", race_once)
+    try:
+        merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=4)
+        raise AssertionError("stale publish was not detected")
+    except ConcurrentCommitError:
+        pass
+    monkeypatch.undo()
+
+    # the racer's commit survives; retrying the batch converges
+    vals = {r["k1"]: (r["v"], r["ver"]) for r in _merge_rows_kv(spark, path)}
+    assert all(v == (77.0, 3) for v in vals.values())
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=4)
+    vals = {r["k1"]: (r["v"], r["ver"]) for r in _merge_rows_kv(spark, path)}
+    assert all(v == (77.0, 3) for v in vals.values())  # ver 3 > ver 2: racer kept
+
+
+def _merge_rows_kv(spark, path):
+    from osmart_etl_spark.io.sinks import read_merge_table
+
+    return read_merge_table(spark, path).collect()
