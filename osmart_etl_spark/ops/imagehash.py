@@ -178,6 +178,7 @@ def hamming_neardup_pairs(
     *,
     max_dist: int,
     bits: int = 64,
+    hot_bucket_cap: int | None = None,
 ) -> DataFrame:
     """All pairs (id_a < id_b) within Hamming distance ``max_dist`` of
     the ``bits``-bit integer ``hash_col`` — COMPLETE pigeonhole
@@ -188,6 +189,18 @@ def hamming_neardup_pairs(
     shares at least one band exactly -> survives the per-band bucket
     join; bit_count verification removes the false candidates. Output:
     (id_a, id_b, hamming).
+
+    ``hot_bucket_cap`` is the same production guard as
+    ``ops/dedup.candidate_pairs``: a band value shared by k rows
+    contributes O(k²) candidates (mass-duplicated flat images, solid
+    color bars), so buckets above the cap are excluded from pairing
+    BEFORE the self-join (bounded hot set -> broadcast anti-join).
+    Unlike probabilistic LSH bands, pigeonhole bands are the ONLY
+    recall path for pairs differing in every other band, so capping
+    genuinely trades recall on the mass-dup cluster itself — which is
+    exactly the cluster whose members exact-dedup already catches (they
+    share the full hash, any band). Default None keeps exact semantics
+    (the oracle-checked configuration).
     """
     n_bands = max_dist + 1
     width = bits // n_bands
@@ -207,6 +220,11 @@ def hamming_neardup_pairs(
     banded = hashes.select(
         F.col(id_col), F.col(hash_col), F.explode(F.array(*band_exprs)).alias("b")
     ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
+    if hot_bucket_cap is not None:
+        banded = banded.persist()
+        sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        hot = sizes.filter(F.col("__n") > hot_bucket_cap).drop("__n")
+        banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.select(
         F.col("band"),
         F.col("key"),

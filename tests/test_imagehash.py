@@ -189,3 +189,36 @@ def test_video_phash_neardup(spark):
     }
     assert (0, 1) in pairs and pairs[(0, 1)] >= 3
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_hot_bucket_cap_excludes_mass_dup_buckets(spark):
+    """hot_bucket_cap drops over-common band buckets before pairing:
+    the planted mass-dup cluster (identical hashes — exact dedup's job)
+    disappears from the banded candidates, genuinely-near pairs with a
+    quiet band survive, and cap=None stays complete."""
+    from osmart_etl_spark.ops.imagehash import hamming_neardup_pairs
+
+    rows = [(i, 0) for i in range(50)]  # mass-dup: 50 identical hashes
+    # a near pair far from the hot cluster (bit 40 apart)
+    a = (1 << 50) | (1 << 20)
+    rows += [(100, a), (101, a ^ (1 << 40))]
+    df = spark.createDataFrame(rows, "id bigint, h bigint")
+
+    capped = {
+        (r.id_a, r.id_b)
+        for r in hamming_neardup_pairs(
+            df, "id", "h", max_dist=3, hot_bucket_cap=10
+        ).collect()
+    }
+    # the hot all-zero buckets (shared by the 50 mass-dups AND by the
+    # pair's zero bands) are excluded, but the pair still collides in
+    # its QUIET nonzero band (bit 20's band, identical on both sides),
+    # so the cap removes exactly the mass-dup cluster's O(k²) pairs and
+    # nothing else
+    assert capped == {(100, 101)}
+    full = {
+        (r.id_a, r.id_b)
+        for r in hamming_neardup_pairs(df, "id", "h", max_dist=3).collect()
+    }
+    assert (100, 101) in full  # uncapped stays complete
+    assert sum(1 for i, j in full if i < 50 and j < 50) == 50 * 49 // 2
