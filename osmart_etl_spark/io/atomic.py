@@ -50,8 +50,9 @@ resolution is one directory listing — no data scan. Each commit writes
 one full new version, which is the right cost model for compaction and
 for the keep-latest upsert below at dimension-table scale; for 100 TB
 fact tables the bucket-granular ``merge_upsert_partitioned`` remains
-the O(delta) path (its dynamic partition overwrite can adopt this
-protocol per-bucket unchanged).
+the O(delta) path — and since round 10 it RUNS this protocol per
+bucket directory (staged ``_v-<token>`` rename + ``publish_staged``
+CAS), so both upsert tiers share one crash-safety story.
 """
 
 from __future__ import annotations

@@ -93,9 +93,9 @@ def upsert_parquet(
     """Materialized upsert into a parquet table (S7/S8 fallback path).
 
     Note for scale: rewriting the whole table is O(table); with Delta the
-    MERGE touches only matching files. At 100 TB, partition ``path`` by a
-    key prefix (e.g. store + month) and restrict the rewrite to affected
-    partitions via dynamic partition overwrite.
+    MERGE touches only matching files. At 100 TB use
+    ``merge_upsert_partitioned`` below — the bucket-granular O(delta)
+    path with crash-safe per-bucket versioned publishes.
     """
     from osmart_etl_spark.io.sources import path_exists
 

@@ -168,8 +168,9 @@ def test_merge_upsert_layout_mismatch_raises(spark, tmp_path):
 def test_merge_upsert_nondeterministic_batch_loses_no_rows(spark, tmp_path):
     """The batch is materialized ONCE before the touched-bucket set is
     computed: even a nondeterministic source (rand()-keyed) cannot emit
-    write-time rows into buckets missing from the touched set, which
-    dynamic overwrite would then clobber."""
+    write-time rows into buckets missing from the touched set (rows
+    outside `touched` would be staged but never published — silently
+    dropped instead of merged)."""
     from pyspark.sql import functions as F
 
     from osmart_etl_spark.io.sinks import merge_upsert_partitioned, read_merge_table
