@@ -192,6 +192,12 @@ def merge_upsert_partitioned(
                 "Changing n_buckets/keys re-homes keys to different directories; "
                 "rebuild the table instead."
             )
+        # Pre-round-10 tables (dynamic-partition-overwrite layout) pass
+        # the _layout check but store rows as plain `<bucket_col>=<b>`
+        # dirs with no per-bucket commit log — invisible to
+        # _bucket_snapshot, so merging on top of them would silently
+        # drop every pre-existing row. Adopt them first.
+        _adopt_legacy_buckets(spark, base, bucket_col)
     else:
         spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
             layout_path
@@ -270,6 +276,91 @@ def merge_upsert_partitioned(
     return touched
 
 
+_LEGACY_SENTINEL = "_legacy-migration"
+
+
+def _legacy_bucket_dirs(
+    spark: SparkSession, base: str, bucket_col: str
+) -> dict[int, str]:
+    """Pre-round-10 bucket directories: top-level ``<bucket_col>=<b>`` (or
+    ``bucket=<b>``) dirs holding plain data files with NO per-bucket
+    ``_commits`` log — the old dynamic-partition-overwrite layout. Keyed
+    by bucket id."""
+    from osmart_etl_spark.io.atomic import _listdir
+
+    out: dict[int, str] = {}
+    prefixes = {f"{bucket_col}=", "bucket="}
+    for name in _listdir(spark, base):
+        pfx = next((p for p in prefixes if name.startswith(p)), None)
+        if pfx is None:
+            continue
+        b = name[len(pfx):]
+        if not b.isdigit():
+            continue
+        entries = _listdir(spark, f"{base}/{name}")
+        if "_commits" in entries:
+            continue  # current versioned layout
+        if any(not e.startswith(("_", ".")) for e in entries):
+            out[int(b)] = f"{base}/{name}"
+    return out
+
+
+def _adopt_legacy_buckets(
+    spark: SparkSession, base: str, bucket_col: str
+) -> list[int]:
+    """Migrate legacy (pre-commit-log) bucket directories into the
+    versioned layout — mirror of ``upsert_versioned``'s sentinel
+    protocol (io/atomic.py), per bucket:
+
+    - a ``_legacy-migration`` sentinel at the table root marks the
+      migration in flight; it is created before the first mutation and
+      removed only after every legacy dir is swept, so a crash anywhere
+      resumes the migration on the next call;
+    - each legacy dir's rows are committed as the bucket's version 1
+      (``expected_seq=0`` — a racing writer surfaces as
+      ConcurrentCommitError, never a lost update), then the legacy dir
+      is deleted;
+    - a bucket with BOTH a commit log and a plain legacy dir but NO
+      sentinel is ambiguous (were the plain files already merged? are
+      they foreign?) and raises loudly instead of guessing.
+
+    Returns the adopted bucket ids.
+    """
+    from osmart_etl_spark.io.atomic import _fs, commit_version, current_version
+
+    legacy = _legacy_bucket_dirs(spark, base, bucket_col)
+    jvm, fs, _ = _fs(spark, base)
+    sentinel = jvm.org.apache.hadoop.fs.Path(f"{base}/{_LEGACY_SENTINEL}")
+    if not legacy:
+        # crash window: all buckets adopted+swept, sentinel not yet removed
+        if fs.exists(sentinel):
+            fs.delete(sentinel, False)
+        return []
+    already_committed = [
+        b for b in legacy if current_version(spark, f"{base}/bucket={b}") is not None
+    ]
+    if already_committed and not fs.exists(sentinel):
+        raise RuntimeError(
+            f"{base}: plain bucket dirs {sorted(legacy)} coexist with committed "
+            f"versions for buckets {sorted(already_committed)} and no migration "
+            "sentinel — refusing to guess whether they were already merged. "
+            "Move them aside or rebuild the table."
+        )
+    if not fs.exists(sentinel):
+        fs.create(sentinel, True).close()
+    for b, d in sorted(legacy.items()):
+        bdir = f"{base}/bucket={b}"
+        if current_version(spark, bdir) is None:
+            # partitionBy stripped the bucket column from the files, so the
+            # legacy dir already stores exactly the user columns a version
+            # directory holds; the file listing resolves before staging and
+            # the legacy dir is deleted only after the commit is durable.
+            commit_version(spark, spark.read.parquet(d), bdir, expected_seq=0)
+        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    fs.delete(sentinel, False)
+    return sorted(legacy)
+
+
 def _bucket_snapshot(
     spark: SparkSession, base: str, bucket: int
 ) -> tuple[str | None, int]:
@@ -307,17 +398,41 @@ def read_merge_table(spark: SparkSession, path: str, bucket_col: str = "__bucket
     current committed version through its commit log (one directory
     listing per bucket — O(n_buckets) metadata, no data scan) and union
     the immutable version directories. An in-flight merge is invisible:
-    unpublished ``_v-*`` staging never appears in a commit log."""
-    from osmart_etl_spark.io.atomic import _listdir
+    unpublished ``_v-*`` staging never appears in a commit log.
+
+    Legacy (pre-commit-log) bucket dirs are resolved read-only: a bucket
+    with no committed version reads its plain directory directly; a
+    bucket with BOTH (mid-migration crash) reads the committed version —
+    it already absorbed the legacy rows — when the migration sentinel
+    attests that, and raises otherwise (same ambiguity rule as the
+    writer's adoption)."""
+    from osmart_etl_spark.io.atomic import _fs, _listdir
+    from osmart_etl_spark.io.sources import path_exists
 
     base = path.rstrip("/")
-    dirs = []
+    if path_exists(spark, f"{base}/_layout"):
+        bucket_col = _read_layout(spark, f"{base}/_layout")["bucket_col"]
+    legacy = _legacy_bucket_dirs(spark, base, bucket_col)
+    dirs = list(legacy.values())
+    overlap = []
     for name in _listdir(spark, base):
         if not name.startswith("bucket="):
             continue
-        d = _bucket_version_dir(spark, base, int(name.split("=", 1)[1]))
+        b = int(name.split("=", 1)[1])
+        d = _bucket_version_dir(spark, base, b)
         if d is not None:
             dirs.append(d)
+            if b in legacy:
+                overlap.append(b)
+                dirs.remove(legacy[b])  # committed version supersedes
+    if overlap:
+        jvm, fs, _ = _fs(spark, base)
+        if not fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{_LEGACY_SENTINEL}")):
+            raise RuntimeError(
+                f"{base}: buckets {sorted(overlap)} have both a committed version "
+                "and a plain legacy dir with no migration sentinel — run "
+                "merge_upsert_partitioned to adopt, or move the plain dirs aside."
+            )
     if not dirs:
         raise FileNotFoundError(f"no committed buckets under {base}")
     return spark.read.parquet(*dirs)

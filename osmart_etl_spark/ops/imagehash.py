@@ -202,13 +202,28 @@ def hamming_neardup_pairs(
     share the full hash, any band). Default None keeps exact semantics
     (the oracle-checked configuration).
     """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64 (bigint hash), got {bits}")
+    if max_dist + 1 > bits:
+        # width = bits // (max_dist+1) == 0 would give every non-final band
+        # an all-zero mask: one bucket per band -> a silent O(n^2) cross
+        # join replicated n_bands-1 times. Refuse instead.
+        raise ValueError(
+            f"max_dist + 1 ({max_dist + 1}) bands cannot partition {bits} bits "
+            "— need max_dist + 1 <= bits"
+        )
     n_bands = max_dist + 1
     width = bits // n_bands
     band_exprs = []
     for i in range(n_bands):
         lo = i * width
         w = bits - lo if i == n_bands - 1 else width
-        mask = (1 << w) - 1
+        # w == 64 (single band over a full bigint): (1<<64)-1 overflows
+        # F.lit's bigint; -1 is the same all-ones pattern in two's
+        # complement and AND -1 is the identity.
+        mask = (1 << w) - 1 if w < 64 else -1
         band_exprs.append(
             F.struct(
                 F.lit(i).alias("band"),
@@ -221,9 +236,19 @@ def hamming_neardup_pairs(
         F.col(id_col), F.col(hash_col), F.explode(F.array(*band_exprs)).alias("b")
     ).select(id_col, hash_col, F.col("b.band").alias("band"), F.col("b.key").alias("key"))
     if hot_bucket_cap is not None:
-        banded = banded.persist()
+        # The hot set is bounded (one row per over-cap bucket), so it is
+        # materialized eagerly (localCheckpoint severs lineage; the blocks
+        # are reclaimed by the ContextCleaner when the result is dropped).
+        # `banded` itself is deliberately NOT persisted: it is a narrow
+        # projection+explode recomputed per consumer, and a persist here
+        # with no unpersist point (the result is returned lazily) would
+        # leak executor storage across calls in a long-lived session.
         sizes = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
-        hot = sizes.filter(F.col("__n") > hot_bucket_cap).drop("__n")
+        hot = (
+            sizes.filter(F.col("__n") > hot_bucket_cap)
+            .drop("__n")
+            .localCheckpoint(eager=True)
+        )
         banded = banded.join(F.broadcast(hot), ["band", "key"], "left_anti")
     a = banded.select(
         F.col("band"),
@@ -330,16 +355,18 @@ def video_neardup_pairs(
         F.col(id_col),
         F.posexplode("frame_phashes").alias("slot", "fh"),
     ).withColumn(
-        # composite row id: clip id x 1000 + slot (banding needs unique
-        # ids; requires non-negative clip ids and k_frames < 1000)
+        # composite row id as a STRUCT (banding needs unique, orderable
+        # ids; struct comparison is lexicographic so id_a < id_b works).
+        # An arithmetic packing (clip*1000+slot) would silently mis-pair
+        # negative clip ids and overflow bigint near 9.2e15.
         "__fid",
-        F.col(id_col) * 1000 + F.col("slot"),
+        F.struct(F.col(id_col).alias("clip"), F.col("slot").alias("slot")),
     )
     pairs = hamming_neardup_pairs(frames, "__fid", "fh", max_dist=max_dist)
     clip_pairs = pairs.select(
-        F.expr("id_a DIV 1000").alias("clip_a"),
-        (F.col("id_a") % 1000).alias("slot_a"),
-        F.expr("id_b DIV 1000").alias("clip_b"),
+        F.col("id_a.clip").alias("clip_a"),
+        F.col("id_a.slot").alias("slot_a"),
+        F.col("id_b.clip").alias("clip_b"),
     ).filter(F.col("clip_a") != F.col("clip_b"))
     norm = clip_pairs.select(
         F.least("clip_a", "clip_b").alias("id_a"),

@@ -382,8 +382,11 @@ def rfm_segmentation(spark, sf_dir):
         )
     n_parts = scaled_partitions(ev, floor_mult=0)
     # each ntile branch reads base for its ranks, its partition counts
-    # AND its total — persist so the events aggregate runs once, not 9x
-    base = base.persist()
+    # AND its total — materialize so the events aggregate runs once, not
+    # 9x. localCheckpoint (not persist): base is bounded by |users| and
+    # a persist with no unpersist point would pin executor storage until
+    # the session drops the result (round-11 ADVICE leak class).
+    base = base.localCheckpoint(eager=True)
     r_q = distributed_ntile(
         base, [F.col("last_ts").desc(), F.col("user_id").asc()], 4, "r_q",
         n_parts=n_parts,

@@ -13,17 +13,19 @@ Crash safety: state is written as VERSIONED directories
 ``<state>_v<batch_id>`` (each sealed by parquet's ``_SUCCESS``), never
 overwritten in place. A batch reads the latest COMPLETE version, folds,
 writes its own version, then garbage-collects older ones — so a crash
-at any point leaves the previous complete version intact, and a replay
-of the same batch against state that already absorbed it is a no-op
-(MAX-merge is idempotent). This is the same staged-publish discipline
-as ``io/atomic.py``, specialized to bounded sketch state.
+at any point leaves the previous complete version intact. Replay of a
+batch whose version is ALREADY sealed (crash after write+GC, before
+checkpoint commit) is detected and skipped outright: MAX-merge
+idempotence means the sealed state already absorbed that batch, and
+re-writing it would read and overwrite the same path in one job. This
+is the same staged-publish discipline as ``io/atomic.py``, specialized
+to bounded sketch state.
 
-Limitation: version discovery uses driver-side ``os``/``glob``, so the
-state directory must live on a filesystem the driver sees as POSIX
-(local disk or a mounted NFS). On HDFS/S3, swap the listing for the
-Hadoop FileSystem API (``spark._jvm.org.apache.hadoop.fs.FileSystem``);
-the versioning protocol itself is object-store-safe (no rename-based
-overwrite, no read-after-overwrite).
+Version discovery and GC go through the Hadoop FileSystem API
+(``Path.getFileSystem`` on the state path), so the state directory may
+live on any Hadoop-visible filesystem — local disk, HDFS, or an object
+store — not just what the driver sees as POSIX. The protocol itself is
+object-store-safe (no rename-based overwrite, no read-after-overwrite).
 
 100 TB shape: state size is groups × 256 rows FOREVER (the whole point
 of a sketch); per batch the shuffle carries at most that many rows, so
@@ -34,10 +36,8 @@ sketch is the degenerate-size end of the state-management spectrum.
 
 from __future__ import annotations
 
-import glob
 import os
 import re
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,18 +66,41 @@ def batch_registers(ev: DataFrame) -> DataFrame:
     )
 
 
-def _latest_complete_version(state_base: str) -> str | None:
-    """Path of the highest-numbered ``<state_base>_v<N>`` directory that
-    carries a ``_SUCCESS`` marker, or None if no complete state exists.
-    Incomplete versions (crash mid-write) are invisible here."""
-    best_path, best_id = None, -1
-    for d in glob.glob(state_base + "_v*"):
-        m = _VERSION_RE.search(d)
-        if m and os.path.exists(os.path.join(d, "_SUCCESS")):
-            vid = int(m.group(1))
-            if vid > best_id:
-                best_id, best_path = vid, d
-    return best_path
+def _fs_and_path_cls(spark: SparkSession, path_str: str):
+    """(FileSystem, Path class) for ``path_str`` via the Hadoop FS API —
+    resolves local, hdfs://, s3a://, … uniformly from the path scheme."""
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(path_str).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
+def _list_versions(
+    spark: SparkSession, state_base: str, sealed_only: bool
+) -> list[int]:
+    """Version ids of every ``<state_base>_v<N>`` directory, ascending.
+    With ``sealed_only`` only versions carrying a ``_SUCCESS`` marker are
+    returned (crash-mid-write partials are invisible to readers, but DO
+    appear to GC so they get cleaned up)."""
+    fs, path_cls = _fs_and_path_cls(spark, state_base)
+    statuses = fs.globStatus(path_cls(state_base + "_v*"))
+    out: list[int] = []
+    for st in statuses or []:
+        p = st.getPath()
+        m = _VERSION_RE.search(p.getName())
+        if m is None:
+            continue
+        if sealed_only and not fs.exists(path_cls(p, "_SUCCESS")):
+            continue
+        out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def _latest_complete_version(spark: SparkSession, state_base: str) -> str | None:
+    """Path of the highest-numbered sealed ``<state_base>_v<N>`` directory,
+    or None if no complete state exists."""
+    sealed = _list_versions(spark, state_base, sealed_only=True)
+    return f"{state_base}_v{sealed[-1]}" if sealed else None
 
 
 def run_hll_stream(
@@ -90,8 +113,17 @@ def run_hll_stream(
     ckpt = os.path.join(workdir, "ckpt")
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sealed = _list_versions(spark, state_base, sealed_only=True)
+        if sealed and sealed[-1] >= batch_id:
+            # A prior attempt at this same batch_id already sealed its
+            # version (crash after write+GC, before checkpoint commit).
+            # MAX-merge idempotence makes the sealed state correct as-is;
+            # re-folding would lazily read _v<batch_id> while overwriting
+            # it in the same job ("Cannot overwrite a path that is also
+            # being read from"). Skip — the checkpoint commit proceeds.
+            return
+        prev_dir = f"{state_base}_v{sealed[-1]}" if sealed else None
         regs_b = batch_registers(batch_df)
-        prev_dir = _latest_complete_version(state_base)
         if prev_dir is not None:
             merged = (
                 spark.read.parquet(prev_dir)
@@ -108,11 +140,11 @@ def run_hll_stream(
         merged.coalesce(1).write.mode("overwrite").parquet(out)
         # GC strictly AFTER the new version is sealed: a crash here
         # leaves extra complete versions behind, which is harmless (the
-        # next batch reads only the latest).
-        for d in glob.glob(state_base + "_v*"):
-            m = _VERSION_RE.search(d)
-            if m and int(m.group(1)) < batch_id:
-                shutil.rmtree(d, ignore_errors=True)
+        # next batch reads only the latest). Partials are GC'd too.
+        fs, path_cls = _fs_and_path_cls(spark, state_base)
+        for vid in _list_versions(spark, state_base, sealed_only=False):
+            if vid < batch_id:
+                fs.delete(path_cls(f"{state_base}_v{vid}"), True)
 
     (
         stream_df.writeStream.foreachBatch(fold_batch)
@@ -121,7 +153,7 @@ def run_hll_stream(
         .start()
         .awaitTermination()
     )
-    final = _latest_complete_version(state_base)
+    final = _latest_complete_version(spark, state_base)
     if final is None:
         raise FileNotFoundError(f"no complete HLL state under {state_base}_v*")
     return spark.read.parquet(final)

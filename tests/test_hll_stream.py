@@ -85,9 +85,36 @@ def test_hll_state_recovery_skips_incomplete_version(spark, tmp_path):
     partial.coalesce(1).write.parquet(base + "_v4")
     os.remove(os.path.join(base + "_v4", "_SUCCESS"))
 
-    assert _latest_complete_version(base) == base + "_v3"
-    got = spark.read.parquet(_latest_complete_version(base)).collect()
+    assert _latest_complete_version(spark, base) == base + "_v3"
+    got = spark.read.parquet(_latest_complete_version(spark, base)).collect()
     assert [(r.event_type, r.bucket, r.reg) for r in got] == [("a", 0, 5)]
+
+
+def test_hll_replay_of_sealed_batch_short_circuits(spark, tmp_path):
+    """Crash-injection: version _v<batch_id> sealed but the checkpoint
+    never committed (crash after write+GC, before commit). On restart
+    foreachBatch replays the same batch_id; the fold must SKIP instead of
+    lazily reading the sealed dir while overwriting it (which raises
+    'Cannot overwrite a path that is also being read from')."""
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.streaming.hll_stream import batch_registers
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_stream3")
+    ev.coalesce(1).write.parquet(src)  # one file -> one micro-batch (id 0)
+
+    wd = str(tmp_path / "wd3")
+    # Simulate the crashed first attempt: _v0 sealed, checkpoint absent.
+    state_base = wd + "/hll_state"
+    batch_registers(ev).coalesce(1).write.parquet(state_base + "_v0")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    got = run_hll_stream(spark, stream, wd)  # must not raise
+    want = batch_registers(ev)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
 def test_hll_refold_same_batch_is_idempotent(spark):

@@ -222,3 +222,39 @@ def test_hot_bucket_cap_excludes_mass_dup_buckets(spark):
     }
     assert (100, 101) in full  # uncapped stays complete
     assert sum(1 for i, j in full if i < 50 and j < 50) == 50 * 49 // 2
+
+
+def test_hamming_neardup_rejects_degenerate_banding(spark):
+    """max_dist+1 > bits would make width 0 (all-zero masks → one bucket
+    per band → silent O(n²) cross join); must raise at entry, as must
+    bits outside 1..64 and negative max_dist (round-11 ADVICE)."""
+    import pytest
+
+    from osmart_etl_spark.ops.imagehash import hamming_neardup_pairs
+
+    df = spark.createDataFrame([(1, 0), (2, 1)], "id bigint, h bigint")
+    with pytest.raises(ValueError, match="bands cannot partition"):
+        hamming_neardup_pairs(df, "id", "h", max_dist=8, bits=4)
+    with pytest.raises(ValueError, match="bits"):
+        hamming_neardup_pairs(df, "id", "h", max_dist=3, bits=65)
+    with pytest.raises(ValueError, match="max_dist"):
+        hamming_neardup_pairs(df, "id", "h", max_dist=-1)
+
+
+def test_video_neardup_handles_negative_and_large_clip_ids(spark):
+    """The struct frame key must pair clips correctly where the old
+    arithmetic packing (clip*1000+slot) broke: negative ids and ids near
+    the bigint ceiling (round-11 ADVICE)."""
+    from osmart_etl_spark.ops.imagehash import video_neardup_pairs
+
+    big = 9_300_000_000_000_000  # > bigint_max / 1000: packing overflowed
+    h = [(1 << 10) | (1 << 30), (1 << 11) | (1 << 33), (1 << 12) | (1 << 36)]
+    vh = spark.createDataFrame(
+        [(-5, h), (big, h), (7, [x ^ (1 << 62) for x in h])],
+        "media_id bigint, frame_phashes array<bigint>",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_matching_frames
+        for r in video_neardup_pairs(vh, max_dist=0, min_matching_frames=3).collect()
+    }
+    assert pairs == {(-5, big): 3}

@@ -197,6 +197,133 @@ def test_merge_upsert_nondeterministic_batch_loses_no_rows(spark, tmp_path):
     assert out.filter(F.col("k1") < 300).count() == n_before
 
 
+def _write_legacy_merge_table(spark, path, df, keys, order_col, n_buckets):
+    """Simulate a pre-round-10 merge table: plain `__bucket=<b>` partition
+    dirs via dynamic-partition write, `_layout` sidecar, NO commit logs."""
+    from pyspark.sql import functions as F
+
+    bucketed = df.withColumn(
+        "__bucket", F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    )
+    bucketed.write.mode("overwrite").partitionBy("__bucket").parquet(path)
+    layout = {
+        "n_buckets": n_buckets,
+        "keys": list(keys),
+        "order_col": order_col,
+        "bucket_col": "__bucket",
+    }
+    spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
+        path + "/_layout"
+    )
+
+
+def test_merge_upsert_adopts_legacy_layout(spark, tmp_path):
+    """Round-11 (ADVICE): pointing the versioned sink at a pre-round-10
+    table (plain `__bucket=<b>` dirs, no commit logs) must ADOPT the
+    legacy rows, not silently ignore them."""
+    import os
+
+    from osmart_etl_spark.io.sinks import (
+        merge_upsert_partitioned,
+        read_merge_table,
+        upsert_keep_latest,
+    )
+
+    path = str(tmp_path / "legacy_tbl")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(100)],
+        "k1 int, k2 int, v double, ver int",
+    )
+    _write_legacy_merge_table(spark, path, base, ["k1", "k2"], "ver", 16)
+
+    # read-only resolution BEFORE any migration: all legacy rows visible
+    assert read_merge_table(spark, path).count() == 100
+
+    batch = spark.createDataFrame(
+        [(i, i % 3, 999.0, 2) for i in range(10)],
+        "k1 int, k2 int, v double, ver int",
+    )
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=16)
+
+    expect = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in upsert_keep_latest(base, batch, ["k1", "k2"], "ver").collect()
+    }
+    assert _merge_rows(spark, path) == expect
+    # legacy dirs swept, sentinel gone
+    names = set(os.listdir(path))
+    assert not any(n.startswith("__bucket=") for n in names)
+    assert "_legacy-migration" not in names
+
+
+def test_merge_upsert_legacy_ambiguity_raises(spark, tmp_path):
+    """A plain bucket dir coexisting with a committed version and NO
+    migration sentinel is ambiguous — reader and writer must refuse."""
+    import pytest
+
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned, read_merge_table
+
+    path = str(tmp_path / "ambig_tbl")
+    base = spark.createDataFrame(
+        [(i, 0, float(i), 1) for i in range(50)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+    touched = sorted(
+        int(n.split("=", 1)[1])
+        for n in __import__("os").listdir(path)
+        if n.startswith("bucket=")
+    )
+    # drop a foreign plain dir next to a committed bucket
+    foreign = spark.createDataFrame([(999, 0, -1.0, 9)], "k1 int, k2 int, v double, ver int")
+    foreign.drop("k2").write.parquet(f"{path}/__bucket={touched[0]}")
+
+    with pytest.raises(RuntimeError, match="sentinel"):
+        read_merge_table(spark, path)
+    with pytest.raises(RuntimeError, match="sentinel"):
+        merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
+
+
+def test_merge_upsert_legacy_midcrash_resumes(spark, tmp_path):
+    """Crash-injection: sentinel present + some buckets already adopted
+    (commit log exists, legacy dir not yet swept) — the next call must
+    finish the sweep without double-counting, and the reader must prefer
+    the committed version while the overlap exists."""
+    import os
+
+    from osmart_etl_spark.io.atomic import commit_version
+    from osmart_etl_spark.io.sinks import (
+        _legacy_bucket_dirs,
+        merge_upsert_partitioned,
+        read_merge_table,
+    )
+
+    path = str(tmp_path / "crash_tbl")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(100)],
+        "k1 int, k2 int, v double, ver int",
+    )
+    _write_legacy_merge_table(spark, path, base, ["k1", "k2"], "ver", 16)
+
+    # simulate a migration that adopted ONE bucket then crashed pre-sweep
+    legacy = _legacy_bucket_dirs(spark, path, "__bucket")
+    b0, d0 = sorted(legacy.items())[0]
+    commit_version(spark, spark.read.parquet(d0), f"{path}/bucket={b0}", expected_seq=0)
+    open(os.path.join(path, "_legacy-migration"), "w").close()
+
+    # reader: overlap resolved to the committed version → still 100 rows
+    assert read_merge_table(spark, path).count() == 100
+
+    # writer: resumes the migration and applies the batch once
+    batch = spark.createDataFrame(
+        [(0, 0, 999.0, 2)], "k1 int, k2 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, batch, path, ["k1", "k2"], "ver", n_buckets=16)
+    out = read_merge_table(spark, path)
+    assert out.count() == 100  # keep-latest: same key count
+    assert not any(n.startswith("__bucket=") for n in os.listdir(path))
+    assert "_legacy-migration" not in os.listdir(path)
+
+
 def test_scd2_apply_initial_merge_and_idempotency(spark):
     """SCD2 contract: contiguous validity chains, one open row per key,
     no-op changes absorbed, closed history untouched, idempotent

@@ -6,7 +6,11 @@ row count, column-name set, and order-insensitive values (exact — the
 driver hashes values, so bit-identical is the bar; we report max float
 deviation on mismatch to make drift debuggable).
 
-Usage: python tools/check_parity.py [sf_dir] [query ...]
+Usage: python tools/check_parity.py [sf_dir] [query ...] [--json out.json]
+
+With ``--json`` a per-query machine-readable record is also written
+(the committed PARITY_r<N>.json artifact — makes the full-registry
+green claim auditable beyond the driver's 50-query sample).
 """
 
 from __future__ import annotations
@@ -100,8 +104,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as entrymod
     from osmart_etl_spark.session import get_spark
@@ -111,6 +121,7 @@ def main() -> int:
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
 
     n_pass = n_fail = n_noracle = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -119,18 +130,21 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"status": "fail", "problems": [f"spark error: {e}"[:300]]}
             n_fail += 1
             continue
         sql = oracles.get(name)
         if sql is None:
             rows = len(spark_pdf)
             print(f"OK*   {name}: rows-only ({rows} rows, no oracle) [{time.time()-t0:.1f}s]")
+            record[name] = {"status": "rows_only", "rows": rows, "sec": round(time.time() - t0, 2)}
             n_noracle += 1
             continue
         try:
             duck_pdf = con.execute(sql).fetchdf()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            record[name] = {"status": "fail", "problems": [f"duckdb error: {e}"[:300]]}
             n_fail += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
@@ -139,11 +153,34 @@ def main() -> int:
             print(f"FAIL  {name} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      {p}")
+            record[name] = {"status": "fail", "problems": [p[:300] for p in problems]}
         else:
             n_pass += 1
             print(f"OK    {name}: {len(spark_pdf)} rows [{time.time()-t0:.1f}s]")
+            record[name] = {
+                "status": "pass",
+                "rows": len(spark_pdf),
+                "sec": round(time.time() - t0, 2),
+            }
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    if json_out is not None:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_pass": n_pass,
+                    "n_fail": n_fail,
+                    "n_rows_only": n_noracle,
+                    "queries": record,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out}")
     return 1 if n_fail else 0
 
 
