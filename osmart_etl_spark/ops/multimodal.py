@@ -734,6 +734,11 @@ def decode_video_frames(payload: bytes) -> list:
         from osmart_etl_spark.ops.video import decode_avi
 
         return decode_avi(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        raise NotImplementedError(
+            "MP4 parses structurally (ops/mp4.probe_mp4: codec, tables, "
+            "keyframe offsets) but H.264 sample decode needs ffmpeg"
+        )
     raise NotImplementedError(
         "inter-frame video codecs need ffmpeg (not in container); "
         "Y4M and AVI/MJPEG decode for real via ops/video.py"
@@ -844,6 +849,112 @@ def audio_stream_info(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=AUDIO_INFO_SCHEMA)
+
+
+VIDEO_INFO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("container", StringType(), True),
+        StructField("codec", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("n_keyframes", LongType(), True),
+        StructField("first_keyframe_offset", LongType(), True),
+        StructField("probe_status", StringType(), False),
+    ]
+)
+
+
+def _probe_video_one(payload: bytes) -> tuple:
+    """(container, codec, w, h, duration_s, n_frames, n_keyframes,
+    first_keyframe_offset) for one video payload. Y4M/AVI probe via the
+    real frame decoders (every frame is a keyframe in those intra-only
+    containers); MP4 probes STRUCTURALLY via ops/mp4.probe_mp4 — box
+    tables, no sample decode — so triage works on containers whose
+    codec we honestly do not decode. Raw H.264 Annex-B streams walk
+    NALs for IDR keyframe offsets. Unknown formats raise ValueError."""
+    if payload[:9] == b"YUV4MPEG2":
+        from osmart_etl_spark.ops.video import decode_y4m
+
+        frames = decode_y4m(payload)
+        h, w = (frames[0].shape[0], frames[0].shape[1]) if frames else (None, None)
+        return ("y4m", "rawvideo", w, h, None, len(frames), len(frames), None)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        from osmart_etl_spark.ops.video import decode_avi_mjpeg_frames
+
+        raw = decode_avi_mjpeg_frames(payload)
+        return ("avi", "mjpeg", None, None, None, len(raw), len(raw), None)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from osmart_etl_spark.ops.mp4 import probe_mp4
+
+        info = probe_mp4(payload)
+        vid = next(
+            (t for t in info["tracks"] if t.get("handler") == "vide"), None
+        )
+        if vid is None:
+            raise ValueError("BMFF container with no video track")
+        offs = vid.get("keyframe_offsets") or []
+        return (
+            "mp4", vid.get("codec"), vid.get("width"), vid.get("height"),
+            vid.get("duration_s"), vid.get("n_samples"),
+            len(vid.get("keyframe_samples") or []),
+            offs[0] if offs else None,
+        )
+    if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
+        from osmart_etl_spark.ops.mp4 import annexb_keyframe_offsets, walk_annexb_nals
+
+        nals = walk_annexb_nals(payload)
+        idr = annexb_keyframe_offsets(payload)
+        return ("h264-annexb", "h264", None, None, None, len(nals), len(idr),
+                idr[0] if idr else None)
+    raise ValueError("unknown video container")
+
+
+def video_stream_info(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
+    """Video triage over ``mapInPandas`` — sibling of
+    ``audio_stream_info``: per-row container, codec, dimensions,
+    duration, frame/keyframe counts and the first keyframe's byte
+    offset. The MP4 tier (round 11) is PARSE-ONLY (ops/mp4.py): real
+    box-table metadata and keyframe offsets without any H.264 sample
+    decode, so the 100 TB triage question ("which clips are worth a
+    frame fetch, and where do their keyframes live?") is answerable on
+    real containers while frame decode stays an honest stub. Same
+    scale shape as ``extract_features``: per-row work inside the scan,
+    zero shuffle, malformed rows become ``probe_status`` data."""
+
+    cols = ("media_id", "container", "codec", "width", "height",
+            "duration_s", "n_frames", "n_keyframes",
+            "first_keyframe_offset", "probe_status")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in cols}
+            for _, row in pdf.iterrows():
+                out["media_id"].append(row["media_id"])
+                if row["media_type"] != "video" or row["payload"] is None:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["probe_status"].append("not_video")
+                    continue
+                try:
+                    vals = _probe_video_one(bytes(row["payload"]))
+                    for k, v in zip(cols[1:-1], vals):
+                        out[k].append(v)
+                    out["probe_status"].append("ok")
+                except ValueError:
+                    for k in cols[1:-1]:
+                        out[k].append(None)
+                    out["probe_status"].append("probe_error")
+            pdf_out = pd.DataFrame(out)
+            for k in ("width", "height"):
+                pdf_out[k] = pd.array(pdf_out[k], dtype="Int32")
+            for k in ("n_frames", "n_keyframes", "first_keyframe_offset", "media_id"):
+                pdf_out[k] = pd.array(pdf_out[k], dtype="Int64")
+            yield pdf_out
+
+    return media.mapInPandas(run, schema=VIDEO_INFO_SCHEMA)
 
 
 def resize_raw_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:

@@ -255,6 +255,68 @@ def replay_running_balance_chunked(
     return df.drop("__chunk", "__cumd", "__base", "__cumab", "__incoming")
 
 
+#: Per-task row budget for the flat replay's single hot-key sort.
+#: SCALE.md "W2 under skew" (tools/skew_smoke.py, 10M rows, local[32]):
+#: flat still WINS at a 1M-row hot key (2.4 s vs chunked's 4.6 s — the
+#: straggler finishes inside the other tasks' shadow) and LOSES at 5M
+#: (8.9 s vs 3.8 s, one sort = the wall-clock); at ~10^9 hot-key rows
+#: the flat sort also exceeds task memory, the real disqualifier. The
+#: budget sits strictly between the two measured points and well under
+#: a task's sort-memory ceiling (~2M rows × ~50 B ≈ 100 MB). Both
+#: forms are bit-identical, so a pick near the boundary costs seconds,
+#: never correctness.
+REPLAY_TASK_ROW_BUDGET = 2_000_000
+
+
+def replay_max_key_rows(df: DataFrame, key: str) -> int:
+    """Skew probe for the replay dispatch: the largest single-key row
+    count. One map-side-combined aggregate (shuffle carries one row per
+    key per map partition, the driver reads ONE scalar) — cheap relative
+    to the window sort it sizes, but still a full pass; callers that
+    maintain key histograms can pass their number to
+    :func:`replay_running_balance_auto` instead."""
+    row = (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .agg(F.max("__n").alias("__mx"))
+        .collect()[0]
+    )
+    return int(row["__mx"] or 0)
+
+
+def replay_running_balance_auto(
+    df: DataFrame,
+    key: str,
+    order: list[str],
+    *,
+    chunk: Column,
+    task_row_budget: int = REPLAY_TASK_ROW_BUDGET,
+    max_key_rows: int | None = None,
+    **kwargs,
+) -> DataFrame:
+    """W2 with measured skew dispatch — the operating rule from SCALE.md
+    "W2 under skew" as code instead of prose (round-11, VERDICT r10 #1):
+
+    - largest key fits a task's sort budget → :func:`replay_running_balance`
+      (flat: ONE exchange, no join — wins at uniform and mild skew);
+    - beyond the budget → :func:`replay_running_balance_chunked` with the
+      caller's ``chunk`` expression (bounded partitions — skew-flat,
+      +1 shuffle +1 join).
+
+    ``max_key_rows`` short-circuits the probe when the caller already
+    knows the histogram (e.g. table stats); otherwise
+    :func:`replay_max_key_rows` measures it. Both forms are locked
+    bit-identical by tests/test_windows_ops.py, so the dispatch can never
+    change results — the same size-dispatch doctrine as
+    ``rfm_segmentation`` / ``choose_jaccard_verify``.
+    """
+    if max_key_rows is None:
+        max_key_rows = replay_max_key_rows(df, key)
+    if max_key_rows <= task_row_budget:
+        return replay_running_balance(df, key, order, **kwargs)
+    return replay_running_balance_chunked(df, key, order, chunk=chunk, **kwargs)
+
+
 def replay_running_balance_pandas(
     df: DataFrame,
     key: str,

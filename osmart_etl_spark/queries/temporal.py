@@ -117,12 +117,20 @@ def segmented_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     deltas. Ref: seed_stock_points.py:74-85 (pandas loop per SKU) →
     three shared-partition window passes, a single exchange on user_id,
     no Python in the path (ops/windows.replay_running_balance).
+
+    Round 11: dispatches through ``replay_running_balance_auto`` — a
+    measured key-skew probe picks the flat single-exchange form (taken
+    at every test SF: the hottest user is far below the task budget) or
+    the chunked skew-flat form (a key hotter than one task's sort
+    budget — SCALE.md "W2 under skew" crossover, now code not prose).
+    Both forms are bit-identical, so the oracle is unchanged.
     """
-    from osmart_etl_spark.ops.windows import replay_running_balance
+    from osmart_etl_spark.ops.windows import replay_running_balance_auto
 
     mv = movement_events(spark, sf_dir)
-    out = replay_running_balance(
+    out = replay_running_balance_auto(
         mv, key="user_id", order=["ts", "event_id"],
+        chunk=F.floor(F.unix_micros("ts") / F.lit(7 * 86400 * 1_000_000)),
         delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
     )
     return out.select(

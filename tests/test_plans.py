@@ -113,6 +113,78 @@ def test_replay_chunked_bounded_partitions(spark):
             assert "__chunk" in part, f"row-stream window missing chunk: {m.group(0)}"
 
 
+def _synth_skewed_movements(spark, n_rows: int, hot_rows: int):
+    """Deterministic movement log with one hot key (key 0) owning
+    ``hot_rows`` of ``n_rows`` events — miniature of tools/skew_smoke.py."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, n_rows, 1, 8)
+        .select(
+            F.col("id").alias("event_id"),
+            F.when(F.col("id") < hot_rows, F.lit(0))
+            .otherwise(F.col("id") % 37 + 1)
+            .alias("user_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + F.col("id") * 60_000_000
+            ).alias("ts"),
+            (F.pmod(F.xxhash64("id"), F.lit(11)) == 0).alias("is_abs"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(100)).cast("double").alias("abs_value"),
+            (F.pmod(F.xxhash64("id", F.lit(3)), F.lit(9)) - 4).cast("double").alias("delta"),
+        )
+        .withColumn("abs_value", F.when(F.col("is_abs"), F.col("abs_value")))
+        .withColumn(
+            "delta", F.when(F.col("is_abs"), F.lit(0.0)).otherwise(F.col("delta"))
+        )
+    )
+
+
+def test_replay_auto_dispatch_plan_shapes(spark):
+    """The W2 skew dispatch (round 11): a 50%-hot-key input through the
+    SAME entry point must plan the CHUNKED shape (every row-stream
+    window partitioned by (key, chunk)), a uniform input the FLAT shape
+    (one exchange, no join) — and both dispatches return results
+    bit-equal to the flat reference on the same input."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.ops.windows import (
+        replay_running_balance,
+        replay_running_balance_auto,
+    )
+
+    kw = dict(
+        key="user_id", order=["ts", "event_id"],
+        delta_col="delta", is_absolute_col="is_abs", abs_value_col="abs_value",
+    )
+    chunk = F.floor(F.unix_micros("ts") / F.lit(86_400 * 1_000_000))
+
+    hot = _synth_skewed_movements(spark, 400, 200)
+    auto_hot = replay_running_balance_auto(hot, chunk=chunk, task_row_budget=100, **kw)
+    plan = _formatted_plan(auto_hot)
+    assert "__chunk" in plan, plan
+    for m in re.finditer(r"Window \[([^\]]*)\], \[([^\]]*)\], \[([^\]]*)\]", plan):
+        spec_cols, part, _order = m.groups()
+        if "event_id" in _order or "event_id" in spec_cols:
+            assert "__chunk" in part, f"row-stream window missing chunk: {m.group(0)}"
+
+    uniform = _synth_skewed_movements(spark, 400, 0)
+    auto_uni = replay_running_balance_auto(uniform, chunk=chunk, task_row_budget=100, **kw)
+    plan_uni = _formatted_plan(auto_uni)
+    assert plan_uni.count("Exchange hashpartitioning") == 1, plan_uni
+    assert "Join" not in plan_uni, plan_uni
+
+    # dispatch never changes results: both equal the flat reference
+    def rows(df):
+        return sorted(
+            (r.event_id, r.running, r.effective_delta) for r in df.collect()
+        )
+
+    assert rows(auto_hot) == rows(replay_running_balance(hot, **kw))
+    assert rows(auto_uni) == rows(replay_running_balance(uniform, **kw))
+
+
 def test_pii_scrub_zero_shuffle(spark):
     """The cheapest-possible shape claimed in SCALE.md: one projection
     over one scan — no exchange of any kind, no join."""

@@ -129,6 +129,31 @@ def main() -> None:
         results["flat_eq_chunked"] = flat == chunked
         results["checksum"] = {"n": flat[0], "sum_running": flat[1], "sum_delta": flat[2]}
 
+        # auto dispatch (round 11): the probe + whichever form it picks,
+        # end-to-end — the number that shows the dispatch lands on the
+        # winning side of the crossover at every skew level.
+        from osmart_etl_spark.ops.windows import (
+            REPLAY_TASK_ROW_BUDGET,
+            replay_max_key_rows,
+            replay_running_balance_auto,
+        )
+
+        t0 = time.monotonic()
+        probe = replay_max_key_rows(mv, "user_id")
+        results["probe_s"] = round(time.monotonic() - t0, 2)
+        results["probe_max_key_rows"] = probe
+        results["auto_picks"] = (
+            "chunked" if probe > REPLAY_TASK_ROW_BUDGET else "flat"
+        )
+        t0 = time.monotonic()
+        auto = _force(
+            replay_running_balance_auto(
+                mv, chunk=F.floor(F.unix_micros("ts") / F.lit(CHUNK_SPAN_US)), **kw
+            )
+        )
+        results["auto_s"] = round(time.monotonic() - t0, 2)
+        results["auto_eq_flat"] = auto == flat
+
         # Streaming stateful fallback: event_type encoding of the same log
         # (signup=absolute reset, error=negative, purchase=positive), one
         # availableNow drain into a throwaway sink.
