@@ -198,10 +198,16 @@ def merge_upsert_partitioned(
         # _bucket_snapshot, so merging on top of them would silently
         # drop every pre-existing row. Adopt them first.
         _adopt_legacy_buckets(spark, base, bucket_col)
-    else:
-        spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
-            layout_path
-        )
+    elif not _write_layout_exclusive(spark, layout_path, layout):
+        # lost the creation race (round-11 contention probe: concurrent
+        # first-writers used to collide overwriting the same sidecar) —
+        # the winner's layout is authoritative; validate ours against it
+        stored = _read_layout(spark, layout_path)
+        if stored != layout:
+            raise ValueError(
+                f"merge_upsert_partitioned layout race at {path}: a concurrent "
+                f"creator pinned {stored}, this batch supplies {layout}."
+            )
 
     # ≤ n_buckets small ints — a bounded driver-side read, not a data scan.
     touched = sorted(r[0] for r in bucketed.select(bucket_col).distinct().collect())
@@ -382,9 +388,75 @@ def _bucket_version_dir(spark: SparkSession, base: str, bucket: int) -> str | No
     return _bucket_snapshot(spark, base, bucket)[0]
 
 
+def _write_layout_exclusive(spark: SparkSession, layout_path: str, layout: dict) -> bool:
+    """Create the ``_layout`` sidecar as ONE file with an exclusive
+    create — the same CAS primitive as io/atomic's sequence locks — so
+    concurrent table CREATORS race safely: exactly one wins, the loser
+    returns False and validates against the winner's layout. (The old
+    Spark-job ``overwrite`` write let two first-writers collide on the
+    sidecar's _temporary directory — found by
+    tools/merge_contention_probe.py.) Returns True if this writer
+    created the sidecar."""
+    import json as _json
+
+    from osmart_etl_spark.io.atomic import _fs
+
+    data = _json.dumps(layout, sort_keys=True)
+    jvm, fs, hpath = _fs(spark, layout_path)
+    fs.mkdirs(hpath.getParent())
+    if fs.getUri().getScheme() == "file":
+        import os as _os
+
+        local = hpath.toUri().getPath()
+        try:
+            fd = _os.open(local, _os.O_CREAT | _os.O_EXCL | _os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with _os.fdopen(fd, "w") as fh:
+            fh.write(data)
+        return True
+    try:
+        out = fs.create(hpath, False)
+    except Exception as exc:  # py4j surfaces FileAlreadyExistsException
+        if "AlreadyExists" in str(exc.__class__) + str(exc):
+            return False
+        raise
+    out.write(bytearray(data.encode()))
+    out.close()
+    return True
+
+
 def _read_layout(spark: SparkSession, layout_path: str) -> dict:
-    """Read the ``_layout`` sidecar of a merge table (internal)."""
-    row = spark.read.json(layout_path).collect()[0].asDict()
+    """Read the ``_layout`` sidecar of a merge table (internal). Two
+    on-disk forms: a single JSON file (round-11 exclusive-create path)
+    or a Spark-written JSON directory (older tables). A just-created
+    file may be momentarily empty to a racing reader (create/write are
+    two steps); retry briefly before giving up."""
+    import json as _json
+    import time as _time
+
+    from osmart_etl_spark.io.atomic import _fs
+
+    jvm, fs, hpath = _fs(spark, layout_path)
+    row = None
+    for _ in range(100):
+        if not fs.exists(hpath):
+            _time.sleep(0.05)
+            continue
+        if fs.getFileStatus(hpath).isDirectory():
+            row = spark.read.json(layout_path).collect()[0].asDict()
+            break
+        stream = fs.open(hpath)
+        try:
+            content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        if content.strip():
+            row = _json.loads(content)
+            break
+        _time.sleep(0.05)  # winner mid-write
+    if row is None:
+        raise FileNotFoundError(f"no readable layout at {layout_path}")
     return {
         "n_buckets": int(row["n_buckets"]),
         "keys": list(row["keys"]),
