@@ -282,6 +282,198 @@ def annexb_keyframe_offsets(payload: bytes) -> list[int]:
     return [off for off, typ in walk_annexb_nals(payload) if typ == NAL_IDR]
 
 
+class _BitReader:
+    """MSB-first bit reader with ue(v)/se(v) Exp-Golomb (H.264 §9.1)."""
+
+    def __init__(self, buf: bytes):
+        self.buf, self.pos = buf, 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte, bit = divmod(self.pos, 8)
+            if byte >= len(self.buf):
+                raise ValueError("SPS bitstream exhausted")
+            v = (v << 1) | ((self.buf[byte] >> (7 - bit)) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("bad Exp-Golomb code")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(rbsp: bytes) -> bytes:
+    """Remove H.264 emulation-prevention bytes (00 00 03 -> 00 00)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+_HIGH_PROFILES = {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+
+
+def parse_sps(nal: bytes) -> dict:
+    """Decode an H.264 sequence parameter set (ITU-T H.264 §7.3.2.1.1):
+    profile/level, chroma format, and the REAL coded width/height
+    (macroblock grid minus the frame-cropping rectangle, with the
+    chroma-dependent crop units — the part naive parsers get wrong).
+    ``nal`` is the NAL unit including its 1-byte header."""
+    if (nal[0] & 0x1F) != NAL_SPS:
+        raise ValueError("not an SPS NAL")
+    r = _BitReader(_strip_emulation(nal[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc = 1  # default 4:2:0 for non-high profiles
+    separate_colour_plane = 0
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc == 3:
+            separate_colour_plane = r.u(1)
+        r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass
+        if r.u(1):  # seq_scaling_matrix_present
+            for i in range(8 if chroma_format_idc != 3 else 12):
+                if r.u(1):  # seq_scaling_list_present[i]
+                    size = 16 if i < 6 else 64
+                    last, nxt = 8, 8
+                    for _ in range(size):
+                        if nxt != 0:
+                            nxt = (last + r.se() + 256) % 256
+                        last = last if nxt == 0 else nxt
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()
+    elif poc_type == 1:
+        r.u(1)
+        r.se()
+        r.se()
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed
+    width_mbs = r.ue() + 1
+    height_map_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field
+    r.u(1)  # direct_8x8_inference
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # §7.4.2.1.1: crop units depend on chroma format and field coding
+    if chroma_format_idc == 0 or separate_colour_plane:
+        unit_x, unit_y = 1, 2 - frame_mbs_only
+    else:
+        sub_w = 2 if chroma_format_idc in (1, 2) else 1
+        sub_h = 2 if chroma_format_idc == 1 else 1
+        unit_x, unit_y = sub_w, sub_h * (2 - frame_mbs_only)
+    width = width_mbs * 16 - unit_x * (crop_l + crop_r)
+    height = (2 - frame_mbs_only) * height_map_units * 16 - unit_y * (crop_t + crop_b)
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "width": width,
+        "height": height,
+    }
+
+
+def annexb_sps_info(payload: bytes) -> dict | None:
+    """Parse the first SPS of an Annex-B stream; None if absent or
+    unparseable (a broken SPS downgrades the metadata, it does not
+    invalidate the stream walk itself)."""
+    nals = walk_annexb_nals(payload)
+    for i, (off, typ) in enumerate(nals):
+        if typ != NAL_SPS:
+            continue
+        hdr = off + (4 if payload[off : off + 4] == b"\x00\x00\x00\x01" else 3)
+        end = nals[i + 1][0] if i + 1 < len(nals) else len(payload)
+        try:
+            return parse_sps(payload[hdr:end])
+        except ValueError:
+            return None
+    return None
+
+
+class _BitWriter:
+    """MSB-first bit writer with ue(v) — fixture SPS construction."""
+
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> "_BitWriter":
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def ue(self, v: int) -> "_BitWriter":
+        k = v + 1
+        n = k.bit_length()
+        self.u(n - 1, 0)
+        self.u(n, k)
+        return self
+
+    def bytes_(self) -> bytes:
+        bits = self.bits + [1] + [0] * ((-len(self.bits) - 1) % 8)  # rbsp stop bit
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def encode_sps(
+    width: int, height: int, *, profile_idc: int = 66, level_idc: int = 30,
+    crop_right: int = 0, crop_bottom: int = 0,
+) -> bytes:
+    """Fixture SPS (baseline-profile layout, frame_mbs_only, 4:2:0):
+    the NAL bytes ``parse_sps`` must invert. Width/height are the
+    DISPLAY size; the macroblock grid rounds up and the remainder goes
+    into the cropping rectangle (crop units = 2 for 4:2:0 frames)."""
+    width_mbs = (width + 2 * crop_right + 15) // 16
+    height_units = (height + 2 * crop_bottom + 15) // 16
+    w = _BitWriter()
+    w.u(8, profile_idc).u(8, 0).u(8, level_idc)
+    w.ue(0)  # sps id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type -> needs log2_max_pic_order_cnt_lsb
+    w.ue(0)
+    w.ue(1)  # max_num_ref_frames
+    w.u(1, 0)  # gaps_in_frame_num
+    w.ue(width_mbs - 1)
+    w.ue(height_units - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    if crop_right or crop_bottom:
+        w.u(1, 1)
+        w.ue(0).ue(crop_right).ue(0).ue(crop_bottom)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)  # vui_parameters_present
+    return bytes([0x67]) + w.bytes_()
+
+
 # ---------------------------------------------------------------------------
 # fixture writer
 # ---------------------------------------------------------------------------

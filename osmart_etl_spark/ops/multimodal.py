@@ -903,11 +903,19 @@ def _probe_video_one(payload: bytes) -> tuple:
             offs[0] if offs else None,
         )
     if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
-        from osmart_etl_spark.ops.mp4 import annexb_keyframe_offsets, walk_annexb_nals
+        from osmart_etl_spark.ops.mp4 import (
+            annexb_keyframe_offsets,
+            annexb_sps_info,
+            walk_annexb_nals,
+        )
 
         nals = walk_annexb_nals(payload)
         idr = annexb_keyframe_offsets(payload)
-        return ("h264-annexb", "h264", None, None, None, len(nals), len(idr),
+        sps = annexb_sps_info(payload)
+        return ("h264-annexb", "h264",
+                sps["width"] if sps else None,
+                sps["height"] if sps else None,
+                None, len(nals), len(idr),
                 idr[0] if idr else None)
     raise ValueError("unknown video container")
 

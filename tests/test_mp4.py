@@ -168,3 +168,53 @@ def test_mp4_frame_decode_stays_honest_stub():
 
     with pytest.raises(NotImplementedError, match="parses structurally"):
         decode_video_frames(_fixture())
+
+
+def test_sps_roundtrip_and_cropping():
+    """parse_sps must invert encode_sps, including the crop-unit
+    arithmetic (4:2:0 frame crop units = 2): 64x48 uncropped, 1920x1080
+    via crop_bottom=4 (1088-grid), and an odd crop on both axes."""
+    from osmart_etl_spark.ops.mp4 import encode_sps, parse_sps
+
+    s = parse_sps(encode_sps(64, 48))
+    assert (s["width"], s["height"]) == (64, 48)
+    assert (s["profile_idc"], s["level_idc"]) == (66, 30)
+    assert s["chroma_format_idc"] == 1
+
+    s = parse_sps(encode_sps(1920, 1080, crop_bottom=4, level_idc=40))
+    assert (s["width"], s["height"]) == (1920, 1080)
+    assert s["level_idc"] == 40
+
+    s = parse_sps(encode_sps(1276, 716, crop_right=2, crop_bottom=2))
+    assert (s["width"], s["height"]) == (1276, 716)
+
+
+def test_sps_emulation_prevention_stripped():
+    """An SPS whose RBSP contains 00 00 03 emulation bytes must parse
+    to the same fields after transport through an Annex-B stream."""
+    from osmart_etl_spark.ops.mp4 import _strip_emulation, annexb_sps_info, encode_sps
+
+    assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+    assert _strip_emulation(b"\x00\x00\x03\x03") == b"\x00\x00\x03"
+    sps = encode_sps(320, 240)
+    stream = b"\x00\x00\x00\x01" + sps + b"\x00\x00\x01" + bytes([0x65]) + b"k"
+    info = annexb_sps_info(stream)
+    assert (info["width"], info["height"]) == (320, 240)
+
+
+def test_video_stream_info_annexb_dimensions(spark):
+    """The Annex-B triage row must now carry SPS-derived dimensions."""
+    from osmart_etl_spark.ops.mp4 import encode_sps
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, video_stream_info
+
+    stream = (
+        b"\x00\x00\x00\x01" + encode_sps(640, 360, crop_bottom=4)
+        + b"\x00\x00\x01" + bytes([0x68]) + b"p"
+        + b"\x00\x00\x01" + bytes([0x65]) + b"idr"
+    )
+    media = spark.createDataFrame(
+        [(0, "video", stream, len(stream), None, None, None)], MEDIA_SCHEMA
+    )
+    r = video_stream_info(media).collect()[0]
+    assert (r.width, r.height) == (640, 360)
+    assert r.codec == "h264" and r.n_keyframes == 1
