@@ -568,8 +568,7 @@ def encode_mp4(
     )
     hdlr = _full(b"hdlr", 0, struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
     vmhd = _full(b"vmhd", 0, struct.pack(">HHHH", 0, 0, 0, 0))
-    dref = _full(b"dref", 0, struct.pack(">I", 1) + _full(b"url ", 0, b"")[:4+8])
-    # minimal url box with self-contained flag
+    # minimal url box with the self-contained flag set
     url = struct.pack(">I", 12) + b"url " + struct.pack(">I", 1)
     dref = _full(b"dref", 0, struct.pack(">I", 1) + url)
     dinf = _box(b"dinf", dref)
