@@ -274,7 +274,13 @@ def publish_staged(
     final = jvm.org.apache.hadoop.fs.Path(f"{commits_dir}/{next_seq:08d}-{token}")
     fs.create(final, True).close()
 
-    _gc(spark, base, keep_versions, orphan_ttl_s)
+    # The commit is durable from here. GC is best-effort: any residual
+    # cross-writer race in the sweep must not convert a SUCCESSFUL
+    # publish into an apparent failure (the next commit re-runs GC).
+    try:
+        _gc(spark, base, keep_versions, orphan_ttl_s)
+    except Exception:  # noqa: BLE001 — GC retries on the next commit
+        pass
     return next_seq
 
 
@@ -307,7 +313,16 @@ def _gc(
 
     def _old_enough(path: str) -> bool:
         p = jvm.org.apache.hadoop.fs.Path(path)
-        return fs.getFileStatus(p).getModificationTime() <= horizon_ms
+        try:
+            return fs.getFileStatus(p).getModificationTime() <= horizon_ms
+        except Exception:  # noqa: BLE001 — racing GC already removed it
+            # Concurrent writers each run this sweep; a path listed a
+            # moment ago may be gone by the stat. "Already gone" means
+            # nothing to sweep — it must NOT abort the publish that
+            # invoked this GC (round-11 contention probe: an abort here
+            # surfaced AFTER the commit marker existed, tricking the
+            # caller's cleanup into deleting a published version).
+            return False
 
     for name in _listdir(spark, base):
         if not name.startswith("_v-") or name[3:] in live:

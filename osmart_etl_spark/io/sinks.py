@@ -640,7 +640,10 @@ def merge_accumulate(
     — an unrecoverable loss, unlike keep-latest upserts where replay
     self-heals. Serialize runs (the orchestrator's job ordering, a
     scheduler lock, or a transactional table format); this sink does
-    not lock.
+    not lock. For concurrent or crash-exposed writers use
+    ``merge_accumulate_versioned`` below (round 11): table + ledger in
+    one CAS-published commit closes both this hole and the
+    table-updated/ledger-missing crash window documented further down.
 
     Scale shape: the batch is reduced to per-key partials FIRST
     (map-side combine — the shuffle carries one row per key in the
@@ -650,8 +653,6 @@ def merge_accumulate(
     upsert_parquet: with a table format, the merge touches only
     matching files; on raw parquet, partition by a key prefix.
     """
-    from functools import reduce
-
     from osmart_etl_spark.io.sources import path_exists
 
     if path_exists(spark, ledger_path):
@@ -666,43 +667,10 @@ def merge_accumulate(
         if dup:
             return False
 
-    # Convention: accumulated sums are 0-based, not NULL-based (an
-    # all-NULL key stores 0) — applied IDENTICALLY on the first write
-    # and on every merge, so a key's representation cannot depend on
-    # which batch it arrived in. This deliberately diverges from SQL
-    # SUM's all-NULL→NULL semantics; matching that incrementally would
-    # need a has-nonnull flag per column for no operational benefit.
-    partial = updates.groupBy(*keys).agg(
-        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).alias(c) for c in sum_cols]
-    )
-    # Pin each accumulator's type ONCE (the partial-agg result type):
-    # without the cast-back, decimal sums widen by one digit per merge
-    # (28,2 → 29,2 → … → 38,2), changing the stored schema every batch
-    # until the cap and then leaning on allowPrecisionLoss.
-    acc_types = {c: partial.schema[c].dataType.simpleString() for c in sum_cols}
-    partial = partial.select(
-        *keys, *[F.col(c).cast(acc_types[c]).alias(c) for c in sum_cols]
-    )
+    partial, acc_types = _additive_partial(updates, keys, sum_cols)
     if path_exists(spark, path):
         cur = spark.read.parquet(path)
-        p = partial.select(
-            *[F.col(k).alias(f"__k_{k}") for k in keys],
-            *[F.col(c).alias(f"__u_{c}") for c in sum_cols],
-        )
-        cond = reduce(
-            lambda a, b: a & b,
-            [cur[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys],
-        )
-        merged = cur.join(p, cond, "full_outer").select(
-            *[F.coalesce(cur[k], F.col(f"__k_{k}")).alias(k) for k in keys],
-            *[
-                (
-                    F.coalesce(cur[c], F.lit(0))
-                    + F.coalesce(F.col(f"__u_{c}"), F.lit(0))
-                ).cast(acc_types[c]).alias(c)
-                for c in sum_cols
-            ],
-        )
+        merged = _additive_merge(cur, partial, keys, sum_cols, acc_types)
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(path)
     else:
@@ -718,6 +686,181 @@ def merge_accumulate(
         ledger_path
     )
     return True
+
+
+def _additive_partial(updates: DataFrame, keys: list[str], sum_cols: list[str]):
+    """Per-key partial sums of a batch (map-side combined) with the
+    accumulator types pinned ONCE. Convention: accumulated sums are
+    0-based, not NULL-based (an all-NULL key stores 0) — applied
+    identically on the first write and every merge, so a key's
+    representation cannot depend on which batch it arrived in. This
+    deliberately diverges from SQL SUM's all-NULL→NULL semantics;
+    matching that incrementally would need a has-nonnull flag per
+    column for no operational benefit. Without the cast-back, decimal
+    sums widen by one digit per merge (28,2 → 29,2 → … → 38,2),
+    changing the stored schema every batch until the cap."""
+    partial = updates.groupBy(*keys).agg(
+        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).alias(c) for c in sum_cols]
+    )
+    acc_types = {c: partial.schema[c].dataType.simpleString() for c in sum_cols}
+    partial = partial.select(
+        *keys, *[F.col(c).cast(acc_types[c]).alias(c) for c in sum_cols]
+    )
+    return partial, acc_types
+
+
+def _additive_merge(
+    cur: DataFrame,
+    partial: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    acc_types: dict,
+) -> DataFrame:
+    """Full-outer fold of a batch's partials into the aggregate table
+    (one row per key ever — the compact thing a 100 TB event history
+    folds down to)."""
+    from functools import reduce
+
+    p = partial.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        *[F.col(c).alias(f"__u_{c}") for c in sum_cols],
+    )
+    cond = reduce(
+        lambda a, b: a & b,
+        [cur[k].eqNullSafe(F.col(f"__k_{k}")) for k in keys],
+    )
+    return cur.join(p, cond, "full_outer").select(
+        *[F.coalesce(cur[k], F.col(f"__k_{k}")).alias(k) for k in keys],
+        *[
+            (
+                F.coalesce(cur[c], F.lit(0))
+                + F.coalesce(F.col(f"__u_{c}"), F.lit(0))
+            ).cast(acc_types[c]).alias(c)
+            for c in sum_cols
+        ],
+    )
+
+
+def merge_accumulate_versioned(
+    spark: SparkSession,
+    updates: DataFrame,
+    table: str,
+    keys: list[str],
+    sum_cols: list[str],
+    *,
+    batch_id: str,
+    keep_versions: int = 8,
+    max_retries: int = 10,
+) -> bool:
+    """Exactly-once additive incremental-view maintenance — the
+    CAS-protected completion of ``merge_accumulate`` (round 11). That
+    sink documents two honest holes: a SINGLE-WRITER contract (two
+    concurrent folds both read the pre-merge table; the later overwrite
+    silently drops the earlier batch — an unrecoverable lost update)
+    and a crash window between the table overwrite and the ledger
+    append (retry double-counts). Both close by making the aggregate
+    table AND its applied-batch ledger one atomic commit through
+    ``io/atomic``'s log:
+
+    - each committed version directory holds the aggregate rows at its
+      root and the FULL ledger under ``_ledger/`` (underscore-prefixed,
+      so aggregate reads never see it) — table+ledger cannot diverge,
+      because they are published by the same marker rename;
+    - the publish is a CAS on the version sequence (create claims
+      exactly seq 1, folds claim cur+1): a concurrent fold surfaces as
+      ``ConcurrentCommitError`` and retries from a FRESH snapshot —
+      re-checking the ledger first, so a racer that already applied
+      this batch turns the retry into a no-op;
+    - a crash anywhere leaves the previous version (with its matching
+      ledger) fully readable; replaying the batch is rejected by the
+      committed ledger.
+
+    Cost note: the ledger (one tiny row per applied batch, forever) is
+    rewritten into every new version — O(total batches) per fold, the
+    price of transactional table+ledger on plain parquet. Read the
+    aggregate with ``io/atomic.read_committed``. ``keep_versions``
+    defaults HIGHER than the upsert sinks (8 vs 2): a version here is a
+    small per-key aggregate, and under W concurrent folders a loser's
+    snapshot must survive up to W-1 winner commits or its attempts burn
+    on GC'd-snapshot reads instead of clean CAS losses.
+
+    Returns True if the batch was applied, False if it was already in
+    the committed ledger.
+    """
+    import time as _time
+    import uuid
+
+    from osmart_etl_spark.io.atomic import (
+        ConcurrentCommitError,
+        _fs,
+        _gc,
+        current_version,
+        publish_staged,
+    )
+
+    base = table.rstrip("/")
+    partial, acc_types = _additive_partial(updates, keys, sum_cols)
+    jvm, fs, _ = _fs(spark, base)
+
+    for attempt in range(max_retries):
+        token = uuid.uuid4().hex[:12]
+        stage = f"{base}/_v-{token}"
+        try:
+            cur = current_version(spark, base)
+            if cur is None:
+                # a crashed creator's dead first lock would otherwise
+                # wedge creation until a commit runs _gc — sweep on entry
+                # (same round-9 rule as upsert_versioned)
+                _gc(spark, base, keep_versions, 3600.0)
+                merged = partial
+                new_ledger = spark.createDataFrame([(batch_id,)], ["batch_id"])
+                expected = 0
+            else:
+                ver_dir = f"{base}/_v-{cur[1]}"
+                ledger = spark.read.parquet(f"{ver_dir}/_ledger")
+                if ledger.filter(F.col("batch_id") == batch_id).limit(1).count():
+                    return False
+                merged = _additive_merge(
+                    spark.read.parquet(ver_dir), partial, keys, sum_cols, acc_types
+                )
+                new_ledger = ledger.unionByName(
+                    spark.createDataFrame([(batch_id,)], ["batch_id"])
+                )
+                expected = cur[0]
+            # staging reads the OLD version dir while writing the NEW one
+            # — nothing pinned, a crash leaves the live table untouched.
+            merged.write.mode("overwrite").parquet(stage)
+            new_ledger.coalesce(1).write.mode("overwrite").parquet(f"{stage}/_ledger")
+        except Exception:  # noqa: BLE001 — snapshot/staging races are retryable
+            # Under heavy contention the version dir this attempt reads
+            # (dup check, merge input) can be GC'd by RACING winners
+            # before the attempt finishes (keep_versions guards
+            # keep_versions-1 newer commits, not unbounded ones): the
+            # read dies with a FileNotFound, not a CAS conflict. Nothing
+            # was published, so deleting our stage and retrying from a
+            # fresh snapshot is always safe; a non-transient error
+            # (schema mismatch, bad path) re-raises after max_retries
+            # bounded attempts. PUBLISH is deliberately OUTSIDE this
+            # except: once the commit marker may exist, cleanup here
+            # would delete a published version's data.
+            fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+            if attempt == max_retries - 1:
+                raise
+        else:
+            try:
+                publish_staged(
+                    spark, base, token,
+                    expected_seq=expected, keep_versions=keep_versions,
+                )
+                return True
+            except ConcurrentCommitError:
+                # publish_staged already removed our staged dir
+                if attempt == max_retries - 1:
+                    raise
+        # full-jitter exponential backoff (the contention-probe rule)
+        delay = min(2.0, 0.1 * (2**attempt))
+        _time.sleep(delay * (0.5 + (hash((batch_id, attempt)) % 1000) / 2000.0))
+    return False  # unreachable; loop either returns or raises
 
 
 def write_sharded_corpus(

@@ -390,3 +390,93 @@ def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
     full = ev.drop("__b").groupBy("user_id").agg(F.sum("value").alias("value"))
     want = {(r["user_id"], str(r["value"])) for r in full.collect()}
     assert after == want
+
+
+def test_merge_accumulate_versioned_equals_full_and_dedups(spark, tmp_path):
+    """The CAS-protected accumulator: three batches equal the one-shot
+    aggregate, a redelivered batch is a committed-ledger no-op, the
+    accumulator schema stays pinned across versions, and the ledger
+    travels inside each committed version."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.atomic import current_version, read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+    from osmart_etl_spark.io.sources import read_table
+    from tests.conftest import SF_SMALL
+
+    ev = read_table(spark, SF_SMALL, "events").select(
+        "user_id", F.col("value").cast("decimal(18,2)").alias("value"),
+        (F.dayofmonth("ts") % 3).alias("__b"),
+    )
+    table = str(tmp_path / "agg_v")
+    schemas = []
+    for b in range(3):
+        assert merge_accumulate_versioned(
+            spark, ev.filter(F.col("__b") == b).drop("__b"), table,
+            keys=["user_id"], sum_cols=["value"], batch_id=f"batch-{b}",
+        )
+        schemas.append(read_committed(spark, table).schema.simpleString())
+    assert len(set(schemas)) == 1, schemas
+
+    before = {(r["user_id"], str(r["value"])) for r in read_committed(spark, table).collect()}
+    # redelivery: already in the COMMITTED ledger -> False, no new version
+    seq_before = current_version(spark, table)[0]
+    assert not merge_accumulate_versioned(
+        spark, ev.filter(F.col("__b") == 1).drop("__b"), table,
+        keys=["user_id"], sum_cols=["value"], batch_id="batch-1",
+    )
+    assert current_version(spark, table)[0] == seq_before
+    after = {(r["user_id"], str(r["value"])) for r in read_committed(spark, table).collect()}
+    assert after == before
+
+    full = ev.drop("__b").groupBy("user_id").agg(F.sum("value").alias("value"))
+    want = {(r["user_id"], str(r["value"])) for r in full.collect()}
+    assert after == want
+
+    # the ledger is part of the committed version directory
+    cur = current_version(spark, table)
+    ledger = spark.read.parquet(f"{table}/_v-{cur[1]}/_ledger")
+    assert {r["batch_id"] for r in ledger.collect()} == {"batch-0", "batch-1", "batch-2"}
+
+
+def test_merge_accumulate_versioned_concurrent_writers_lose_nothing(spark, tmp_path):
+    """The exact scenario plain merge_accumulate documents as
+    unrecoverable: concurrent folds racing on one table. With the CAS
+    commit the loser retries from a fresh snapshot, so EVERY batch's
+    contribution survives — final state equals the serial fold of all
+    six batches."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.atomic import read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+
+    table = str(tmp_path / "agg_race")
+    # 6 batches, each adds +1 to keys 0..199 -> serial expectation: 6 per key
+    batches = {
+        f"b{i}": spark.range(200).select(
+            F.col("id").alias("k"), F.lit(1).cast("bigint").alias("n")
+        )
+        for i in range(6)
+    }
+    errs = []
+
+    def fold(bid):
+        try:
+            merge_accumulate_versioned(
+                spark, batches[bid], table, keys=["k"], sum_cols=["n"],
+                batch_id=bid, max_retries=12,
+            )
+        except Exception as exc:  # noqa: BLE001 — surface in the assert
+            errs.append(f"{bid}: {exc}")
+
+    threads = [threading.Thread(target=fold, args=(b,)) for b in batches]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    got = read_committed(spark, table)
+    assert got.count() == 200
+    assert got.filter(F.col("n") != 6).count() == 0

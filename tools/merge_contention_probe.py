@@ -146,6 +146,57 @@ def run_storm(spark, path: str, n_writers: int, n_rounds: int, regime: str) -> d
     }
 
 
+def run_accumulate_storm(spark, table: str, n_writers: int, n_rounds: int) -> dict:
+    """W writers concurrently folding DISTINCT batches into one
+    ``merge_accumulate_versioned`` table — the additive sink's lost-update
+    scenario. Serial expectation: every key sums to n_writers × n_rounds."""
+    import threading
+
+    from osmart_etl_spark.io.atomic import read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+
+    stats = {"applied": 0, "errors": []}
+    lock = threading.Lock()
+
+    def writer(w: int) -> None:
+        for rnd in range(n_rounds):
+            batch = spark.range(N_KEYS).select(
+                F.col("id").alias("k"), F.lit(1).cast("bigint").alias("n")
+            )
+            try:
+                ok = merge_accumulate_versioned(
+                    spark, batch, table, keys=["k"], sum_cols=["n"],
+                    batch_id=f"w{w}-r{rnd}", max_retries=12,
+                )
+                with lock:
+                    stats["applied"] += int(ok)
+            except Exception as exc:  # noqa: BLE001 — probe must report
+                with lock:
+                    stats["errors"].append(f"w{w} r{rnd}: {exc}"[:300])
+                return
+
+    t0 = time.monotonic()
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t0
+    got = read_committed(spark, table)
+    want = n_writers * n_rounds
+    return {
+        "regime": "accumulate",
+        "n_writers": n_writers,
+        "n_rounds": n_rounds,
+        "wall_s": round(wall, 2),
+        "applied": stats["applied"],
+        "rows_final": got.count(),
+        "rows_expected": N_KEYS,
+        "wrong_sum_rows": got.filter(F.col("n") != want).count(),
+        "errors": stats["errors"],
+    }
+
+
 def main() -> None:
     n_writers = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     n_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
@@ -168,6 +219,13 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    tmp = tempfile.mkdtemp(prefix="merge_storm_accumulate_")
+    try:
+        results["accumulate"] = run_accumulate_storm(
+            spark, f"{tmp}/tbl", n_writers, n_rounds
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     line = json.dumps(results)
     print(line)
     if out_path:
