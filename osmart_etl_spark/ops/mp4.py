@@ -282,6 +282,48 @@ def annexb_keyframe_offsets(payload: bytes) -> list[int]:
     return [off for off, typ in walk_annexb_nals(payload) if typ == NAL_IDR]
 
 
+def keyframe_payloads(payload: bytes, max_frames: int | None = None) -> list[bytes]:
+    """The parse tier's payoff made executable: slice each keyframe
+    SAMPLE's raw bytes out of mdat using only the stsc/stco/stsz walk —
+    zero decode, zero copy beyond the slices. This is exactly the I/O
+    a frame-sampling near-dup pass issues at 100 TB scale: byte-range
+    reads at keyframe offsets instead of full-file decode. (Decoding
+    those H.264 samples remains out of scope — the slices feed either
+    an external decoder or content-hash dedup of coded frames.)"""
+    info = probe_mp4(payload)
+    vid = next((t for t in info["tracks"] if t.get("handler") == "vide"), None)
+    if vid is None:
+        raise ValueError("no video track")
+    # re-walk the table to get per-sample sizes aligned with offsets
+    out: list[bytes] = []
+    sizes_by_sample = _keyframe_sizes(payload, vid)
+    for off, size in zip(vid["keyframe_offsets"], sizes_by_sample):
+        out.append(payload[off : off + size])
+        if max_frames is not None and len(out) >= max_frames:
+            break
+    return out
+
+
+def _keyframe_sizes(payload: bytes, vid: dict) -> list[int]:
+    """stsz sizes of the track's keyframe samples, in keyframe order."""
+    top = list(parse_boxes(payload))
+    ms, me = next((s, e) for t, s, e in top if t == b"moov")
+    for ts_, te_ in _find(payload, [b"trak"], ms, me):
+        hdlrs = _find(payload, [b"mdia", b"hdlr"], ts_, te_)
+        if not any(payload[hs + 8 : hs + 12] == b"vide" for hs, _ in hdlrs):
+            continue
+        for ss, se in _find(payload, [b"mdia", b"minf", b"stbl"], ts_, te_):
+            for btype, bs, _be in parse_boxes(payload, ss, se):
+                if btype == b"stsz":
+                    sizes = _parse_stsz(payload, bs)
+                    return [
+                        sizes[k - 1]
+                        for k in vid["keyframe_samples"]
+                        if k - 1 < len(sizes)
+                    ]
+    return []
+
+
 class _BitReader:
     """MSB-first bit reader with ue(v)/se(v) Exp-Golomb (H.264 §9.1)."""
 

@@ -218,3 +218,18 @@ def test_video_stream_info_annexb_dimensions(spark):
     r = video_stream_info(media).collect()[0]
     assert (r.width, r.height) == (640, 360)
     assert r.codec == "h264" and r.n_keyframes == 1
+
+
+def test_keyframe_payloads_slice_exact_sample_bytes():
+    """keyframe_payloads must return each keyframe sample's EXACT mdat
+    bytes (the fixture fills sample i with (i*7+j)%256) — the byte-range
+    fetch a frame-sampling pass issues instead of a full decode."""
+    from osmart_etl_spark.ops.mp4 import keyframe_payloads
+
+    got = keyframe_payloads(_fixture())
+    assert len(got) == len(KEYFRAMES)
+    for k, frame in zip(KEYFRAMES, got):
+        i = k - 1
+        assert len(frame) == SIZES[i]
+        assert frame == bytes(((i * 7 + j) % 256) for j in range(SIZES[i]))
+    assert len(keyframe_payloads(_fixture(), max_frames=2)) == 2

@@ -480,3 +480,43 @@ def test_merge_accumulate_versioned_concurrent_writers_lose_nothing(spark, tmp_p
     got = read_committed(spark, table)
     assert got.count() == 200
     assert got.filter(F.col("n") != 6).count() == 0
+
+
+def test_merge_accumulate_versioned_crash_between_stage_and_publish(spark, tmp_path):
+    """Crash-injection: a fully-staged but never-published version (data
+    + _ledger present, no commit marker) must be invisible to readers
+    and must not block or double-count the batch's eventual re-fold."""
+    from pyspark.sql import functions as F
+
+    from osmart_etl_spark.io.atomic import read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+
+    table = str(tmp_path / "agg_crash")
+    batch = spark.range(50).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("n")
+    )
+    assert merge_accumulate_versioned(
+        spark, batch, table, keys=["k"], sum_cols=["n"], batch_id="b0"
+    )
+
+    # simulate the crashed second fold: stage data + ledger, no publish
+    orphan = f"{table}/_v-deadbeef0000"
+    batch.write.mode("overwrite").parquet(orphan)
+    spark.createDataFrame([("b0",), ("b1",)], ["batch_id"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{orphan}/_ledger")
+
+    # reader: still sees only the committed fold
+    got = {r["k"]: r["n"] for r in read_committed(spark, table).collect()}
+    assert all(v == 1 for v in got.values()) and len(got) == 50
+
+    # the batch the crashed attempt carried re-folds exactly once
+    assert merge_accumulate_versioned(
+        spark, batch, table, keys=["k"], sum_cols=["n"], batch_id="b1"
+    )
+    got = {r["k"]: r["n"] for r in read_committed(spark, table).collect()}
+    assert all(v == 2 for v in got.values()) and len(got) == 50
+    # and a redelivery of either batch is a no-op
+    assert not merge_accumulate_versioned(
+        spark, batch, table, keys=["k"], sum_cols=["n"], batch_id="b0"
+    )
