@@ -763,9 +763,12 @@ def merge_accumulate_versioned(
     ``io/atomic``'s log:
 
     - each committed version directory holds the aggregate rows at its
-      root and the FULL ledger under ``_ledger/`` (underscore-prefixed,
-      so aggregate reads never see it) — table+ledger cannot diverge,
-      because they are published by the same marker rename;
+      root and the FULL ledger as a ``_ledger.json`` sidecar file
+      (underscore-prefixed, so aggregate reads never see it; written
+      and read driver-side — the ledger is O(batches) metadata, the
+      commit log's altitude, not a per-fold Spark job) — table+ledger
+      cannot diverge, because they are published by the same marker
+      rename;
     - the publish is a CAS on the version sequence (create claims
       exactly seq 1, folds claim cur+1): a concurrent fold surfaces as
       ``ConcurrentCommitError`` and retries from a FRESH snapshot —
@@ -787,6 +790,7 @@ def merge_accumulate_versioned(
     Returns True if the batch was applied, False if it was already in
     the committed ledger.
     """
+    import json as _json
     import time as _time
     import uuid
 
@@ -802,6 +806,21 @@ def merge_accumulate_versioned(
     partial, acc_types = _additive_partial(updates, keys, sum_cols)
     jvm, fs, _ = _fs(spark, base)
 
+    def _read_ledger(ver_dir: str) -> list[str]:
+        p = jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json")
+        stream = fs.open(p)
+        try:
+            content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return _json.loads(content)
+
+    def _write_ledger(ver_dir: str, ids: list[str]) -> None:
+        # private staging dir — plain create, no exclusivity needed
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json"), True)
+        out.write(bytearray(_json.dumps(ids).encode()))
+        out.close()
+
     for attempt in range(max_retries):
         token = uuid.uuid4().hex[:12]
         stage = f"{base}/_v-{token}"
@@ -813,24 +832,22 @@ def merge_accumulate_versioned(
                 # (same round-9 rule as upsert_versioned)
                 _gc(spark, base, keep_versions, 3600.0)
                 merged = partial
-                new_ledger = spark.createDataFrame([(batch_id,)], ["batch_id"])
+                new_ledger = [batch_id]
                 expected = 0
             else:
                 ver_dir = f"{base}/_v-{cur[1]}"
-                ledger = spark.read.parquet(f"{ver_dir}/_ledger")
-                if ledger.filter(F.col("batch_id") == batch_id).limit(1).count():
+                ledger = _read_ledger(ver_dir)
+                if batch_id in ledger:
                     return False
                 merged = _additive_merge(
                     spark.read.parquet(ver_dir), partial, keys, sum_cols, acc_types
                 )
-                new_ledger = ledger.unionByName(
-                    spark.createDataFrame([(batch_id,)], ["batch_id"])
-                )
+                new_ledger = ledger + [batch_id]
                 expected = cur[0]
             # staging reads the OLD version dir while writing the NEW one
             # — nothing pinned, a crash leaves the live table untouched.
             merged.write.mode("overwrite").parquet(stage)
-            new_ledger.coalesce(1).write.mode("overwrite").parquet(f"{stage}/_ledger")
+            _write_ledger(stage, new_ledger)
         except Exception:  # noqa: BLE001 — snapshot/staging races are retryable
             # Under heavy contention the version dir this attempt reads
             # (dup check, merge input) can be GC'd by RACING winners

@@ -434,9 +434,11 @@ def test_merge_accumulate_versioned_equals_full_and_dedups(spark, tmp_path):
     assert after == want
 
     # the ledger is part of the committed version directory
+    import json
+
     cur = current_version(spark, table)
-    ledger = spark.read.parquet(f"{table}/_v-{cur[1]}/_ledger")
-    assert {r["batch_id"] for r in ledger.collect()} == {"batch-0", "batch-1", "batch-2"}
+    with open(f"{table}/_v-{cur[1]}/_ledger.json") as fh:
+        assert set(json.load(fh)) == {"batch-0", "batch-1", "batch-2"}
 
 
 def test_merge_accumulate_versioned_concurrent_writers_lose_nothing(spark, tmp_path):
@@ -500,11 +502,12 @@ def test_merge_accumulate_versioned_crash_between_stage_and_publish(spark, tmp_p
     )
 
     # simulate the crashed second fold: stage data + ledger, no publish
+    import json
+
     orphan = f"{table}/_v-deadbeef0000"
     batch.write.mode("overwrite").parquet(orphan)
-    spark.createDataFrame([("b0",), ("b1",)], ["batch_id"]).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{orphan}/_ledger")
+    with open(f"{orphan}/_ledger.json", "w") as fh:
+        json.dump(["b0", "b1"], fh)
 
     # reader: still sees only the committed fold
     got = {r["k"]: r["n"] for r in read_committed(spark, table).collect()}
