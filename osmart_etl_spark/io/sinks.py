@@ -184,7 +184,27 @@ def merge_upsert_partitioned(
     if path_exists(spark, path):
         # F.hash is order-sensitive over its arguments, so the key LIST
         # (not set) must match exactly.
-        stored = _read_layout(spark, layout_path)
+        try:
+            stored = _read_layout(spark, layout_path)
+        except EmptyLayoutError as exc:
+            # creator died between the sidecar's exclusive create and
+            # its content write. Past the TTL _read_layout already swept
+            # the dead file — recreate it with THIS batch's layout (the
+            # table's bucket dirs were hashed by whoever keeps calling
+            # with this layout; a mismatch surfaces on the next batch
+            # exactly like first-write contention). Inside the TTL the
+            # creator may be alive mid-write — propagate, don't steal.
+            if not getattr(exc, "swept", False):
+                raise
+            if not _write_layout_exclusive(spark, layout_path, layout):
+                stored = _read_layout(spark, layout_path)  # racer healed it
+                if stored != layout:
+                    raise ValueError(
+                        f"merge_upsert_partitioned layout race at {path}: a "
+                        f"concurrent healer pinned {stored}, this batch "
+                        f"supplies {layout}."
+                    )
+            stored = layout
         if stored != layout:
             raise ValueError(
                 f"merge_upsert_partitioned layout mismatch at {path}: "
@@ -362,7 +382,19 @@ def _adopt_legacy_buckets(
             # directory holds; the file listing resolves before staging and
             # the legacy dir is deleted only after the commit is durable.
             commit_version(spark, spark.read.parquet(d), bdir, expected_seq=0)
-        fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+        if d.rstrip("/") == bdir.rstrip("/"):
+            # bucket_col == "bucket": the legacy dir IS the commit target
+            # (commit_version just published _v-<token> + _commits inside
+            # it), so a recursive delete of `d` would wipe the commit we
+            # made durable one line up. Sweep only the plain legacy data
+            # files; underscore/dot entries (the versioned layout) stay.
+            from osmart_etl_spark.io.atomic import _listdir
+
+            for name in _listdir(spark, d):
+                if not name.startswith(("_", ".")):
+                    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
+        else:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
     fs.delete(sentinel, False)
     return sorted(legacy)
 
@@ -426,12 +458,30 @@ def _write_layout_exclusive(spark: SparkSession, layout_path: str, layout: dict)
     return True
 
 
-def _read_layout(spark: SparkSession, layout_path: str) -> dict:
+class EmptyLayoutError(RuntimeError):
+    """The ``_layout`` sidecar exists but has no content: a creator died
+    between the exclusive create and the content write. Distinct from
+    FileNotFoundError so a WRITER (which knows the layout it would have
+    pinned) can self-heal by recreating the sidecar, while a reader gets
+    an actionable message instead of a generic 'no readable layout'."""
+
+
+def _read_layout(
+    spark: SparkSession, layout_path: str, *, dead_ttl_s: float = 3600.0
+) -> dict:
     """Read the ``_layout`` sidecar of a merge table (internal). Two
     on-disk forms: a single JSON file (round-11 exclusive-create path)
     or a Spark-written JSON directory (older tables). A just-created
     file may be momentarily empty to a racing reader (create/write are
-    two steps); retry briefly before giving up."""
+    two steps); retry briefly before giving up.
+
+    A PERMANENTLY empty sidecar (creator crashed between the exclusive
+    create and the content write) would otherwise wedge the table
+    forever: every reader/writer spins the full retry then fails. Same
+    self-heal rule as io/atomic's dead-claim sweep — past ``dead_ttl_s``
+    (mtime) the empty file is deleted so the next writer can recreate
+    it; inside the TTL it might be a live creator mid-write, so only the
+    distinct ``EmptyLayoutError`` is raised (round-12 ADVICE, low)."""
     import json as _json
     import time as _time
 
@@ -439,6 +489,7 @@ def _read_layout(spark: SparkSession, layout_path: str) -> dict:
 
     jvm, fs, hpath = _fs(spark, layout_path)
     row = None
+    saw_empty_file = False
     for _ in range(100):
         if not fs.exists(hpath):
             _time.sleep(0.05)
@@ -454,8 +505,27 @@ def _read_layout(spark: SparkSession, layout_path: str) -> dict:
         if content.strip():
             row = _json.loads(content)
             break
+        saw_empty_file = True
         _time.sleep(0.05)  # winner mid-write
     if row is None:
+        if saw_empty_file and fs.exists(hpath):
+            age_s = _time.time() - fs.getFileStatus(hpath).getModificationTime() / 1000.0
+            if age_s > dead_ttl_s:
+                fs.delete(hpath, False)  # dead creation — sweep it
+                exc = EmptyLayoutError(
+                    f"empty _layout sidecar at {layout_path} (creator died "
+                    f"mid-write, age {age_s:.0f}s > TTL {dead_ttl_s:.0f}s) — "
+                    "removed; the next merge_upsert_partitioned recreates it"
+                )
+                exc.swept = True
+                raise exc
+            exc = EmptyLayoutError(
+                f"empty _layout sidecar at {layout_path}: a creator may be "
+                f"mid-write (age {age_s:.0f}s <= TTL {dead_ttl_s:.0f}s); "
+                "retry, or remove the file to repair if it persists"
+            )
+            exc.swept = False
+            raise exc
         raise FileNotFoundError(f"no readable layout at {layout_path}")
     return {
         "n_buckets": int(row["n_buckets"]),

@@ -63,6 +63,7 @@ size-bucketed repartitioning on ``n_bytes``.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from struct import error as _StructError
 
 import numpy as np
 import pandas as pd
@@ -81,6 +82,14 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+# What a malformed/truncated payload may raise out of the pure-Python
+# parsers (ops/mp4, ops/video, the codec decoders): explicit ValueError
+# rejections, struct.unpack on a short buffer (struct.error), and raw
+# indexing past the end (IndexError). Every mapInPandas loop that turns
+# bad rows into *_status data must catch ALL three — a single malformed
+# payload must never kill the Spark task (round-12 ADVICE, medium).
+_PARSE_ERRORS = (ValueError, _StructError, IndexError)
 
 MEDIA_SCHEMA = StructType(
     [
@@ -841,7 +850,7 @@ def audio_stream_info(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                     out["bitrate_kbps"].append(kbps)
                     out["cbr"].append(cbr)
                     out["probe_status"].append("ok")
-                except ValueError:
+                except _PARSE_ERRORS:
                     for k in ("container", "sample_rate", "channels",
                               "duration_s", "bitrate_kbps", "cbr"):
                         out[k].append(None)
@@ -951,7 +960,7 @@ def video_stream_info(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                     for k, v in zip(cols[1:-1], vals):
                         out[k].append(v)
                     out["probe_status"].append("ok")
-                except ValueError:
+                except _PARSE_ERRORS:
                     for k in cols[1:-1]:
                         out[k].append(None)
                     out["probe_status"].append("probe_error")
@@ -1012,7 +1021,7 @@ def resize_raw_images(media: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     out["meta_width"].append(out_w)
                     out["meta_height"].append(out_h)
                     out["resize_status"].append("ok")
-                except ValueError:
+                except _PARSE_ERRORS:
                     out["payload"].append(None)
                     out["n_bytes"].append(None)
                     out["meta_width"].append(row["meta_width"])
@@ -1073,7 +1082,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                         )
                         feats.append([float(x) for x in f])
                         statuses.append("ok")
-                    except ValueError:
+                    except _PARSE_ERRORS:
                         feats.append(None)
                         statuses.append("decode_error")
                     continue
@@ -1093,7 +1102,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 64) -> DataFrame:
                 except NotImplementedError:
                     feats.append(None)
                     statuses.append("stub_not_implemented")
-                except ValueError:
+                except _PARSE_ERRORS:
                     # real codecs (PNG) reject malformed payloads — a
                     # corrupt row is data, not a job failure
                     feats.append(None)

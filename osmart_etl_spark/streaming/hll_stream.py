@@ -114,7 +114,7 @@ def run_hll_stream(
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         sealed = _list_versions(spark, state_base, sealed_only=True)
-        if sealed and sealed[-1] >= batch_id:
+        if sealed and sealed[-1] == batch_id:
             # A prior attempt at this same batch_id already sealed its
             # version (crash after write+GC, before checkpoint commit).
             # MAX-merge idempotence makes the sealed state correct as-is;
@@ -122,6 +122,22 @@ def run_hll_stream(
             # it in the same job ("Cannot overwrite a path that is also
             # being read from"). Skip — the checkpoint commit proceeds.
             return
+        if sealed and sealed[-1] > batch_id:
+            # NOT crash-replay: a checkpoint never replays a batch id
+            # older than its last commit, so state versions AHEAD of the
+            # incoming batch id can only mean a FRESH checkpoint (ids
+            # restarting at 0) pointed at a stale state directory from a
+            # prior run. Silently skipping here would drop every early
+            # batch's data while the checkpoint commits — fail loudly
+            # instead (round-12 ADVICE, low).
+            raise RuntimeError(
+                f"hll_stream state/checkpoint mismatch at {state_base}: "
+                f"sealed state version {sealed[-1]} is ahead of incoming "
+                f"batch id {batch_id}. The checkpoint at {ckpt} is newer "
+                "than the state directory it should pair with — point the "
+                "query at the original checkpoint, or clear BOTH the "
+                "checkpoint and the state directory to restart."
+            )
         prev_dir = f"{state_base}_v{sealed[-1]}" if sealed else None
         regs_b = batch_registers(batch_df)
         if prev_dir is not None:

@@ -117,6 +117,40 @@ def test_hll_replay_of_sealed_batch_short_circuits(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
+def test_hll_fresh_checkpoint_on_stale_state_raises_loudly(spark, tmp_path):
+    """Round-12 (ADVICE low): state versions AHEAD of the incoming batch
+    id cannot be crash-replay (a checkpoint never replays past its last
+    commit) — they mean a FRESH checkpoint was pointed at a PRIOR run's
+    state directory. The old `>=` guard silently dropped every early
+    batch; the fold must now raise a state/checkpoint-mismatch error
+    instead of committing data loss."""
+    import pytest
+
+    from osmart_etl_spark.io.sources import read_table
+    from osmart_etl_spark.streaming.hll_stream import batch_registers
+
+    ev = read_table(spark, SF_SMALL, "events").select("event_type", "user_id")
+    src = str(tmp_path / "ev_stream4")
+    ev.coalesce(1).write.parquet(src)  # one file -> one micro-batch (id 0)
+
+    wd = str(tmp_path / "wd4")
+    # stale state from a prior run: sealed _v7, but NO checkpoint in wd,
+    # so the new query's first batch id is 0 < 7
+    state_base = wd + "/hll_state"
+    batch_registers(ev).coalesce(1).write.parquet(state_base + "_v7")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(
+        (RuntimeError, StreamingQueryException), match="mismatch"
+    ):
+        run_hll_stream(spark, stream, wd)
+
+
 def test_hll_refold_same_batch_is_idempotent(spark):
     """Replaying a batch against state that already absorbed it is a
     no-op (MAX-merge idempotence) — the property that makes the

@@ -256,6 +256,128 @@ def test_merge_upsert_adopts_legacy_layout(spark, tmp_path):
     assert "_legacy-migration" not in names
 
 
+def test_merge_upsert_adopts_legacy_bucket_named_dir(spark, tmp_path):
+    """Round-12 (ADVICE high): a legacy dir literally named ``bucket=<b>``
+    (bucket_col='bucket') IS the commit target directory — the adoption
+    sweep must not recursively delete it after committing, or the just-
+    published version and commit log vanish silently."""
+    import os
+
+    from osmart_etl_spark.io.sinks import (
+        merge_upsert_partitioned,
+        read_merge_table,
+        upsert_keep_latest,
+    )
+
+    path = str(tmp_path / "legacy_bucket_tbl")
+    base = spark.createDataFrame(
+        [(i, i % 3, float(i), 1) for i in range(100)],
+        "k1 int, k2 int, v double, ver int",
+    )
+    # legacy layout whose partition dirs are literally bucket=<b>
+    bucketed = base.withColumn(
+        "bucket", F.pmod(F.hash(F.col("k1"), F.col("k2")), F.lit(16))
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    layout = {
+        "n_buckets": 16,
+        "keys": ["k1", "k2"],
+        "order_col": "ver",
+        "bucket_col": "bucket",
+    }
+    spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
+        path + "/_layout"
+    )
+
+    assert read_merge_table(spark, path, bucket_col="bucket").count() == 100
+
+    batch = spark.createDataFrame(
+        [(i, i % 3, 999.0, 2) for i in range(10)],
+        "k1 int, k2 int, v double, ver int",
+    )
+    merge_upsert_partitioned(
+        spark, batch, path, ["k1", "k2"], "ver", n_buckets=16, bucket_col="bucket"
+    )
+
+    expect = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in upsert_keep_latest(base, batch, ["k1", "k2"], "ver").collect()
+    }
+    got = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in read_merge_table(spark, path, bucket_col="bucket").collect()
+    }
+    assert got == expect  # every legacy row survived the in-place adoption
+    assert "_legacy-migration" not in os.listdir(path)
+    # plain legacy data files swept; every bucket dir is now versioned
+    for name in os.listdir(path):
+        if name.startswith("bucket="):
+            entries = os.listdir(os.path.join(path, name))
+            assert "_commits" in entries
+            assert all(e.startswith(("_", ".")) for e in entries)
+
+    # idempotent re-merge on the adopted table still works
+    merge_upsert_partitioned(
+        spark, batch, path, ["k1", "k2"], "ver", n_buckets=16, bucket_col="bucket"
+    )
+    got2 = {
+        (r["k1"], r["k2"]): (r["v"], r["ver"])
+        for r in read_merge_table(spark, path, bucket_col="bucket").collect()
+    }
+    assert got2 == expect
+
+
+def test_empty_layout_sidecar_self_heals(spark, tmp_path):
+    """Round-12 (ADVICE low): a creator crash between the _layout
+    sidecar's exclusive create and its content write used to wedge the
+    table forever (every reader/writer spun the retry then raised a
+    generic FileNotFoundError). Past the mtime TTL the empty file is
+    swept and a writer recreates it from its own layout; inside the TTL
+    the distinct EmptyLayoutError names the repair."""
+    import os
+    import time
+
+    import pytest
+
+    from osmart_etl_spark.io.sinks import (
+        EmptyLayoutError,
+        _read_layout,
+        merge_upsert_partitioned,
+        read_merge_table,
+    )
+
+    path = str(tmp_path / "wedged_tbl")
+    base = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(20)], "k1 int, v double, ver int"
+    )
+    merge_upsert_partitioned(spark, base, path, ["k1"], "ver", n_buckets=4)
+    sidecar = os.path.join(path, "_layout")
+
+    # (a) within the TTL: distinct error, file NOT deleted (live creator?)
+    good = open(sidecar).read()
+    open(sidecar, "w").close()  # truncate to empty
+    with pytest.raises(EmptyLayoutError, match="mid-write"):
+        _read_layout(spark, sidecar, dead_ttl_s=3600.0)
+    assert os.path.exists(sidecar)
+
+    # (b) past the TTL: reader sweeps the dead file and says so
+    old = time.time() - 7200
+    os.utime(sidecar, (old, old))
+    with pytest.raises(EmptyLayoutError, match="removed"):
+        read_merge_table(spark, path)
+    assert not os.path.exists(sidecar)
+
+    # (c) writer self-heal end-to-end: empty+stale sidecar, ONE merge
+    # call sweeps, recreates the layout, and applies the batch
+    open(sidecar, "w").close()
+    os.utime(sidecar, (old, old))
+    batch = spark.createDataFrame([(0, 999.0, 2)], "k1 int, v double, ver int")
+    merge_upsert_partitioned(spark, batch, path, ["k1"], "ver", n_buckets=4)
+    assert open(sidecar).read() == good  # layout re-pinned identically
+    out = {r["k1"]: r["v"] for r in read_merge_table(spark, path).collect()}
+    assert out[0] == 999.0 and len(out) == 20
+
+
 def test_merge_upsert_legacy_ambiguity_raises(spark, tmp_path):
     """A plain bucket dir coexisting with a committed version and NO
     migration sentinel is ambiguous — reader and writer must refuse."""

@@ -161,6 +161,52 @@ def test_video_stream_info_mixed_corpus(spark):
     assert got[4].probe_status == "not_video"
 
 
+def test_video_stream_info_truncated_mp4_is_data_not_task_failure(spark):
+    """Round-12 (ADVICE medium): payloads that pass the ftyp sniff but
+    are truncated/malformed mid-table raise struct.error or IndexError
+    out of the box-table parsers — the triage op must absorb ALL of
+    those into probe_status='probe_error', never kill the Spark task."""
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, video_stream_info
+
+    full = _fixture()
+
+    def corrupt_count(buf: bytes, fourcc: bytes, count_off: int) -> bytes:
+        """Overwrite a table's entry-count field with a huge value while
+        every box size stays self-consistent — the parser then unpacks a
+        table far past the buffer end (struct.error), the exact failure
+        the outer box-size guard cannot catch."""
+        at = buf.find(fourcc) + count_off
+        return buf[:at] + struct.pack(">I", 0x0FFFFFFF) + buf[at + 4 :]
+
+    candidates = [
+        corrupt_count(full, b"stsz", 12),  # stsz: ver/flags,uniform,COUNT
+        corrupt_count(full, b"stss", 8),   # stss: ver/flags,COUNT
+        corrupt_count(full, b"stco", 8),   # stco: ver/flags,COUNT
+        corrupt_count(full, b"stsc", 8),   # stsc: ver/flags,COUNT
+        full[:40],                          # plain truncation (ValueError)
+        full[: full.find(b"stco") + 9],     # cut mid-table (ValueError)
+    ]
+    # prove the corruption exercises the non-ValueError parser paths
+    from osmart_etl_spark.ops.multimodal import _probe_video_one
+
+    raised = set()
+    for c in candidates:
+        try:
+            _probe_video_one(c)
+        except Exception as exc:  # noqa: BLE001 — classifying, not handling
+            raised.add(type(exc).__name__)
+    assert "error" in raised  # struct.error reaches the triage loop
+    rows = [
+        (i, "video", c, len(c), None, None, None)
+        for i, c in enumerate(candidates)
+    ] + [(99, "video", full, len(full), None, None, None)]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in video_stream_info(media).collect()}
+    assert got[99].probe_status == "ok"  # the intact sibling still parses
+    for i in range(len(candidates)):
+        assert got[i].probe_status == "probe_error", i
+
+
 def test_mp4_frame_decode_stays_honest_stub():
     """decode_video_frames on MP4 must still raise (no fabricated
     frames) — the parse tier changes triage, not decode honesty."""
