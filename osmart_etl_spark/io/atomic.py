@@ -156,6 +156,7 @@ def commit_version(
     keep_versions: int = 2,
     partition_by: tuple[str, ...] = (),
     orphan_ttl_s: float = 3600.0,
+    sidecar: dict | None = None,
 ) -> int:
     """Write ``df`` as the table's next version and publish it atomically.
 
@@ -170,8 +171,18 @@ def commit_version(
     writer committed in between, ``ConcurrentCommitError`` is raised
     and the staged orphan is removed.
 
+    ``sidecar`` (round 12): optional JSON-serializable table stats —
+    e.g. per-key histogram summaries a downstream tick uses for skew
+    dispatch — written as ``_sidecar.json`` INSIDE the staged version
+    directory before publish, so stats and data are one atomic commit
+    (the same transactional trick as the accumulate sink's ledger).
+    Underscore-prefixed, invisible to parquet reads; read it back with
+    :func:`read_sidecar`.
+
     Returns the committed sequence number.
     """
+    import json as _json
+
     base = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
 
@@ -179,6 +190,13 @@ def commit_version(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/_v-{token}")
+    if sidecar is not None:
+        jvm, fs, _ = _fs(spark, base)
+        out = fs.create(
+            jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{token}/_sidecar.json"), True
+        )
+        out.write(bytearray(_json.dumps(sidecar, sort_keys=True).encode()))
+        out.close()
 
     return publish_staged(
         spark,
@@ -350,6 +368,28 @@ def _gc(
             fs.delete(jvm.org.apache.hadoop.fs.Path(full), False)
 
 
+def read_sidecar(spark: SparkSession, table: str) -> dict | None:
+    """Stats sidecar (``_sidecar.json``) of the table's CURRENT committed
+    version, or None when the version carries none. One file read at the
+    commit log's altitude — never a Spark job."""
+    import json as _json
+
+    base = table.rstrip("/")
+    cur = current_version(spark, base)
+    if cur is None:
+        return None
+    jvm, fs, _ = _fs(spark, base)
+    p = jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{cur[1]}/_sidecar.json")
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return _json.loads(content)
+
+
 def upsert_versioned(
     spark: SparkSession,
     new: DataFrame,
@@ -358,6 +398,7 @@ def upsert_versioned(
     order_col: str,
     *,
     keep_versions: int = 2,
+    sidecar: dict | None = None,
 ) -> int:
     """Keep-latest upsert (S7/S8 semantics, io/sinks.upsert_keep_latest)
     materialized through the commit log. Versus ``upsert_parquet``:
@@ -418,14 +459,16 @@ def upsert_versioned(
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(f"{base}/_commits"))
             fs.create(sentinel, True).close()
             seq = commit_version(
-                spark, merged, base, expected_seq=0, keep_versions=keep_versions
+                spark, merged, base, expected_seq=0,
+                keep_versions=keep_versions, sidecar=sidecar,
             )
             _sweep_legacy()
             fs.delete(sentinel, False)
             return seq
         merged = upsert_keep_latest(None, new, keys, order_col)
         return commit_version(
-            spark, merged, base, expected_seq=None, keep_versions=keep_versions
+            spark, merged, base, expected_seq=None,
+            keep_versions=keep_versions, sidecar=sidecar,
         )
 
     if legacy:
@@ -442,7 +485,8 @@ def upsert_versioned(
     old = read_committed(spark, base)
     merged = upsert_keep_latest(old, new, keys, order_col)
     return commit_version(
-        spark, merged, base, expected_seq=cur[0], keep_versions=keep_versions
+        spark, merged, base, expected_seq=cur[0],
+        keep_versions=keep_versions, sidecar=sidecar,
     )
 
 

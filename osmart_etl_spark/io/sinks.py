@@ -818,7 +818,7 @@ def merge_accumulate_versioned(
     keys: list[str],
     sum_cols: list[str],
     *,
-    batch_id: str,
+    batch_id: str | tuple[str, int],
     keep_versions: int = 8,
     max_retries: int = 10,
 ) -> bool:
@@ -848,12 +848,28 @@ def merge_accumulate_versioned(
       ledger) fully readable; replaying the batch is rejected by the
       committed ledger.
 
-    Cost note: the ledger (one tiny row per applied batch, forever) is
-    rewritten into every new version — O(total batches) per fold, the
-    price of transactional table+ledger on plain parquet. Read the
-    aggregate with ``io/atomic.read_committed``. ``keep_versions``
-    defaults HIGHER than the upsert sinks (8 vs 2): a version here is a
-    small per-key aggregate, and under W concurrent folders a loser's
+    Ledger size (round 12): ``batch_id`` accepts two forms, with two
+    growth laws —
+
+    - ``(writer_id, seq)`` tuple: the ledger keeps ONE high-water-mark
+      per writer (``hwm[writer_id] = max seq applied``); a batch with
+      ``seq <= hwm[writer_id]`` is a duplicate. The ledger is O(distinct
+      writers) FOREVER — the bounded form every long-lived pipeline
+      should use. Contract: each writer applies its seqs in increasing
+      order (the natural shape of a sequential producer — Structured
+      Streaming's foreachBatch epoch ids, a cron run's tick counter); an
+      out-of-order seq from the same writer is REJECTED as a duplicate,
+      which is exactly-once's answer to regressing epochs.
+    - opaque ``str``: membership list, one entry per batch forever —
+      kept for ad-hoc ids with no writer structure; at daily folds for
+      years, prefer the tuple form.
+
+    Both forms coexist in one ledger; a version's ``_ledger.json`` is
+    ``{"v": 2, "hwm": {writer: seq}, "ids": [...]}`` (a bare list from
+    a pre-round-12 version reads as all-opaque). Read the aggregate
+    with ``io/atomic.read_committed``. ``keep_versions`` defaults
+    HIGHER than the upsert sinks (8 vs 2): a version here is a small
+    per-key aggregate, and under W concurrent folders a loser's
     snapshot must survive up to W-1 winner commits or its attempts burn
     on GC'd-snapshot reads instead of clean CAS losses.
 
@@ -876,20 +892,38 @@ def merge_accumulate_versioned(
     partial, acc_types = _additive_partial(updates, keys, sum_cols)
     jvm, fs, _ = _fs(spark, base)
 
-    def _read_ledger(ver_dir: str) -> list[str]:
+    if isinstance(batch_id, tuple):
+        writer_id, seq = str(batch_id[0]), int(batch_id[1])
+    else:
+        writer_id, seq = None, None
+
+    def _read_ledger(ver_dir: str) -> dict:
         p = jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json")
         stream = fs.open(p)
         try:
             content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
         finally:
             stream.close()
-        return _json.loads(content)
+        obj = _json.loads(content)
+        if isinstance(obj, list):  # pre-round-12 version: bare opaque list
+            return {"hwm": {}, "ids": obj}
+        return {"hwm": obj.get("hwm", {}), "ids": obj.get("ids", [])}
 
-    def _write_ledger(ver_dir: str, ids: list[str]) -> None:
+    def _write_ledger(ver_dir: str, led: dict) -> None:
         # private staging dir — plain create, no exclusivity needed
         out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json"), True)
-        out.write(bytearray(_json.dumps(ids).encode()))
+        out.write(bytearray(_json.dumps({"v": 2, **led}, sort_keys=True).encode()))
         out.close()
+
+    def _is_dup(led: dict) -> bool:
+        if writer_id is not None:
+            return led["hwm"].get(writer_id, -1) >= seq
+        return batch_id in led["ids"]
+
+    def _applied(led: dict) -> dict:
+        if writer_id is not None:
+            return {"hwm": {**led["hwm"], writer_id: seq}, "ids": led["ids"]}
+        return {"hwm": led["hwm"], "ids": led["ids"] + [batch_id]}
 
     for attempt in range(max_retries):
         token = uuid.uuid4().hex[:12]
@@ -902,17 +936,17 @@ def merge_accumulate_versioned(
                 # (same round-9 rule as upsert_versioned)
                 _gc(spark, base, keep_versions, 3600.0)
                 merged = partial
-                new_ledger = [batch_id]
+                new_ledger = _applied({"hwm": {}, "ids": []})
                 expected = 0
             else:
                 ver_dir = f"{base}/_v-{cur[1]}"
                 ledger = _read_ledger(ver_dir)
-                if batch_id in ledger:
+                if _is_dup(ledger):
                     return False
                 merged = _additive_merge(
                     spark.read.parquet(ver_dir), partial, keys, sum_cols, acc_types
                 )
-                new_ledger = ledger + [batch_id]
+                new_ledger = _applied(ledger)
                 expected = cur[0]
             # staging reads the OLD version dir while writing the NEW one
             # — nothing pinned, a crash leaves the live table untouched.

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.atomic import read_committed, upsert_versioned
 from osmart_etl_spark.io.sinks import write_append
-from osmart_etl_spark.ops.windows import change_points, replay_running_balance
+from osmart_etl_spark.ops.windows import (
+    REPLAY_TASK_ROW_BUDGET,
+    change_points,
+    replay_running_balance,
+    replay_running_balance_auto,
+)
 from osmart_etl_spark.streaming.incremental import WatermarkStore, run_incremental
 
 LATE_BUFFER_SECONDS = 1  # T2 — update_raw_stock_movements.py:69
@@ -98,16 +103,36 @@ def run_raw_movements_incremental(
     )
 
 
+#: Chunk expression for the EP3 replay's skew-proof form: weekly ranges
+#: of the leading order column (non-decreasing in `fecha`, the contract
+#: replay_running_balance_chunked requires).
+_EP3_CHUNK_WEEKS = F.floor(F.unix_micros("fecha") / F.lit(7 * 86400 * 1_000_000))
+
+
 def compute_stock_points(
     movements: DataFrame,
     prior_points: DataFrame | None,
     spark: SparkSession,
+    *,
+    max_key_rows: int | None = None,
+    task_row_budget: int = REPLAY_TASK_ROW_BUDGET,
 ) -> DataFrame:
     """EP3 core: replay → daily net → scaffold → SOD → change points.
 
     ``prior_points`` (the sink's current state) seeds per-key initial
     balances — the T5 seed-vs-update asymmetry: None ⇒ init 0.
     Output: (art_id, point_date, sod_stock).
+
+    ``max_key_rows`` (round 12, VERDICT r11 #2): the largest single-SKU
+    movement count of THIS slice, when the caller already knows it —
+    ``run_stock_points_incremental`` folds the histogram into the
+    watermark aggregate it must run anyway, so the number arrives with
+    ZERO extra input passes. With it, the replay dispatches through
+    ``replay_running_balance_auto``: a hot SKU beyond
+    ``task_row_budget`` takes the bounded-partition chunked form
+    (weekly chunks) instead of one task sorting the whole key. None
+    keeps the flat form (seed/backfill callers and tests — the
+    pre-round-12 behavior, and both forms are locked bit-identical).
     """
     zero = F.lit(0).cast("decimal(18,2)")
     mv = movements
@@ -125,11 +150,20 @@ def compute_stock_points(
     else:
         init_col = None
 
-    eff = replay_running_balance(
-        mv, key="art_id", order=["fecha", "id"],
-        delta_col="delta_cantidad", is_absolute_col="is_absolute",
-        abs_value_col="abs_stock_after", init_col=init_col,
-    )
+    if max_key_rows is not None:
+        eff = replay_running_balance_auto(
+            mv, key="art_id", order=["fecha", "id"],
+            chunk=_EP3_CHUNK_WEEKS,
+            max_key_rows=max_key_rows, task_row_budget=task_row_budget,
+            delta_col="delta_cantidad", is_absolute_col="is_absolute",
+            abs_value_col="abs_stock_after", init_col=init_col,
+        )
+    else:
+        eff = replay_running_balance(
+            mv, key="art_id", order=["fecha", "id"],
+            delta_col="delta_cantidad", is_absolute_col="is_absolute",
+            abs_value_col="abs_stock_after", init_col=init_col,
+        )
     daily = eff.groupBy("art_id", F.to_date("fecha").alias("d")).agg(
         F.sum("effective_delta").alias("net")
     )
@@ -171,6 +205,7 @@ def run_stock_points_incremental(
     store_name: str = "tienda_01",
     complete_days_before: dt.date | None = None,
     jdbc: dict | None = None,
+    task_row_budget: int = REPLAY_TASK_ROW_BUDGET,
 ) -> str | None:
     """EP3: compute/refresh stock points from movements past the date
     watermark, upsert on (art_id, point_date).
@@ -196,6 +231,7 @@ def run_stock_points_incremental(
     # insidious because any later absolute reset masks it in final
     # balances.) Computed eagerly per run and carried via this cell.
     new_wm_holder: list = [None]
+    stats_holder: list = [None]
 
     def extract(spark_, last):
         mv = spark_.read.parquet(raw_log_path)
@@ -203,13 +239,41 @@ def run_stock_points_incremental(
             mv = mv.filter(F.to_date("fecha") > F.lit(last).cast("date"))
         if complete_days_before is not None:
             mv = mv.filter(F.to_date("fecha") < F.lit(complete_days_before))
-        row = mv.agg(F.max(F.to_date("fecha")).alias("m")).first()
+        # ONE pass computes both the watermark and the slice's key
+        # histogram summary (VERDICT r11 #2): group by key first (the
+        # shuffle carries one row per key per map partition), then fold
+        # to a scalar row. This replaces the old global max(fecha)
+        # aggregate — the skew number arrives with ZERO extra input
+        # passes, which is what SCALE.md's call-site policy demands of
+        # the incremental path.
+        row = (
+            mv.groupBy("art_id")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.max(F.to_date("fecha")).alias("__d"),
+            )
+            .agg(
+                F.max("__d").alias("m"),
+                F.max("__n").alias("max_key_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+            )
+            .first()
+        )
         new_wm_holder[0] = row["m"].isoformat() if row["m"] is not None else None
+        stats_holder[0] = {
+            "max_key_rows": int(row["max_key_rows"] or 0),
+            "n_keys": int(row["n_keys"] or 0),
+            "tick_wm": new_wm_holder[0],
+        }
         try:
             prior = read_committed(spark_, points_path)
         except FileNotFoundError:
             prior = None
-        pts = compute_stock_points(mv, prior, spark_)
+        pts = compute_stock_points(
+            mv, prior, spark_,
+            max_key_rows=stats_holder[0]["max_key_rows"],
+            task_row_budget=task_row_budget,
+        )
         return pts.withColumn("updated_at", F.current_timestamp())
 
     def load(batch: DataFrame) -> None:
@@ -218,9 +282,14 @@ def run_stock_points_incremental(
             batch = batch.localCheckpoint(eager=True)
         # Round 7: atomic versioned sink (see pipelines/sales.py) —
         # crash-safe publish, CAS against concurrent duplicate runs.
+        # Round 12: the tick's key-histogram summary rides in the commit
+        # sidecar — stats and state are one atomic publish, so any later
+        # consumer (monitoring, a backfill sizing its chunks) reads the
+        # skew profile without a data scan (io/atomic.read_sidecar).
         upsert_versioned(
             spark, batch, points_path,
             keys=["art_id", "point_date"], order_col="updated_at",
+            sidecar=stats_holder[0],
         )
         if jdbc:
             from osmart_etl_spark.io.jdbc_sink import jdbc_upsert

@@ -321,3 +321,28 @@ def test_dead_adoption_claim_unwedges_after_ttl(spark, tmp_path):
     assert current_version(spark, t)[0] == 1
     got = {r["k"]: r["v"] for r in read_committed(spark, t).collect()}
     assert got == {1: "a", 2: "b"}
+
+
+def test_sidecar_rides_the_commit(spark, tmp_path):
+    """Round-12: stats sidecars are transactional with the version — a
+    commit carrying one exposes it via read_sidecar, the next commit
+    without one returns None (stats never outlive the state they
+    describe), and keep-latest upserts thread it through."""
+    from osmart_etl_spark.io.atomic import read_sidecar
+
+    t = str(tmp_path / "side_tbl")
+    assert read_sidecar(spark, t) is None  # absent table
+    commit_version(
+        spark, _mk(spark, [(1, "a", 10)]), t, sidecar={"max_key_rows": 7}
+    )
+    assert read_sidecar(spark, t) == {"max_key_rows": 7}
+    # a commit WITHOUT a sidecar supersedes: stale stats must not leak
+    commit_version(spark, _mk(spark, [(2, "b", 11)]), t, expected_seq=1)
+    assert read_sidecar(spark, t) is None
+    upsert_versioned(
+        spark, _mk(spark, [(3, "c", 12)]), t, ["k"], "ts",
+        sidecar={"max_key_rows": 9, "n_keys": 3},
+    )
+    assert read_sidecar(spark, t) == {"max_key_rows": 9, "n_keys": 3}
+    # full-replace commit left {2}; the upsert merged {3} on top
+    assert {r["k"] for r in read_committed(spark, t).collect()} == {2, 3}

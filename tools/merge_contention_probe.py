@@ -146,10 +146,63 @@ def run_storm(spark, path: str, n_writers: int, n_rounds: int, regime: str) -> d
     }
 
 
-def run_accumulate_storm(spark, table: str, n_writers: int, n_rounds: int) -> dict:
+class _CasRetryCounter:
+    """Counts ConcurrentCommitError losses inside
+    merge_accumulate_versioned by wrapping io.atomic.publish_staged (the
+    sink re-imports it per call, so patching the atomic module is
+    enough). Probe-only instrumentation — the sink's public surface
+    stays untouched."""
+
+    def __enter__(self):
+        import osmart_etl_spark.io.atomic as atomic
+
+        self._atomic = atomic
+        self._orig = atomic.publish_staged
+        self.retries = 0
+        self._lock = threading.Lock()
+
+        def counted(*args, **kwargs):
+            try:
+                return self._orig(*args, **kwargs)
+            except atomic.ConcurrentCommitError:
+                with self._lock:
+                    self.retries += 1
+                raise
+
+        atomic.publish_staged = counted
+        return self
+
+    def __exit__(self, *exc):
+        self._atomic.publish_staged = self._orig
+        return False
+
+
+def _ledger_of(spark, table: str) -> dict:
+    """Committed ledger content + byte size of the current version."""
+    from osmart_etl_spark.io.atomic import current_version
+
+    cur = current_version(spark, table)
+    p = f"{table}/_v-{cur[1]}/_ledger.json"
+    with open(p) as fh:
+        obj = json.load(fh)
+    if isinstance(obj, list):
+        obj = {"hwm": {}, "ids": obj}
+    return {
+        "bytes": os.path.getsize(p),
+        "hwm_entries": len(obj.get("hwm", {})),
+        "opaque_entries": len(obj.get("ids", [])),
+    }
+
+
+def run_accumulate_storm(
+    spark, table: str, n_writers: int, n_rounds: int, *, structured: bool = True
+) -> dict:
     """W writers concurrently folding DISTINCT batches into one
     ``merge_accumulate_versioned`` table — the additive sink's lost-update
-    scenario. Serial expectation: every key sums to n_writers × n_rounds."""
+    scenario. Serial expectation: every key sums to n_writers × n_rounds.
+    With ``structured`` (default) batch ids are ``(writer, seq)`` tuples,
+    so the committed ledger must end at exactly n_writers hwm entries
+    regardless of n_rounds — the round-12 bounded-ledger guarantee."""
     import threading
 
     from osmart_etl_spark.io.atomic import read_committed
@@ -163,10 +216,11 @@ def run_accumulate_storm(spark, table: str, n_writers: int, n_rounds: int) -> di
             batch = spark.range(N_KEYS).select(
                 F.col("id").alias("k"), F.lit(1).cast("bigint").alias("n")
             )
+            bid = (f"w{w}", rnd) if structured else f"w{w}-r{rnd}"
             try:
                 ok = merge_accumulate_versioned(
                     spark, batch, table, keys=["k"], sum_cols=["n"],
-                    batch_id=f"w{w}-r{rnd}", max_retries=12,
+                    batch_id=bid, max_retries=8 + 2 * n_writers,
                 )
                 with lock:
                     stats["applied"] += int(ok)
@@ -176,24 +230,70 @@ def run_accumulate_storm(spark, table: str, n_writers: int, n_rounds: int) -> di
                 return
 
     t0 = time.monotonic()
-    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
+    with _CasRetryCounter() as cas:
+        threads = [
+            threading.Thread(target=writer, args=(w,)) for w in range(n_writers)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
     wall = time.monotonic() - t0
     got = read_committed(spark, table)
     want = n_writers * n_rounds
+    total = n_writers * n_rounds
     return {
         "regime": "accumulate",
+        "structured_ids": structured,
         "n_writers": n_writers,
         "n_rounds": n_rounds,
         "wall_s": round(wall, 2),
         "applied": stats["applied"],
+        "cas_retries": cas.retries,
+        "retries_per_merge": round(cas.retries / max(total, 1), 2),
         "rows_final": got.count(),
         "rows_expected": N_KEYS,
         "wrong_sum_rows": got.filter(F.col("n") != want).count(),
+        "ledger": _ledger_of(spark, table),
         "errors": stats["errors"],
+    }
+
+
+def run_ledger_growth(spark, table: str, n_folds: int = 120) -> dict:
+    """Round-12 judge #1 'done' gate: one writer folding ``n_folds``
+    structured batches — the ledger's byte size must be pinned constant
+    (± seq-digit bytes), where the pre-round-12 list format grew one
+    entry per fold forever. Also re-checks redelivery rejection AFTER
+    the ledger collapsed to a high-water-mark."""
+    from osmart_etl_spark.io.atomic import read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+
+    batch = spark.range(N_KEYS).select(
+        F.col("id").alias("k"), F.lit(1).cast("bigint").alias("n")
+    )
+    sizes = {}
+    t0 = time.monotonic()
+    for s in range(n_folds):
+        assert merge_accumulate_versioned(
+            spark, batch, table, keys=["k"], sum_cols=["n"],
+            batch_id=("daily-etl", s),
+        )
+        if s in (0, 9, n_folds // 2 - 1, n_folds - 1):
+            sizes[s + 1] = _ledger_of(spark, table)["bytes"]
+    wall = time.monotonic() - t0
+    redelivered = merge_accumulate_versioned(  # must be a no-op
+        spark, batch, table, keys=["k"], sum_cols=["n"],
+        batch_id=("daily-etl", 0),
+    )
+    got = read_committed(spark, table)
+    return {
+        "regime": "ledger_growth",
+        "n_folds": n_folds,
+        "wall_s": round(wall, 2),
+        "ledger_bytes_at_fold": sizes,
+        "bounded": max(sizes.values()) - min(sizes.values()) <= 3,
+        "old_seq_redelivery_applied": redelivered,  # must be False
+        "wrong_sum_rows": got.filter(F.col("n") != n_folds).count(),
     }
 
 
@@ -210,8 +310,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    only = os.environ.get("PROBE_ONLY", "").split(",") if os.environ.get("PROBE_ONLY") else None
     results = {}
     for regime in ("disjoint", "overlap"):
+        if only and regime not in only:
+            continue
         tmp = tempfile.mkdtemp(prefix=f"merge_storm_{regime}_")
         try:
             results[regime] = run_storm(
@@ -219,13 +322,23 @@ def main() -> None:
             )
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
-    tmp = tempfile.mkdtemp(prefix="merge_storm_accumulate_")
-    try:
-        results["accumulate"] = run_accumulate_storm(
-            spark, f"{tmp}/tbl", n_writers, n_rounds
-        )
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    if only is None or "accumulate" in only:
+        tmp = tempfile.mkdtemp(prefix="merge_storm_accumulate_")
+        try:
+            results["accumulate"] = run_accumulate_storm(
+                spark, f"{tmp}/tbl", n_writers, n_rounds
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+    if only is None or "ledger_growth" in only:
+        tmp = tempfile.mkdtemp(prefix="merge_ledger_growth_")
+        try:
+            results["ledger_growth"] = run_ledger_growth(
+                spark, f"{tmp}/tbl",
+                n_folds=int(os.environ.get("PROBE_FOLDS", "120")),
+            )
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     line = json.dumps(results)
     print(line)
     if out_path:
