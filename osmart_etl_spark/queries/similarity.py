@@ -469,14 +469,31 @@ def ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe raises recall monotonically (tested), and a trained
     quantizer (ivf_build_assign / kmeans_lloyd) is the structural fix.
     """
+    return ann_recall_audit_at(spark, sf_dir)
+
+
+def ann_recall_audit_at(
+    spark: SparkSession, sf_dir: str, *, probe_block: int = 0
+) -> DataFrame:
+    """The ANN recall audit over an arbitrary probe block — the rotation
+    surface behind the registry-pinned ``ann_recall_audit`` (exactly
+    ``probe_block=0``): block ``b`` audits probe queries ``vec_id`` in
+    ``[b*NQ, (b+1)*NQ)`` against the rest of the corpus, so successive
+    snapshots rotate which vectors play the probe role (the same
+    residue-rotation doctrine as ``lsh_recall_audit_at``).
+    tests/test_similarity_recall.py sweeps blocks 1–3 and pins the
+    recall band."""
     from osmart_etl_spark.ops.similarity import ivf_probe_topk
 
+    lo, hi = probe_block * _RA_NQ, (probe_block + 1) * _RA_NQ
     emb = read_table(spark, sf_dir, "embeddings")
-    probes = emb.filter(F.col("vec_id") < _RA_NQ).select(
+    probes = emb.filter(
+        (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+    ).select(
         F.col("vec_id").alias("q_id"),
         as_double_array(F.col("embedding")).alias("q_vec"),
     )
-    corpus = emb.filter(F.col("vec_id") >= _RA_NQ)
+    corpus = emb.filter((F.col("vec_id") < lo) | (F.col("vec_id") >= hi))
 
     v = as_double_array(F.col("embedding"))
     scored = corpus.crossJoin(F.broadcast(probes)).select(

