@@ -42,9 +42,16 @@ Two tiers of codec honesty:
 - Video decodes FOR REAL for Y4M (YUV4MPEG2 raw planar YUV, BT.601
   conversion) and AVI/MJPEG (per-frame T.81 JPEG incl. the omitted-DHT
   quirk) via ``ops/video.py`` (round 7).
+- Video CONTAINERS parse structurally without sample decode: MP4/
+  ISO-BMFF via ``ops/mp4.py`` (round 11 — box tables, H.264 SPS,
+  keyframe byte offsets) and, since round 12, Matroska/WebM via
+  ``ops/mkv.py`` (RFC 8794/9559 EBML walk: tracks, codec ids, dims,
+  duration, SimpleBlock keyframe offsets), IVF via ``probe_ivf``, and
+  the VP9 uncompressed frame header via ``ops/vp9.py`` (keyframe
+  detection + coded dims from the codec's own bytes).
 - Remaining COMPRESSED formats (mp3/ogg audio, inter-frame video like
-  H.264/VP9) need libsndfile/ffmpeg, absent from this container —
-  those paths are stubbed behind
+  H.264/VP9 sample decode) need libsndfile/ffmpeg, absent from this
+  container — those paths are stubbed behind
   ``DECODERS``: each stub either raises
   NotImplementedError (-> decode_status ``stub_not_implemented``) or
   raises ``FakeDecodeFeature`` with a deterministic fake feature
@@ -748,6 +755,12 @@ def decode_video_frames(payload: bytes) -> list:
             "MP4 parses structurally (ops/mp4.probe_mp4: codec, tables, "
             "keyframe offsets) but H.264 sample decode needs ffmpeg"
         )
+    if payload[:4] == b"\x1aE\xdf\xa3" or payload[:4] == b"DKIF":
+        raise NotImplementedError(
+            "Matroska/WebM and IVF parse structurally (ops/mkv.probe_mkv /"
+            " probe_ivf: tracks, keyframe offsets; ops/vp9 header parse) "
+            "but VP9/AV1 sample decode needs libvpx/ffmpeg"
+        )
     raise NotImplementedError(
         "inter-frame video codecs need ffmpeg (not in container); "
         "Y4M and AVI/MJPEG decode for real via ops/video.py"
@@ -876,6 +889,15 @@ VIDEO_INFO_SCHEMA = StructType(
 )
 
 
+#: RFC 9559 codec-id → triage codec name (parse tier only — none of
+#: these decode samples here).
+_MKV_CODEC_NAMES = {
+    "V_VP9": "vp9", "V_VP8": "vp8", "V_AV1": "av1",
+    "V_MPEG4/ISO/AVC": "h264", "V_MPEGH/ISO/HEVC": "hevc",
+}
+_IVF_CODEC_NAMES = {"VP90": "vp9", "VP80": "vp8", "AV01": "av1"}
+
+
 def _probe_video_one(payload: bytes) -> tuple:
     """(container, codec, w, h, duration_s, n_frames, n_keyframes,
     first_keyframe_offset) for one video payload. Y4M/AVI probe via the
@@ -910,6 +932,41 @@ def _probe_video_one(payload: bytes) -> tuple:
             vid.get("duration_s"), vid.get("n_samples"),
             len(vid.get("keyframe_samples") or []),
             offs[0] if offs else None,
+        )
+    if payload[:4] == b"\x1aE\xdf\xa3":
+        from osmart_etl_spark.ops.mkv import probe_mkv
+
+        info = probe_mkv(payload)
+        vid = next(
+            (t for t in info["tracks"] if t["track_type"] == "video"), None
+        )
+        if vid is None:
+            raise ValueError("EBML container with no video track")
+        codec = _MKV_CODEC_NAMES.get(vid["codec_id"], vid["codec_id"])
+        offs = info["keyframe_offsets"]
+        return (
+            "webm" if info["doctype"] == "webm" else "mkv",
+            codec, vid["width"], vid["height"], info["duration_s"],
+            info["n_blocks"], len(offs), offs[0] if offs else None,
+        )
+    if payload[:4] == b"DKIF":
+        from osmart_etl_spark.ops.mkv import probe_ivf
+        from osmart_etl_spark.ops.vp9 import parse_vp9_frame_header
+
+        info = probe_ivf(payload)
+        codec = _IVF_CODEC_NAMES.get(info["codec"], info["codec"])
+        key_offs = []
+        if codec == "vp9":
+            # the codec's own headers say which frames are keyframes —
+            # bounded per-frame work (a few header bytes each), no decode
+            for off in info["frame_offsets"]:
+                h = parse_vp9_frame_header(payload[off : off + 16])
+                if h["frame_type"] == "key":
+                    key_offs.append(off)
+        return (
+            "ivf", codec, info["width"], info["height"], info["duration_s"],
+            info["n_frames"], len(key_offs) if codec == "vp9" else None,
+            key_offs[0] if key_offs else None,
         )
     if payload[:3] == b"\x00\x00\x01" or payload[:4] == b"\x00\x00\x00\x01":
         from osmart_etl_spark.ops.mp4 import (

@@ -1,0 +1,186 @@
+"""Matroska/EBML + VP9 parse tier (ops/mkv.py, ops/vp9.py) —
+fixture-oracle checks in the ops/mp4.py discipline: every field the
+prober reports is asserted against values PLANTED by the fixture
+encoder, plus the Spark-side video_stream_info triage and the
+decode-honesty stub."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from osmart_etl_spark.ops.mkv import (
+    encode_ivf,
+    encode_mkv,
+    probe_ivf,
+    probe_mkv,
+    read_vint,
+)
+from osmart_etl_spark.ops.vp9 import (
+    encode_vp9_frame_header,
+    parse_vp9_frame_header,
+)
+
+SIZES = [120, 80, 95, 60, 200, 44, 77, 130]
+KEYFRAMES = [1, 5, 8]
+
+
+def _fixture(**kw) -> bytes:
+    return encode_mkv(SIZES, KEYFRAMES, width=64, height=48, **kw)
+
+
+def test_vint_roundtrip_widths():
+    """RFC 8794 vints at 1-4 byte widths, marker kept and stripped."""
+    # 1-byte id 0xA3 (SimpleBlock)
+    assert read_vint(b"\xa3", 0, keep_marker=True) == (0xA3, 1)
+    assert read_vint(b"\xa3", 0, keep_marker=False) == (0x23, 1)
+    # 2-byte size: 0x4489 strips to 0x489
+    assert read_vint(b"\x44\x89", 0, keep_marker=False) == (0x489, 2)
+    # 4-byte id (Segment)
+    assert read_vint(b"\x18\x53\x80\x67", 0, keep_marker=True) == (0x18538067, 4)
+    with pytest.raises(ValueError):
+        read_vint(b"\x00\x01", 0, keep_marker=True)
+    with pytest.raises(ValueError):
+        read_vint(b"\x40", 0, keep_marker=False)  # truncated 2-byte vint
+
+
+def test_probe_mkv_reports_planted_metadata():
+    info = probe_mkv(_fixture())
+    assert info["doctype"] == "matroska"
+    assert info["timestamp_scale_ns"] == 1_000_000
+    assert info["duration_s"] == pytest.approx(0.32)  # 320 ticks x 1ms
+    assert len(info["tracks"]) == 1
+    t = info["tracks"][0]
+    assert (t["track_number"], t["track_type"]) == (1, "video")
+    assert t["codec_id"] == "V_VP9"
+    assert (t["width"], t["height"]) == (64, 48)
+    assert info["n_blocks"] == len(SIZES)
+    assert info["keyframe_blocks"] == KEYFRAMES
+    # 8 frames at 3/cluster -> 3 clusters
+    assert len(info["cluster_offsets"]) == 3
+
+
+def test_probe_mkv_keyframe_offsets_point_at_frame_bytes():
+    """Keyframe offsets must land on the planted deterministic fill
+    ((i*7 + j) % 256 for sample i) — same oracle as the MP4 twin."""
+    buf = _fixture()
+    info = probe_mkv(buf)
+    offs = info["keyframe_offsets"]
+    assert len(offs) == len(KEYFRAMES)
+    for k, off in zip(KEYFRAMES, offs):
+        i = k - 1
+        assert buf[off] == (i * 7) % 256
+        assert buf[off + 1] == (i * 7 + 1) % 256
+
+
+def test_probe_mkv_webm_doctype_and_rejects_garbage():
+    info = probe_mkv(_fixture(doctype="webm"))
+    assert info["doctype"] == "webm"
+    with pytest.raises(ValueError):
+        probe_mkv(b"\x00" * 64)
+    with pytest.raises(ValueError):
+        probe_mkv(b"RIFF....AVI ....")
+
+
+def test_probe_mkv_malformed_tables_raise_parse_errors():
+    """Truncations/corruptions must raise within the _PARSE_ERRORS
+    family (ValueError/struct.error/IndexError), never hang or return
+    garbage silently."""
+    buf = _fixture()
+    for cut in (buf[:6], buf[:-25], buf[: len(buf) // 2]):
+        with pytest.raises((ValueError, struct.error, IndexError)):
+            probe_mkv(cut)
+    # the first 40 bytes are EXACTLY the EBML header: a degenerate but
+    # well-formed stream — it parses with no tracks, and the triage
+    # layer rejects it as 'no video track' (probe_error data)
+    assert probe_mkv(buf[:40])["tracks"] == []
+    from osmart_etl_spark.ops.multimodal import _probe_video_one
+
+    with pytest.raises(ValueError, match="no video track"):
+        _probe_video_one(buf[:40])
+
+
+def test_vp9_header_roundtrip_profiles():
+    for profile in (0, 1, 2, 3):
+        h = parse_vp9_frame_header(
+            encode_vp9_frame_header(640, 360, profile=profile)
+        )
+        assert h["frame_type"] == "key"
+        assert (h["width"], h["height"]) == (640, 360)
+        assert h["profile"] == profile
+        assert h["bit_depth"] == (8 if profile < 2 else 10)
+    inter = parse_vp9_frame_header(encode_vp9_frame_header(0, 0, key=False))
+    assert inter["frame_type"] == "inter" and inter["width"] is None
+    with pytest.raises(ValueError):
+        parse_vp9_frame_header(b"\xff\xff\xff\xff")  # bad frame marker
+    with pytest.raises(ValueError):
+        parse_vp9_frame_header(encode_vp9_frame_header(64, 48)[:4])  # cut
+
+
+def test_probe_ivf_planted_and_vp9_keyframe_walk():
+    frames = [
+        encode_vp9_frame_header(64, 48, key=(i % 3 == 0), pad_to=40 + i)
+        for i in range(7)
+    ]
+    buf = encode_ivf(frames, fourcc="VP90", width=64, height=48, rate=30)
+    info = probe_ivf(buf)
+    assert info["codec"] == "VP90"
+    assert (info["width"], info["height"]) == (64, 48)
+    assert info["n_frames"] == 7 and info["n_frames_declared"] == 7
+    assert info["duration_s"] == pytest.approx(7 / 30)
+    keys = [
+        i for i, off in enumerate(info["frame_offsets"])
+        if parse_vp9_frame_header(buf[off : off + 16])["frame_type"] == "key"
+    ]
+    assert keys == [0, 3, 6]
+    with pytest.raises(ValueError):
+        probe_ivf(b"NOPE" + buf[4:])
+    with pytest.raises(ValueError):
+        probe_ivf(buf[:-10])  # frame overruns buffer
+
+
+def test_video_stream_info_mkv_ivf_triage(spark):
+    """The Spark triage op classifies MKV/WebM/IVF rows with parse-tier
+    metadata while Y4M still decodes for real and garbage stays data."""
+    from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, video_stream_info
+
+    mkv = _fixture()
+    webm = _fixture(doctype="webm", codec_id="V_VP8")
+    ivf = encode_ivf(
+        [encode_vp9_frame_header(64, 48, key=(i == 0), pad_to=50) for i in range(5)],
+        fourcc="VP90", width=64, height=48,
+    )
+    truncated = mkv[:30]
+    rows = [
+        (0, "video", mkv, len(mkv), None, None, None),
+        (1, "video", webm, len(webm), None, None, None),
+        (2, "video", ivf, len(ivf), None, None, None),
+        (3, "video", truncated, len(truncated), None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: r for r in video_stream_info(media).collect()}
+
+    r0 = got[0]
+    assert (r0.container, r0.codec) == ("mkv", "vp9")
+    assert (r0.width, r0.height) == (64, 48)
+    assert r0.n_frames == len(SIZES) and r0.n_keyframes == len(KEYFRAMES)
+    assert r0.duration_s == pytest.approx(0.32)
+    assert r0.first_keyframe_offset == probe_mkv(mkv)["keyframe_offsets"][0]
+    assert (got[1].container, got[1].codec) == ("webm", "vp8")
+    r2 = got[2]
+    assert (r2.container, r2.codec) == ("ivf", "vp9")
+    assert r2.n_frames == 5 and r2.n_keyframes == 1
+    assert r2.first_keyframe_offset == probe_ivf(ivf)["frame_offsets"][0]
+    assert got[3].probe_status == "probe_error"
+
+
+def test_mkv_frame_decode_stays_honest_stub():
+    from osmart_etl_spark.ops.multimodal import decode_video_frames
+
+    with pytest.raises(NotImplementedError, match="parse structurally"):
+        decode_video_frames(_fixture())
+    with pytest.raises(NotImplementedError, match="parse structurally"):
+        decode_video_frames(
+            encode_ivf([encode_vp9_frame_header(8, 8)], fourcc="VP90")
+        )

@@ -7,10 +7,21 @@ driver hashes values, so bit-identical is the bar; we report max float
 deviation on mismatch to make drift debuggable).
 
 Usage: python tools/check_parity.py [sf_dir] [query ...] [--json out.json]
+                                    [--rotate ROUND[/SLICES]]
 
 With ``--json`` a per-query machine-readable record is also written
 (the committed PARITY_r<N>.json artifact — makes the full-registry
 green claim auditable beyond the driver's 50-query sample).
+
+``--rotate ROUND[/SLICES]`` (round 12, VERDICT r11 #3): run the
+deterministic residue-class slice for that round — queries whose index
+in the SORTED registry satisfies ``idx % SLICES == ROUND % SLICES``
+(SLICES defaults to 5, ≈50 queries per slice). Successive rounds
+rotate through disjoint slices, so a third-party verifier re-running a
+few rounds' slices covers the whole registry without trusting any
+single full sweep; the JSON record carries ``mode: rotate`` plus the
+slice parameters so rotated-slice evidence is distinguishable from a
+full sweep (``mode: full``) at a glance.
 """
 
 from __future__ import annotations
@@ -110,6 +121,13 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    rotate = None  # (round, n_slices)
+    if "--rotate" in argv:
+        i = argv.index("--rotate")
+        spec = argv[i + 1]
+        del argv[i : i + 2]
+        rnd, _, slices = spec.partition("/")
+        rotate = (int(rnd), int(slices) if slices else 5)
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
 
@@ -119,6 +137,19 @@ def main() -> int:
     spark = get_spark("parity-check")
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if rotate is not None:
+        rnd, n_slices = rotate
+        ordered = sorted(qs)  # name-sorted: stable across sessions/rounds
+        slice_names = {
+            n for i, n in enumerate(ordered) if i % n_slices == rnd % n_slices
+        }
+        if only:
+            slice_names &= only
+        only = slice_names
+        print(
+            f"rotate: round {rnd} slice {rnd % n_slices}/{n_slices} -> "
+            f"{len(only)} of {len(ordered)} queries"
+        )
 
     n_pass = n_fail = n_noracle = 0
     record: dict[str, dict] = {}
@@ -171,6 +202,22 @@ def main() -> int:
             json.dump(
                 {
                     "sf_dir": sf_dir,
+                    "mode": (
+                        "rotate"
+                        if rotate is not None
+                        else ("subset" if only else "full")
+                    ),
+                    **(
+                        {
+                            "rotate": {
+                                "round": rotate[0],
+                                "slice": rotate[0] % rotate[1],
+                                "n_slices": rotate[1],
+                            }
+                        }
+                        if rotate is not None
+                        else {}
+                    ),
                     "n_pass": n_pass,
                     "n_fail": n_fail,
                     "n_rows_only": n_noracle,
