@@ -216,3 +216,93 @@ def accumulate_versioned_batch_fold(spark: SparkSession, sf_dir: str) -> DataFra
         return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "accumulate_hwm_ledger_fold",
+    oracle="""
+    SELECT user_id,
+      CAST(COALESCE(SUM(CAST(value AS DECIMAL(18,2))),
+                    CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("S7", "T6", "atomic-commit", "ivm", "bounded-ledger"),
+)
+def accumulate_hwm_ledger_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-12 twin of ``accumulate_versioned_batch_fold`` over the
+    BOUNDED ledger form (VERDICT r11 #1): the same three time-sliced
+    folds carry structured ``("etl", seq)`` batch ids, so the committed
+    applied-batch ledger is ONE high-water-mark entry regardless of how
+    many folds ever ran — the fix for the engine's last O(forever)
+    growth term, here under the driver's value-hash gate. Inside the
+    query the exactly-once contract is re-proven on the hwm path: an
+    old seq REDELIVERED after later folds is rejected by the committed
+    hwm (monotonic-epoch semantics — Structured Streaming's foreachBatch
+    shape, streaming/accumulate_stream.py), and the final ledger is
+    asserted to hold exactly one entry before the read-back. The oracle
+    derives the same per-user totals relationally; a double-counted
+    redelivery, a dropped fold, or an hwm that failed to reject all
+    diverge under the hash.
+
+    Scale: identical fold shape to the opaque-id twin (one events pass
+    pre-aggregates all batch partials; each fold shuffles one row per
+    key per map partition); the ledger cost drops from O(total batches)
+    per fold to O(writers) — constant here.
+    """
+    import json
+
+    from osmart_etl_spark.io.atomic import current_version, read_committed
+    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+    from osmart_etl_spark.ops.partitioning import scaled_partitions
+
+    ev = read_table(spark, sf_dir, "events")
+    b2, b3 = F.lit(_B2).cast("timestamp"), F.lit(_B3).cast("timestamp")
+    pre = (
+        ev.withColumn(
+            "__seq",
+            F.when(F.col("ts") < b2, F.lit(0))
+            .when(F.col("ts") < b3, F.lit(1))
+            .otherwise(F.lit(2)),
+        )
+        .repartition(scaled_partitions(ev), "user_id")
+        .groupBy("__seq", "user_id")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .localCheckpoint(eager=True)  # one scan feeds all three folds
+    )
+    batches = {
+        seq: pre.filter(F.col("__seq") == seq).drop("__seq") for seq in (0, 1, 2)
+    }
+    tmp = tempfile.mkdtemp(prefix="osmart_accumulate_hwm_")
+    try:
+        table = f"{tmp}/user_totals"
+        for seq, batch in batches.items():
+            applied = merge_accumulate_versioned(
+                spark, batch, table,
+                keys=["user_id"], sum_cols=["total_value", "n_events"],
+                batch_id=("etl", seq),
+            )
+            assert applied, f"first delivery of seq {seq} must apply"
+        # redelivery of an OLD seq after later folds: hwm no-op
+        assert not merge_accumulate_versioned(
+            spark, batches[1], table,
+            keys=["user_id"], sum_cols=["total_value", "n_events"],
+            batch_id=("etl", 1),
+        ), "seq <= hwm must be rejected by the committed ledger"
+        # boundedness is part of the contract under test: one hwm entry,
+        # zero opaque entries, after all folds
+        cur = current_version(spark, table)
+        with open(f"{table}/_v-{cur[1]}/_ledger.json") as fh:
+            led = json.load(fh)
+        assert led["hwm"] == {"etl": 2} and led["ids"] == [], led
+        out = read_committed(spark, table).select(
+            "user_id",
+            dbl(F.col("total_value")).alias("total_value"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
