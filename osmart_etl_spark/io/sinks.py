@@ -186,16 +186,38 @@ def merge_upsert_partitioned(
         # (not set) must match exactly.
         try:
             stored = _read_layout(spark, layout_path)
-        except EmptyLayoutError as exc:
-            # creator died between the sidecar's exclusive create and
-            # its content write. Past the TTL _read_layout already swept
-            # the dead file — recreate it with THIS batch's layout (the
-            # table's bucket dirs were hashed by whoever keeps calling
-            # with this layout; a mismatch surfaces on the next batch
-            # exactly like first-write contention). Inside the TTL the
-            # creator may be alive mid-write — propagate, don't steal.
-            if not getattr(exc, "swept", False):
+        except (EmptyLayoutError, FileNotFoundError) as exc:
+            # EmptyLayoutError(swept): creator died between the
+            # sidecar's exclusive create and its content write, and
+            # _read_layout just TTL-swept the dead file. Recreate it
+            # with THIS batch's layout (the table's bucket dirs were
+            # hashed by whoever keeps calling with this layout; a
+            # mismatch surfaces on the next batch exactly like
+            # first-write contention). FileNotFoundError: the sidecar
+            # is GONE on an existing table — a READER already swept the
+            # dead file (or an operator removed it per the repair
+            # message); same heal. Inside the TTL the creator may be
+            # alive mid-write — propagate, don't steal.
+            if isinstance(exc, EmptyLayoutError) and not getattr(exc, "swept", False):
                 raise
+            if isinstance(exc, FileNotFoundError):
+                # heal ONLY a table that is recognizably this sink's
+                # layout (bucket dirs, nothing else): a plain parquet
+                # dir missing _layout is a FOREIGN table — recreating a
+                # sidecar there would silently shadow the user's files
+                # (read_merge_table reads bucket dirs only). Keep the
+                # loud failure for that case.
+                from osmart_etl_spark.io.atomic import _listdir
+
+                entries = _listdir(spark, base)
+                bucket_pfx = (f"{bucket_col}=", "bucket=")
+                bucketish = [e for e in entries if e.startswith(bucket_pfx)]
+                foreign = [
+                    e for e in entries
+                    if not e.startswith(("_", ".")) and not e.startswith(bucket_pfx)
+                ]
+                if foreign or not bucketish:
+                    raise
             if not _write_layout_exclusive(spark, layout_path, layout):
                 stored = _read_layout(spark, layout_path)  # racer healed it
                 if stored != layout:
@@ -388,15 +410,35 @@ def _adopt_legacy_buckets(
             # it), so a recursive delete of `d` would wipe the commit we
             # made durable one line up. Sweep only the plain legacy data
             # files; underscore/dot entries (the versioned layout) stay.
-            from osmart_etl_spark.io.atomic import _listdir
-
-            for name in _listdir(spark, d):
-                if not name.startswith(("_", ".")):
-                    fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
+            _sweep_plain_entries(spark, d)
         else:
             fs.delete(jvm.org.apache.hadoop.fs.Path(d), True)
+    # Crash-resume closure for the d == bdir shape: once commit_version
+    # ran, the dir has a _commits log, so _legacy_bucket_dirs never
+    # returns it again and its plain files would linger forever. While
+    # the sentinel attests a migration, sweep plain entries from EVERY
+    # committed bucket dir (same trust rule as upsert_versioned's
+    # sentinel-attested _sweep_legacy).
+    from osmart_etl_spark.io.atomic import _listdir
+
+    for name in _listdir(spark, base):
+        if name.startswith(f"{bucket_col}=") or name.startswith("bucket="):
+            bdir = f"{base}/{name}"
+            if "_commits" in _listdir(spark, bdir):
+                _sweep_plain_entries(spark, bdir)
     fs.delete(sentinel, False)
     return sorted(legacy)
+
+
+def _sweep_plain_entries(spark: SparkSession, d: str) -> None:
+    """Delete the non-underscore/non-dot entries of one directory,
+    leaving the versioned layout (_v-*, _commits, markers) intact."""
+    from osmart_etl_spark.io.atomic import _fs, _listdir
+
+    jvm, fs, _ = _fs(spark, d)
+    for name in _listdir(spark, d):
+        if not name.startswith(("_", ".")):
+            fs.delete(jvm.org.apache.hadoop.fs.Path(f"{d}/{name}"), True)
 
 
 def _bucket_snapshot(

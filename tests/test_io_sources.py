@@ -327,6 +327,68 @@ def test_merge_upsert_adopts_legacy_bucket_named_dir(spark, tmp_path):
     assert got2 == expect
 
 
+def test_legacy_bucket_named_midcrash_plain_files_swept(spark, tmp_path):
+    """Round-12 closure: crash AFTER committing an in-place adoption
+    (d == bdir gains _commits) but BEFORE the sweep — the dir stops
+    looking 'legacy', so the plain files used to linger forever. The
+    resumed migration must sweep them under the sentinel."""
+    import os
+
+    from osmart_etl_spark.io.atomic import commit_version
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned, read_merge_table
+
+    path = str(tmp_path / "crash_bucket_tbl")
+    base = spark.createDataFrame(
+        [(i, float(i), 1) for i in range(60)], "k1 int, v double, ver int"
+    )
+    bucketed = base.withColumn("bucket", F.pmod(F.hash(F.col("k1")), F.lit(8)))
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    layout = {"n_buckets": 8, "keys": ["k1"], "order_col": "ver", "bucket_col": "bucket"}
+    spark.createDataFrame([layout]).coalesce(1).write.mode("overwrite").json(
+        path + "/_layout"
+    )
+    # simulate: one bucket adopted in place (commit INTO the legacy dir),
+    # crash before its plain files were swept
+    b0 = sorted(
+        n for n in os.listdir(path) if n.startswith("bucket=")
+    )[0]
+    d0 = os.path.join(path, b0)
+    commit_version(spark, spark.read.parquet(d0), d0, expected_seq=0)
+    open(os.path.join(path, "_legacy-migration"), "w").close()
+    assert any(not e.startswith(("_", ".")) for e in os.listdir(d0))
+
+    batch = spark.createDataFrame([(0, 999.0, 2)], "k1 int, v double, ver int")
+    merge_upsert_partitioned(
+        spark, batch, path, ["k1"], "ver", n_buckets=8, bucket_col="bucket"
+    )
+    # plain files swept everywhere; only versioned layout remains
+    for name in os.listdir(path):
+        if name.startswith("bucket="):
+            entries = os.listdir(os.path.join(path, name))
+            assert all(e.startswith(("_", ".")) for e in entries), (name, entries)
+    assert "_legacy-migration" not in os.listdir(path)
+    out = {r["k1"]: (r["v"], r["ver"]) for r in
+           read_merge_table(spark, path, bucket_col="bucket").collect()}
+    assert len(out) == 60 and out[0] == (999.0, 2)
+
+
+def test_missing_layout_on_foreign_table_still_fails_loudly(spark, tmp_path):
+    """The FileNotFoundError heal must NOT claim a plain parquet dir:
+    only a table made of bucket dirs (this sink's layout) is healable."""
+    import pytest
+
+    from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+    path = str(tmp_path / "foreign_tbl")
+    spark.createDataFrame(
+        [(1, 2.0, 1)], "k1 int, v double, ver int"
+    ).write.parquet(path)  # plain parquet, no _layout, no bucket dirs
+
+    batch = spark.createDataFrame([(1, 3.0, 2)], "k1 int, v double, ver int")
+    with pytest.raises(FileNotFoundError, match="no readable layout"):
+        merge_upsert_partitioned(spark, batch, path, ["k1"], "ver", n_buckets=4)
+
+
 def test_empty_layout_sidecar_self_heals(spark, tmp_path):
     """Round-12 (ADVICE low): a creator crash between the _layout
     sidecar's exclusive create and its content write used to wedge the
@@ -366,6 +428,12 @@ def test_empty_layout_sidecar_self_heals(spark, tmp_path):
     with pytest.raises(EmptyLayoutError, match="removed"):
         read_merge_table(spark, path)
     assert not os.path.exists(sidecar)
+
+    # (b2) the sidecar is GONE (reader swept it): a writer must heal
+    # via the FileNotFoundError path — the table is all bucket dirs
+    batch0 = spark.createDataFrame([(1, 111.0, 2)], "k1 int, v double, ver int")
+    merge_upsert_partitioned(spark, batch0, path, ["k1"], "ver", n_buckets=4)
+    assert open(sidecar).read() == good
 
     # (c) writer self-heal end-to-end: empty+stale sidecar, ONE merge
     # call sweeps, recreates the layout, and applies the batch
