@@ -103,6 +103,32 @@ def _exclusive_create(spark: SparkSession, path: str) -> None:
         raise
 
 
+def _read_small_text(spark: SparkSession, path: str) -> str:
+    """One small metadata file → str, driver-side via the Hadoop FS API
+    (works for file:, hdfs:, s3a:, …). The single shared read idiom for
+    every sidecar/ledger/layout file (round-12 review: five copies of
+    the IOUtils dance collapsed here)."""
+    jvm, fs, hpath = _fs(spark, path)
+    stream = fs.open(hpath)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def _write_small_json(
+    spark: SparkSession, path: str, obj, *, overwrite: bool = True
+) -> None:
+    """One small metadata file ← JSON, driver-side (the write twin of
+    ``_read_small_text``; sort_keys for byte-stable artifacts)."""
+    import json as _json
+
+    jvm, fs, hpath = _fs(spark, path)
+    out = fs.create(hpath, overwrite)
+    out.write(bytearray(_json.dumps(obj, sort_keys=True).encode()))
+    out.close()
+
+
 def _listdir(spark: SparkSession, path: str) -> list[str]:
     jvm, fs, hpath = _fs(spark, path)
     if not fs.exists(hpath):
@@ -181,8 +207,6 @@ def commit_version(
 
     Returns the committed sequence number.
     """
-    import json as _json
-
     base = table.rstrip("/")
     token = uuid.uuid4().hex[:12]
 
@@ -191,12 +215,7 @@ def commit_version(
         writer = writer.partitionBy(*partition_by)
     writer.parquet(f"{base}/_v-{token}")
     if sidecar is not None:
-        jvm, fs, _ = _fs(spark, base)
-        out = fs.create(
-            jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{token}/_sidecar.json"), True
-        )
-        out.write(bytearray(_json.dumps(sidecar, sort_keys=True).encode()))
-        out.close()
+        _write_small_json(spark, f"{base}/_v-{token}/_sidecar.json", sidecar)
 
     return publish_staged(
         spark,
@@ -379,15 +398,10 @@ def read_sidecar(spark: SparkSession, table: str) -> dict | None:
     if cur is None:
         return None
     jvm, fs, _ = _fs(spark, base)
-    p = jvm.org.apache.hadoop.fs.Path(f"{base}/_v-{cur[1]}/_sidecar.json")
-    if not fs.exists(p):
+    p = f"{base}/_v-{cur[1]}/_sidecar.json"
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(p)):
         return None
-    stream = fs.open(p)
-    try:
-        content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-    finally:
-        stream.close()
-    return _json.loads(content)
+    return _json.loads(_read_small_text(spark, p))
 
 
 def upsert_versioned(

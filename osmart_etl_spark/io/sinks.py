@@ -200,6 +200,11 @@ def merge_upsert_partitioned(
             # alive mid-write — propagate, don't steal.
             if isinstance(exc, EmptyLayoutError) and not getattr(exc, "swept", False):
                 raise
+            from osmart_etl_spark.io.atomic import _listdir
+
+            entries = _listdir(spark, base)
+            bucket_pfx = (f"{bucket_col}=", "bucket=")
+            bucketish = [e for e in entries if e.startswith(bucket_pfx)]
             if isinstance(exc, FileNotFoundError):
                 # heal ONLY a table that is recognizably this sink's
                 # layout (bucket dirs, nothing else): a plain parquet
@@ -207,17 +212,33 @@ def merge_upsert_partitioned(
                 # sidecar there would silently shadow the user's files
                 # (read_merge_table reads bucket dirs only). Keep the
                 # loud failure for that case.
-                from osmart_etl_spark.io.atomic import _listdir
-
-                entries = _listdir(spark, base)
-                bucket_pfx = (f"{bucket_col}=", "bucket=")
-                bucketish = [e for e in entries if e.startswith(bucket_pfx)]
                 foreign = [
                     e for e in entries
                     if not e.startswith(("_", ".")) and not e.startswith(bucket_pfx)
                 ]
                 if foreign or not bucketish:
                     raise
+            # The heal pins THIS batch's layout, which the lost sidecar
+            # can no longer confirm. Cross-check it against the on-disk
+            # directories: a bucket id >= n_buckets proves the caller's
+            # n_buckets is NOT what hashed this table — recreating the
+            # sidecar would silently re-home keys and strand their old
+            # versions (round-12 review). (A smaller-but-divisible lie
+            # is undetectable from ids alone; the check catches the
+            # common drift and the message says what to verify.)
+            observed = [
+                int(e.split("=", 1)[1])
+                for e in bucketish
+                if e.split("=", 1)[1].isdigit()
+            ]
+            if observed and max(observed) >= layout["n_buckets"]:
+                raise ValueError(
+                    f"refusing to heal _layout at {path}: on-disk bucket id "
+                    f"{max(observed)} is outside this batch's n_buckets="
+                    f"{layout['n_buckets']} — the table was created with a "
+                    "different layout; recreate the sidecar by hand only "
+                    "with the ORIGINAL n_buckets/keys."
+                ) from exc
             if not _write_layout_exclusive(spark, layout_path, layout):
                 stored = _read_layout(spark, layout_path)  # racer healed it
                 if stored != layout:
@@ -539,11 +560,9 @@ def _read_layout(
         if fs.getFileStatus(hpath).isDirectory():
             row = spark.read.json(layout_path).collect()[0].asDict()
             break
-        stream = fs.open(hpath)
-        try:
-            content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
+        from osmart_etl_spark.io.atomic import _read_small_text
+
+        content = _read_small_text(spark, layout_path)
         if content.strip():
             row = _json.loads(content)
             break
@@ -553,6 +572,22 @@ def _read_layout(
         if saw_empty_file and fs.exists(hpath):
             age_s = _time.time() - fs.getFileStatus(hpath).getModificationTime() / 1000.0
             if age_s > dead_ttl_s:
+                # TOCTOU guard (round-12 review): a healer may have
+                # swept and RECREATED the sidecar with valid content
+                # between our last empty read and this delete — re-read
+                # once and, if content appeared, return it instead of
+                # deleting a freshly pinned layout.
+                from osmart_etl_spark.io.atomic import _read_small_text
+
+                content = _read_small_text(spark, layout_path)
+                if content.strip():
+                    row = _json.loads(content)
+                    return {
+                        "n_buckets": int(row["n_buckets"]),
+                        "keys": list(row["keys"]),
+                        "order_col": row["order_col"],
+                        "bucket_col": row["bucket_col"],
+                    }
                 fs.delete(hpath, False)  # dead creation — sweep it
                 exc = EmptyLayoutError(
                     f"empty _layout sidecar at {layout_path} (creator died "
@@ -853,6 +888,34 @@ def _additive_merge(
     )
 
 
+def _parse_ledger_json(spark: SparkSession, path: str) -> dict:
+    """Applied-batch ledger file → ``{"hwm": {...}, "ids": [...]}``.
+    A bare JSON list is the pre-round-12 all-opaque format."""
+    import json as _json
+
+    from osmart_etl_spark.io.atomic import _read_small_text
+
+    obj = _json.loads(_read_small_text(spark, path))
+    if isinstance(obj, list):
+        return {"hwm": {}, "ids": obj}
+    return {"hwm": obj.get("hwm", {}), "ids": obj.get("ids", [])}
+
+
+def read_accumulate_ledger(spark: SparkSession, table: str) -> dict:
+    """The COMMITTED applied-batch ledger of a
+    ``merge_accumulate_versioned`` table: ``{"hwm": {writer: max_seq},
+    "ids": [opaque...]}``. One metadata file read at the commit log's
+    altitude — used by callers that must distinguish a legitimate
+    crash-replay no-op (seq == hwm) from a state/checkpoint mismatch
+    (seq < hwm), e.g. streaming/accumulate_stream.py."""
+    from osmart_etl_spark.io.atomic import current_version
+
+    cur = current_version(spark, table)
+    if cur is None:
+        raise FileNotFoundError(f"no committed version at {table}")
+    return _parse_ledger_json(spark, f"{table.rstrip('/')}/_v-{cur[1]}/_ledger.json")
+
+
 def merge_accumulate_versioned(
     spark: SparkSession,
     updates: DataFrame,
@@ -918,7 +981,6 @@ def merge_accumulate_versioned(
     Returns True if the batch was applied, False if it was already in
     the committed ledger.
     """
-    import json as _json
     import time as _time
     import uuid
 
@@ -926,6 +988,7 @@ def merge_accumulate_versioned(
         ConcurrentCommitError,
         _fs,
         _gc,
+        _write_small_json,
         current_version,
         publish_staged,
     )
@@ -940,22 +1003,11 @@ def merge_accumulate_versioned(
         writer_id, seq = None, None
 
     def _read_ledger(ver_dir: str) -> dict:
-        p = jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json")
-        stream = fs.open(p)
-        try:
-            content = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        finally:
-            stream.close()
-        obj = _json.loads(content)
-        if isinstance(obj, list):  # pre-round-12 version: bare opaque list
-            return {"hwm": {}, "ids": obj}
-        return {"hwm": obj.get("hwm", {}), "ids": obj.get("ids", [])}
+        return _parse_ledger_json(spark, f"{ver_dir}/_ledger.json")
 
     def _write_ledger(ver_dir: str, led: dict) -> None:
         # private staging dir — plain create, no exclusivity needed
-        out = fs.create(jvm.org.apache.hadoop.fs.Path(f"{ver_dir}/_ledger.json"), True)
-        out.write(bytearray(_json.dumps({"v": 2, **led}, sort_keys=True).encode()))
-        out.close()
+        _write_small_json(spark, f"{ver_dir}/_ledger.json", {"v": 2, **led})
 
     def _is_dup(led: dict) -> bool:
         if writer_id is not None:

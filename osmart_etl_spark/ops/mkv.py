@@ -93,38 +93,74 @@ def _vint_unknown(width: int) -> int:
     return (1 << (7 * width)) - 1
 
 
+#: Valid direct children of an unknown-size Cluster (RFC 9559 §9):
+#: an unknown-size element ends at the first element that CANNOT be its
+#: child — for streamed Matroska that is the next Cluster (or any other
+#: Segment-level element like Cues/Tags).
+_CLUSTER_CHILDREN = {
+    CLUSTER_TIMESTAMP, SIMPLE_BLOCK, BLOCK_GROUP,
+    0xA7,    # Position
+    0xAB,    # PrevSize
+    0x5854,  # SilentTracks
+}
+
+
+def _unknown_cluster_end(buf: bytes, p: int, scope_end: int) -> int:
+    """End of an unknown-size Cluster whose children start at ``p``:
+    walk sibling headers until one is not a valid Cluster child (RFC
+    8794 §6.2 — 'ends at the first element not a descendant'). Children
+    of a streamed Cluster always carry sizes (blocks are leaf data), so
+    a nested unknown size here is malformed."""
+    q = p
+    while q < scope_end:
+        eid, r = read_vint(buf, q, keep_marker=True)
+        if eid not in _CLUSTER_CHILDREN:
+            return q
+        size, r2 = read_vint(buf, r, keep_marker=False)
+        if size == _vint_unknown(r2 - r):
+            raise ValueError(f"unknown-size element 0x{eid:X} inside a Cluster at {q}")
+        q = r2 + size
+    return scope_end
+
+
 def parse_elements(buf: bytes, start: int, end: int):
     """Yield ``(element_id, data_start, data_end)`` for the sibling
-    elements in ``buf[start:end]``. Unknown-size elements (RFC 8794
-    §6.2 — streamed Segments/Clusters write size as all-ones) extend to
-    ``end``; the spec scopes them to their parent, which is what ``end``
-    is."""
+    elements in ``buf[start:end]``.
+
+    Unknown-size elements (RFC 8794 §6.2 — live/streamed Matroska
+    writes Segment and Cluster sizes as all-ones): an unknown-size
+    SEGMENT extends to its parent scope's end (the file), and an
+    unknown-size CLUSTER ends at the first element that is not a valid
+    Cluster child — typically the NEXT Cluster, so multi-cluster
+    streamed files keep every cluster visible (round-12 review fix:
+    the old 'swallow the rest of scope' rule dropped every block after
+    the first cluster). Any other unknown-size element is refused
+    loudly rather than parsed wrongly."""
     pos = start
     while pos < end:
         eid, p = read_vint(buf, pos, keep_marker=True)
-        size, p = read_vint(buf, p, keep_marker=False)
-        width = p - _vint_size_start(buf, pos)
+        size, p2 = read_vint(buf, p, keep_marker=False)
+        width = p2 - p
         if size == _vint_unknown(width):
-            yield eid, p, end
-            return  # an unknown-size element swallows the rest of scope
-        if p + size > end:
+            if eid == SEGMENT:
+                yield eid, p2, end
+                return  # a streamed Segment swallows the rest of the file
+            if eid == CLUSTER:
+                cend = _unknown_cluster_end(buf, p2, end)
+                yield eid, p2, cend
+                pos = cend
+                continue
+            raise ValueError(
+                f"unknown-size EBML element 0x{eid:X} at {pos} "
+                "(only Segment/Cluster stream unsized)"
+            )
+        if p2 + size > end:
             raise ValueError(
                 f"EBML element 0x{eid:X} at {pos} overruns its scope "
-                f"({p + size} > {end})"
+                f"({p2 + size} > {end})"
             )
-        yield eid, p, p + size
-        pos = p + size
-
-
-def _vint_size_start(buf: bytes, id_pos: int) -> int:
-    """Position where the size vint starts (after the element ID)."""
-    first = buf[id_pos]
-    width = 1
-    mask = 0x80
-    while not first & mask:
-        width += 1
-        mask >>= 1
-    return id_pos + width
+        yield eid, p2, p2 + size
+        pos = p2 + size
 
 
 def _uint(buf: bytes, s: int, e: int) -> int:
@@ -171,15 +207,43 @@ def _parse_track_entry(buf: bytes, s: int, e: int) -> dict:
 
 
 def _parse_block_header(buf: bytes, s: int, e: int) -> tuple[int, int, int, int]:
-    """(track_number, rel_timestamp, flags, frame_data_start) of a
+    """(track_number, rel_timestamp, flags, first_frame_start) of a
     (Simple)Block payload at [s, e) — RFC 9559 §10: track vint, s16
-    relative timestamp, flags byte."""
+    relative timestamp, flags byte, then (when flags bits 0x06 are set)
+    the lacing header: a frame-count byte plus a size table whose form
+    depends on the lacing type. The returned offset points at the FIRST
+    frame's actual bytes — past the lacing table — so 'fetch bytes at
+    keyframe offset' consumers get codec data, not lace metadata
+    (round-12 review fix)."""
     track, p = read_vint(buf, s, keep_marker=False)
     if p + 3 > e:
         raise ValueError(f"(Simple)Block truncated at {s}")
     rel_ts = struct.unpack(">h", buf[p : p + 2])[0]
     flags = buf[p + 2]
-    return track, rel_ts, flags, p + 3
+    q = p + 3
+    lacing = flags & 0x06
+    if lacing:
+        if q >= e:
+            raise ValueError(f"laced (Simple)Block truncated at {s}")
+        n_frames = buf[q] + 1
+        q += 1
+        if lacing == 0x02:  # Xiph: n-1 sizes as 255-run bytes
+            for _ in range(n_frames - 1):
+                while True:
+                    if q >= e:
+                        raise ValueError(f"Xiph lace table truncated at {s}")
+                    b = buf[q]
+                    q += 1
+                    if b != 255:
+                        break
+        elif lacing == 0x06:  # EBML: first size vint + n-2 delta vints
+            _first, q = read_vint(buf, q, keep_marker=False)
+            for _ in range(n_frames - 2):
+                _delta, q = read_vint(buf, q, keep_marker=False)
+        # 0x04 fixed-size lacing: count byte only, no size table
+        if q > e:
+            raise ValueError(f"lace table overruns (Simple)Block at {s}")
+    return track, rel_ts, flags, q
 
 
 def probe_mkv(buf: bytes) -> dict:
@@ -296,6 +360,12 @@ def _el(eid: int, payload: bytes) -> bytes:
     return _enc_vint_id(eid) + _enc_vint_size(len(payload)) + payload
 
 
+def _el_unsized(eid: int, payload: bytes) -> bytes:
+    """Element with the UNKNOWN size marker (width-1 all-ones vint) —
+    the live/streamed Matroska shape for Segment and Cluster."""
+    return _enc_vint_id(eid) + b"\xff" + payload
+
+
 def _el_uint(eid: int, val: int) -> bytes:
     n = max(1, (val.bit_length() + 7) // 8)
     return _el(eid, val.to_bytes(n, "big"))
@@ -313,6 +383,7 @@ def encode_mkv(
     duration_ticks: float = 320.0,
     frames_per_cluster: int = 3,
     frame_payloads: list[bytes] | None = None,
+    stream_unknown_sizes: bool = False,
 ) -> bytes:
     """Minimal-but-valid Matroska fixture: EBML header, Segment with
     Info/Tracks (one video track), Clusters of SimpleBlocks whose
@@ -361,12 +432,20 @@ def encode_mkv(
         payload = b"\x81" + struct.pack(">h", i * 40) + bytes([flags]) + data
         blocks += _el(SIMPLE_BLOCK, payload)
         if (i + 1) % frames_per_cluster == 0 or i == len(frame_sizes) - 1:
-            clusters += _el(
-                CLUSTER, _el_uint(CLUSTER_TIMESTAMP, cluster_ts) + blocks
+            cpayload = _el_uint(CLUSTER_TIMESTAMP, cluster_ts) + blocks
+            clusters += (
+                _el_unsized(CLUSTER, cpayload)
+                if stream_unknown_sizes
+                else _el(CLUSTER, cpayload)
             )
             blocks = b""
             cluster_ts += frames_per_cluster * 40
-    segment = _el(SEGMENT, info + track + clusters)
+    spayload = info + track + clusters
+    segment = (
+        _el_unsized(SEGMENT, spayload)
+        if stream_unknown_sizes
+        else _el(SEGMENT, spayload)
+    )
     return header + segment
 
 

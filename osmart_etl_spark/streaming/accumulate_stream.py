@@ -51,15 +51,35 @@ def run_accumulate_stream(
     ``writer_id`` must be stable across restarts of the SAME logical
     stream (it scopes the ledger's high-water-mark; two different
     streams folding one table use two writer_ids and coexist)."""
-    from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+    from osmart_etl_spark.io.sinks import (
+        merge_accumulate_versioned,
+        read_accumulate_ledger,
+    )
 
     def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return  # nothing to fold; hwm advances with the next real epoch
-        merge_accumulate_versioned(
+        applied = merge_accumulate_versioned(
             spark, batch_df, table, keys, sum_cols,
             batch_id=(writer_id, int(batch_id)),
         )
+        if not applied:
+            # The only legitimate no-op is crash-replay of the LAST
+            # committed epoch (sink committed, checkpoint did not).
+            # hwm AHEAD of the epoch means a FRESH checkpoint was
+            # pointed at a table this writer_id already advanced — the
+            # new epochs' row mix need not match the original batching,
+            # so silently skipping drops data (round-12 review; the
+            # same mismatch rule as streaming/hll_stream.py).
+            hwm = read_accumulate_ledger(spark, table)["hwm"].get(writer_id)
+            if hwm is None or hwm > int(batch_id):
+                raise RuntimeError(
+                    f"accumulate_stream state/checkpoint mismatch at {table}: "
+                    f"writer '{writer_id}' has committed hwm {hwm} but the "
+                    f"checkpoint delivered epoch {batch_id}. Point the query "
+                    "at the original checkpoint, or use a NEW writer_id for "
+                    "a genuinely new stream."
+                )
 
     (
         stream_df.writeStream.foreachBatch(fold_batch)

@@ -121,11 +121,15 @@ def test_accumulate_stream_kill_and_resume_exactly_once(spark, tmp_path):
     assert _totals(spark, table) == _want(ev)
 
 
-def test_accumulate_stream_redelivered_epoch_is_noop(spark, tmp_path):
-    """Replaying a whole already-drained stream against a FRESH
-    checkpoint but the same writer_id refolds every epoch; each is
-    rejected by the hwm, so table contents are unchanged — and a
-    DIFFERENT writer_id is a different logical stream, which folds."""
+def test_accumulate_stream_fresh_checkpoint_same_writer_raises(spark, tmp_path):
+    """A FRESH checkpoint replaying epochs the same writer_id already
+    advanced past is a state/checkpoint MISMATCH, not a quiet no-op:
+    epoch boundaries need not reproduce the original batching, so
+    silently skipping could drop new rows (round-12 review — the same
+    loud-failure rule as hll_stream). Table contents stay unchanged,
+    and a DIFFERENT writer_id is a genuinely new stream, which folds."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
     ev, _src, stream = _prep(spark, tmp_path, 3)
     table = str(tmp_path / "agg_redeliver")
     run_accumulate_stream(
@@ -136,11 +140,12 @@ def test_accumulate_stream_redelivered_epoch_is_noop(spark, tmp_path):
     assert once == _want(ev)
 
     _ev2, _src2, stream2 = _prep(spark, tmp_path, 3, name="ev_replay")
-    run_accumulate_stream(  # same writer, fresh checkpoint -> all no-ops
-        spark, stream2, table, keys=["user_id"], sum_cols=["value", "n"],
-        checkpoint_dir=str(tmp_path / "ckpt_b"),
-    )
-    assert _totals(spark, table) == once
+    with pytest.raises(StreamingQueryException, match="mismatch"):
+        run_accumulate_stream(  # same writer, fresh checkpoint -> loud
+            spark, stream2, table, keys=["user_id"], sum_cols=["value", "n"],
+            checkpoint_dir=str(tmp_path / "ckpt_b"),
+        )
+    assert _totals(spark, table) == once  # nothing double-counted
 
     _ev3, _src3, stream3 = _prep(spark, tmp_path, 3, name="ev_backfill")
     run_accumulate_stream(  # different writer -> a real second stream

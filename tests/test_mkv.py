@@ -184,3 +184,64 @@ def test_mkv_frame_decode_stays_honest_stub():
         decode_video_frames(
             encode_ivf([encode_vp9_frame_header(8, 8)], fourcc="VP90")
         )
+
+
+def test_probe_mkv_streamed_unknown_sizes_sees_every_cluster():
+    """Live/streamed Matroska (RFC 8794 §6.2): Segment AND every
+    Cluster carry the unknown-size marker. An unknown-size Cluster must
+    end at the NEXT Cluster, not swallow the rest of the Segment —
+    every block and keyframe stays visible (round-12 review fix)."""
+    streamed = encode_mkv(
+        SIZES, KEYFRAMES, width=64, height=48, stream_unknown_sizes=True
+    )
+    info = probe_mkv(streamed)
+    assert len(info["cluster_offsets"]) == 3  # 8 frames, 3 per cluster
+    assert info["n_blocks"] == len(SIZES)
+    assert info["keyframe_blocks"] == KEYFRAMES
+    # keyframe offsets still land on the planted per-sample fill
+    for k, off in zip(KEYFRAMES, info["keyframe_offsets"]):
+        i = k - 1
+        assert streamed[off] == (i * 7) % 256
+    # sized and streamed forms agree on everything but byte offsets
+    sized = probe_mkv(_fixture())
+    assert sized["n_blocks"] == info["n_blocks"]
+    assert sized["keyframe_blocks"] == info["keyframe_blocks"]
+    # an unknown-size element that is NOT Segment/Cluster is refused
+    from osmart_etl_spark.ops.mkv import SEGMENT, SEGMENT_INFO, _el_unsized
+
+    ebml_header = streamed[:40]  # the header is exactly 40 bytes
+    bad = ebml_header + _el_unsized(SEGMENT, _el_unsized(SEGMENT_INFO, b""))
+    with pytest.raises(ValueError, match="unknown-size"):
+        probe_mkv(bad)
+
+
+def test_block_header_skips_lacing_tables():
+    """The first-frame offset of a laced (Simple)Block must point past
+    the lacing size table for all three lacing forms (RFC 9559 §10.3):
+    Xiph 255-run sizes, EBML vint sizes, fixed-size count byte."""
+    from osmart_etl_spark.ops.mkv import _parse_block_header
+
+    head = b"\x81" + struct.pack(">h", 40)  # track 1, rel ts 40
+
+    # no lacing: frame starts right after the flags byte
+    blk = head + bytes([0x80]) + b"DATA"
+    assert _parse_block_header(blk, 0, len(blk)) == (1, 40, 0x80, 4)
+
+    # Xiph lacing: 3 frames, sizes 300 (255+45) and 10
+    blk = head + bytes([0x82, 2, 255, 45, 10]) + b"F1F2F3"
+    track, ts, flags, q = _parse_block_header(blk, 0, len(blk))
+    assert (track, flags & 0x06) == (1, 0x02)
+    assert blk[q:q + 2] == b"F1"
+
+    # EBML lacing: 3 frames, first size vint 0xA0 (32), one delta vint
+    blk = head + bytes([0x86, 2, 0xA0, 0xBF]) + b"E1E2E3"
+    *_, q = _parse_block_header(blk, 0, len(blk))
+    assert blk[q:q + 2] == b"E1"
+
+    # fixed lacing: count byte only
+    blk = head + bytes([0x84, 3]) + b"XXYYZZWW"
+    *_, q = _parse_block_header(blk, 0, len(blk))
+    assert blk[q:q + 2] == b"XX"
+
+    with pytest.raises(ValueError, match="truncated"):
+        _parse_block_header(head + bytes([0x82]), 0, 4)

@@ -14,14 +14,17 @@ With ``--json`` a per-query machine-readable record is also written
 green claim auditable beyond the driver's 50-query sample).
 
 ``--rotate ROUND[/SLICES]`` (round 12, VERDICT r11 #3): run the
-deterministic residue-class slice for that round — queries whose index
-in the SORTED registry satisfies ``idx % SLICES == ROUND % SLICES``
-(SLICES defaults to 5, ≈50 queries per slice). Successive rounds
-rotate through disjoint slices, so a third-party verifier re-running a
-few rounds' slices covers the whole registry without trusting any
-single full sweep; the JSON record carries ``mode: rotate`` plus the
-slice parameters so rotated-slice evidence is distinguishable from a
-full sweep (``mode: full``) at a glance.
+deterministic residue-class slice for that round — queries whose NAME
+hash satisfies ``crc32(name) % SLICES == ROUND % SLICES`` (SLICES
+defaults to 5, ≈50 queries per slice). Name-hash membership is stable
+under registry GROWTH (a sorted-index scheme would shift every
+query's slice whenever one is added — round-12 review), so successive
+rounds rotate through slices that stay disjoint and jointly exhaustive
+over whatever registry existed when each ran; a third-party verifier
+re-running a few rounds' slices covers the whole registry without
+trusting any single full sweep. The JSON record carries ``mode:
+rotate`` plus the slice parameters so rotated-slice evidence is
+distinguishable from a full sweep (``mode: full``) at a glance.
 """
 
 from __future__ import annotations
@@ -138,18 +141,28 @@ def main() -> int:
     con = duck_con(sf_dir)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if rotate is not None:
+        import zlib
+
         rnd, n_slices = rotate
-        ordered = sorted(qs)  # name-sorted: stable across sessions/rounds
+        # NAME-hash membership: stable when queries are added (a
+        # sorted-index scheme re-homes every query on growth)
         slice_names = {
-            n for i, n in enumerate(ordered) if i % n_slices == rnd % n_slices
+            n for n in qs
+            if zlib.crc32(n.encode()) % n_slices == rnd % n_slices
         }
         if only:
             slice_names &= only
         only = slice_names
         print(
             f"rotate: round {rnd} slice {rnd % n_slices}/{n_slices} -> "
-            f"{len(only)} of {len(ordered)} queries"
+            f"{len(only)} of {len(qs)} queries"
         )
+        if not only:
+            # an empty selection must select NOTHING — falling through
+            # with an empty (falsy) set would run the FULL registry
+            # under a mode=rotate label (round-12 review)
+            print("0 pass, 0 fail, 0 rows-only (empty rotate selection)")
+            return 0
 
     n_pass = n_fail = n_noracle = 0
     record: dict[str, dict] = {}
