@@ -972,3 +972,79 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("test")),
         )
     )
+
+
+#: Epoch-shuffle mix constants: Knuth's multiplicative hash constant and
+#: a per-epoch odd stride; all arithmetic stays in BIGINT so Spark and
+#: DuckDB compute bit-identical keys.
+_SHUF_MULT = 2654435761
+_SHUF_EPOCH_STRIDE = 40503
+_SHUF_MOD = 4_294_967_296  # 2^32
+#: ids reduce mod 2^31 BEFORE the multiply so the product tops out at
+#: 2^31 * 2654435761 < 2^63 — ANSI-safe for ANY BIGINT doc_id (the x100
+#: amplified corpus remaps ids into high ranges; found by
+#: tools/amplify_smoke.py, round 12)
+_SHUF_ID_MOD = 2_147_483_648  # 2^31
+_SHUF_EPOCH = 1
+_SHUF_SHARDS = 32
+
+
+@query(
+    "corpus_epoch_shuffle",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id,
+        CAST(((doc_id % {_SHUF_ID_MOD}) * {_SHUF_MULT}
+              + {_SHUF_EPOCH} * {_SHUF_EPOCH_STRIDE})
+             % {_SHUF_MOD} AS BIGINT) AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+      CAST(shuffle_key % {_SHUF_SHARDS} AS BIGINT) AS shard_id,
+      CAST(ROW_NUMBER() OVER (
+        PARTITION BY shuffle_key % {_SHUF_SHARDS}
+        ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos_in_shard
+    FROM k
+    """,
+    tags=("ext-curation", "training-shuffle", "deterministic"),
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-deterministic global shuffle for training-data delivery:
+    every document gets a pseudorandom ``shuffle_key`` from a
+    multiplicative hash of (doc_id, epoch), a ``shard_id`` (its output
+    file/worker), and its position within the shard. A trainer reads
+    shard k in pos_in_shard order and sees a uniformly shuffled corpus;
+    the NEXT epoch changes only the epoch term, producing a different
+    permutation with zero state — no materialized permutation table, no
+    driver-side randomness, and a resume recomputes the identical order
+    (the same determinism rule as deterministic_sample,
+    queries/text.py).
+
+    Scale: this is the per-epoch shuffle a 100 TB corpus actually needs
+    — ONE hash projection plus a sort PARTITIONED BY shard (each task
+    sorts corpus/32, never a global sort; shard count scales with the
+    trainer's reader parallelism). The key arithmetic is pure BIGINT
+    (Knuth multiplicative hash mod 2^32), so the DuckDB oracle derives
+    bit-identical keys — shuffle quality regressions (a biased key, a
+    collision-order instability) hash-mismatch instead of silently
+    skewing training order. Ties (same key) break by doc_id in both
+    engines.
+    """
+    d = read_table(spark, sf_dir, "documents").select("doc_id")
+    k = d.select(
+        "doc_id",
+        (
+            ((F.col("doc_id") % F.lit(_SHUF_ID_MOD)) * F.lit(_SHUF_MULT)
+             + F.lit(_SHUF_EPOCH * _SHUF_EPOCH_STRIDE))
+            % F.lit(_SHUF_MOD)
+        ).cast("bigint").alias("shuffle_key"),
+    )
+    w = Window.partitionBy(F.col("shuffle_key") % _SHUF_SHARDS).orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return k.select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("shuffle_key") % _SHUF_SHARDS).cast("bigint").alias("shard_id"),
+        F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+    )
