@@ -80,6 +80,34 @@ def _fs(spark: SparkSession, path: str):
     return jvm, hpath.getFileSystem(spark._jsc.hadoopConfiguration()), hpath
 
 
+#: Filesystems whose ``create(path, overwrite=False)`` is a real atomic
+#: check-and-create (enforced server-side at one metadata authority).
+_ATOMIC_CREATE_SCHEMES = {"hdfs", "viewfs", "webhdfs", "ofs", "o3fs"}
+
+
+def _assert_atomic_create_scheme(spark: SparkSession, scheme: str) -> None:
+    """Refuse create-no-overwrite CAS claims on schemes not known (or
+    attested) atomic — see ``_exclusive_create``. Shared by every
+    exclusive-create site (commit locks, layout sidecars)."""
+    if scheme in _ATOMIC_CREATE_SCHEMES:
+        return
+    conf = spark._jsc.hadoopConfiguration()
+    attested = conf.getBoolean("osmart.etl.assume.atomic.create", False) or (
+        scheme == "s3a"
+        and conf.getBoolean("fs.s3a.create.conditional.enabled", False)
+    )
+    if not attested:
+        raise RuntimeError(
+            f"exclusive create on scheme '{scheme}' is not known to be "
+            "atomic (classic S3A does HEAD-then-PUT — racing writers "
+            "could both claim the commit lock and silently lose an "
+            "update). Enable conditional creates "
+            "(fs.s3a.create.conditional.enabled=true on Hadoop 3.4.1+) "
+            "or set osmart.etl.assume.atomic.create=true to attest the "
+            "store's create-no-overwrite is atomic."
+        )
+
+
 def _exclusive_create(spark: SparkSession, path: str) -> None:
     """Create an empty file, failing with ``FileExistsError`` if it
     already exists — the CAS primitive, and it must be TRULY atomic.
@@ -88,13 +116,27 @@ def _exclusive_create(spark: SparkSession, path: str) -> None:
     namenode, but ``RawLocalFileSystem`` implements it as
     exists()-then-create — a check/act race. For ``file:`` paths the
     claim therefore goes through POSIX ``O_CREAT|O_EXCL`` on the
-    driver, which the kernel guarantees exclusive."""
+    driver, which the kernel guarantees exclusive.
+
+    Object stores (round-12 review): classic S3A implements
+    overwrite=False as HEAD-then-PUT — two racing writers can BOTH
+    believe they claimed the lock and silently shadow each other, the
+    exact lost update the lock exists to prevent. Rather than quietly
+    degrade, unknown schemes are REFUSED unless the deployment attests
+    atomicity: ``fs.s3a.create.conditional.enabled=true`` (Hadoop
+    3.4.1+ maps create-no-overwrite onto S3 conditional writes /
+    If-None-Match, which IS atomic) or the explicit
+    ``osmart.etl.assume.atomic.create=true`` escape hatch for stores
+    with conditional-create semantics (ABFS etag-gated create, GCS
+    preconditions)."""
     jvm, fs, hpath = _fs(spark, path)
-    if fs.getUri().getScheme() == "file":
+    scheme = fs.getUri().getScheme()
+    if scheme == "file":
         local = hpath.toUri().getPath()
         fd = os.open(local, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         os.close(fd)
         return
+    _assert_atomic_create_scheme(spark, scheme)
     try:
         fs.create(hpath, False).close()
     except Exception as exc:  # py4j surfaces FileAlreadyExistsException
@@ -480,8 +522,14 @@ def upsert_versioned(
             fs.delete(sentinel, False)
             return seq
         merged = upsert_keep_latest(None, new, keys, order_col)
+        # expected_seq=0, NOT None: a blind create would let two
+        # concurrent FIRST upserts both publish (the second computes
+        # next_seq past the first's lock and silently shadows its
+        # batch). Claiming exactly seq 1 makes the loser surface as
+        # ConcurrentCommitError — the same CAS every later upsert gets
+        # (round-12 review; the adoption branch above already did this).
         return commit_version(
-            spark, merged, base, expected_seq=None,
+            spark, merged, base, expected_seq=0,
             keep_versions=keep_versions, sidecar=sidecar,
         )
 
@@ -532,7 +580,12 @@ def compact_versioned(
     if sort_within:
         out = out.sortWithinPartitions(*sort_within)
     seq = commit_version(
-        spark, out, table, expected_seq=cur[0], keep_versions=keep_versions
+        spark, out, table, expected_seq=cur[0], keep_versions=keep_versions,
+        # compaction is a pure LAYOUT change: the previous version's
+        # stats sidecar still describes the rows, so carry it forward —
+        # otherwise read_sidecar silently reverts downstream consumers
+        # to their unhinted path (round-12 review)
+        sidecar=read_sidecar(spark, table),
     )
     after = read_committed(spark, table)
     files_after = after.select(F.input_file_name()).distinct().count()

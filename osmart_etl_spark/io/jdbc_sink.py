@@ -160,6 +160,54 @@ def _table_exists(spark: SparkSession, url: str, table: str, *, driver: str | No
         conn.close()
 
 
+def _require_unique_index(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    keys: list[str],
+    *,
+    driver: str | None,
+) -> None:
+    """Assert a UNIQUE index covering exactly ``keys`` exists on a
+    pre-existing mysql-dialect target — without one, ``INSERT … ON
+    DUPLICATE KEY UPDATE`` never fires its UPDATE branch and every
+    replayed batch silently inserts duplicate rows. Probed through JDBC
+    ``DatabaseMetaData.getIndexInfo`` (portable; no dialect SQL), with
+    the same identifier case-folding as ``_table_exists``."""
+    jvm = spark._jvm
+    if driver:
+        jvm.java.lang.Class.forName(driver)
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        meta = conn.getMetaData()
+        want = {k.lower() for k in keys}
+        for probe in (table.upper(), table, table.lower()):
+            rs = meta.getIndexInfo(None, None, probe, True, False)
+            indexes: dict[str, set[str]] = {}
+            try:
+                while rs.next():
+                    name = rs.getString("INDEX_NAME")
+                    col = rs.getString("COLUMN_NAME")
+                    if name and col:
+                        indexes.setdefault(name, set()).add(col.lower())
+            finally:
+                rs.close()
+            if any(cols == want for cols in indexes.values()):
+                return
+            if indexes:
+                break  # table found, constraint genuinely absent
+        raise RuntimeError(
+            f"jdbc_upsert: pre-existing table {table!r} has no UNIQUE index "
+            f"over exactly {sorted(keys)} (found: "
+            f"{ {n: sorted(c) for n, c in indexes.items()} }). The mysql "
+            "ON DUPLICATE KEY idiom would blind-insert duplicates — add "
+            f"the constraint ({build_unique_index_sql(table, keys)}) or "
+            "point the sink at a table it can bootstrap."
+        )
+    finally:
+        conn.close()
+
+
 def jdbc_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -186,7 +234,20 @@ def jdbc_upsert(
     for c in [*keys, order_col]:
         if c not in cols:
             raise ValueError(f"column {c!r} not in batch columns {cols}")
-    staging = staging_table or f"{target_table}_staging"
+    # Unique-by-default staging name: a SHARED default ("_staging") let
+    # two concurrent upserts into one target overwrite each other's
+    # staging mid-merge — one batch's rows never land while its caller
+    # reports success and advances its watermark (round-12 review; the
+    # streaming wrapper already suffixed batch_id). Callers that pass
+    # an explicit staging_table own their own serialization. A hard
+    # crash can orphan one "<target>_stg_*" table (the finally-DROP
+    # never ran) — the prefix makes orphans identifiable for DBA GC,
+    # a better failure than the old cross-writer clobber.
+    if staging_table is None:
+        import uuid as _uuid
+
+        staging_table = f"{target_table}_stg_{_uuid.uuid4().hex[:8]}"
+    staging = staging_table
 
     # Spark's default Derby/ANSI mapping renders StringType as CLOB/TEXT,
     # which cannot be compared in a MERGE ON clause (and cannot be a PK on
@@ -278,6 +339,15 @@ def jdbc_upsert(
                     build_unique_index_sql(target_table, keys),
                     driver=driver,
                 )
+        elif dialect == "mysql":
+            # PRE-EXISTING target (DBA-provisioned, or created by an
+            # earlier non-mysql run): the ON DUPLICATE KEY idiom is a
+            # blind INSERT unless a unique index over exactly `keys`
+            # exists — every replayed batch would silently accumulate
+            # duplicate rows per key, the corruption this sink exists
+            # to prevent. Probe information_schema and fail loudly if
+            # the constraint is missing (round-12 review).
+            _require_unique_index(spark, url, target_table, keys, driver=driver)
         merge = build_merge_sql(
             target_table, staging, keys, cols, order_col, dialect=dialect
         )

@@ -38,8 +38,24 @@ def _normalize(col: Column, lo: Column, hi: Column, bits: int) -> Column:
 def zorder_key(norm_cols: list[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` of each already-normalized column into
     one Morton key (column i owns bit positions i, i+k, i+2k, ...). Pure
-    shift/mask expressions — whole-stage codegen, no UDF."""
+    shift/mask expressions — whole-stage codegen, no UDF.
+
+    Every interleaved position must stay inside the positive range of a
+    signed 64-bit long: with k columns the highest position is
+    (bits-1)*k + (k-1), which must be < 63 — bit 63 would flip keys
+    negative (splitting every hyper-rectangle around the curve origin)
+    and positions >= 64 silently wrap (JVM shifts mask the count mod
+    64). Raises instead of capping silently, because the NORMALIZATION
+    must use the same width — capping only here would drop the scaled
+    values' high bits and collide far-apart rows (round-12 review).
+    ``write_zordered`` picks a safe width for both sides."""
     k = len(norm_cols)
+    if bits * k > 63:
+        raise ValueError(
+            f"zorder_key: {k} columns x {bits} bits = positions up to "
+            f"{(bits - 1) * k + (k - 1)}, past a long's 62 usable bits; "
+            f"use bits <= {63 // k} (write_zordered does this for you)"
+        )
     terms = []
     for i, c in enumerate(norm_cols):
         for b in range(bits):
@@ -67,6 +83,9 @@ def write_zordered(
     only on the key) and an in-partition sort so row groups inside each
     file are clustered too. At 100 TB this is the compaction job's
     layout, not the ingest path's."""
+    # one width for normalization AND interleave, capped to a long's
+    # usable bits (see zorder_key): 2 cols keep 16, 4 get 15, 5 get 12
+    bits = min(bits, 63 // len(cols))
     stats = df.agg(
         *[F.min(c).alias(f"__lo_{c}") for c in cols],
         *[F.max(c).alias(f"__hi_{c}") for c in cols],

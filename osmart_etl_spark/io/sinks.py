@@ -496,9 +496,15 @@ def _write_layout_exclusive(spark: SparkSession, layout_path: str, layout: dict)
 
     from osmart_etl_spark.io.atomic import _fs
 
+    from osmart_etl_spark.io.atomic import _assert_atomic_create_scheme
+
     data = _json.dumps(layout, sort_keys=True)
     jvm, fs, hpath = _fs(spark, layout_path)
     fs.mkdirs(hpath.getParent())
+    if fs.getUri().getScheme() != "file":
+        # same CAS-atomicity rule as io/atomic's commit locks: refuse
+        # schemes whose create-no-overwrite is a check/act race
+        _assert_atomic_create_scheme(spark, fs.getUri().getScheme())
     if fs.getUri().getScheme() == "file":
         import os as _os
 
@@ -765,6 +771,7 @@ def merge_accumulate(
     *,
     batch_id: str,
     ledger_path: str,
+    max_cols: list[str] | None = None,
 ) -> bool:
     """Incremental-view maintenance for an ADDITIVE aggregate: fold a
     batch's partial sums into a materialized per-key aggregate table.
@@ -814,10 +821,10 @@ def merge_accumulate(
         if dup:
             return False
 
-    partial, acc_types = _additive_partial(updates, keys, sum_cols)
+    partial, acc_types = _additive_partial(updates, keys, sum_cols, max_cols)
     if path_exists(spark, path):
         cur = spark.read.parquet(path)
-        merged = _additive_merge(cur, partial, keys, sum_cols, acc_types)
+        merged = _additive_merge(cur, partial, keys, sum_cols, acc_types, max_cols)
         merged = merged.localCheckpoint(eager=True)
         merged.write.mode("overwrite").parquet(path)
     else:
@@ -835,7 +842,12 @@ def merge_accumulate(
     return True
 
 
-def _additive_partial(updates: DataFrame, keys: list[str], sum_cols: list[str]):
+def _additive_partial(
+    updates: DataFrame,
+    keys: list[str],
+    sum_cols: list[str],
+    max_cols: list[str] | None = None,
+):
     """Per-key partial sums of a batch (map-side combined) with the
     accumulator types pinned ONCE. Convention: accumulated sums are
     0-based, not NULL-based (an all-NULL key stores 0) — applied
@@ -845,13 +857,24 @@ def _additive_partial(updates: DataFrame, keys: list[str], sum_cols: list[str]):
     matching that incrementally would need a has-nonnull flag per
     column for no operational benefit. Without the cast-back, decimal
     sums widen by one digit per merge (28,2 → 29,2 → … → 38,2),
-    changing the stored schema every batch until the cap."""
+    changing the stored schema every batch until the cap.
+
+    ``max_cols`` (round 12): keep-MAX accumulators alongside the sums —
+    MAX is the other commutative/associative/idempotent monoid an
+    incremental rollup needs (latest event time, high-water ids). NULLs
+    stay NULL until a value arrives (MAX ignores NULLs on both the
+    partial and the merge side), so an all-NULL key is distinguishable
+    from one that saw an epoch-zero value."""
+    max_cols = max_cols or []
     partial = updates.groupBy(*keys).agg(
-        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).alias(c) for c in sum_cols]
+        *[F.coalesce(F.sum(F.col(c)), F.lit(0)).alias(c) for c in sum_cols],
+        *[F.max(F.col(c)).alias(c) for c in max_cols],
     )
     acc_types = {c: partial.schema[c].dataType.simpleString() for c in sum_cols}
     partial = partial.select(
-        *keys, *[F.col(c).cast(acc_types[c]).alias(c) for c in sum_cols]
+        *keys,
+        *[F.col(c).cast(acc_types[c]).alias(c) for c in sum_cols],
+        *max_cols,
     )
     return partial, acc_types
 
@@ -862,15 +885,19 @@ def _additive_merge(
     keys: list[str],
     sum_cols: list[str],
     acc_types: dict,
+    max_cols: list[str] | None = None,
 ) -> DataFrame:
     """Full-outer fold of a batch's partials into the aggregate table
     (one row per key ever — the compact thing a 100 TB event history
-    folds down to)."""
+    folds down to). Sum columns add; ``max_cols`` keep the greatest
+    value seen (F.greatest skips NULLs, so a one-sided key keeps its
+    side's value)."""
     from functools import reduce
 
+    max_cols = max_cols or []
     p = partial.select(
         *[F.col(k).alias(f"__k_{k}") for k in keys],
-        *[F.col(c).alias(f"__u_{c}") for c in sum_cols],
+        *[F.col(c).alias(f"__u_{c}") for c in sum_cols + max_cols],
     )
     cond = reduce(
         lambda a, b: a & b,
@@ -884,6 +911,10 @@ def _additive_merge(
                 + F.coalesce(F.col(f"__u_{c}"), F.lit(0))
             ).cast(acc_types[c]).alias(c)
             for c in sum_cols
+        ],
+        *[
+            F.greatest(cur[c], F.col(f"__u_{c}")).alias(c)
+            for c in max_cols
         ],
     )
 
@@ -926,6 +957,7 @@ def merge_accumulate_versioned(
     batch_id: str | tuple[str, int],
     keep_versions: int = 8,
     max_retries: int = 10,
+    max_cols: list[str] | None = None,
 ) -> bool:
     """Exactly-once additive incremental-view maintenance — the
     CAS-protected completion of ``merge_accumulate`` (round 11). That
@@ -994,7 +1026,7 @@ def merge_accumulate_versioned(
     )
 
     base = table.rstrip("/")
-    partial, acc_types = _additive_partial(updates, keys, sum_cols)
+    partial, acc_types = _additive_partial(updates, keys, sum_cols, max_cols)
     jvm, fs, _ = _fs(spark, base)
 
     if isinstance(batch_id, tuple):
@@ -1038,7 +1070,8 @@ def merge_accumulate_versioned(
                 if _is_dup(ledger):
                     return False
                 merged = _additive_merge(
-                    spark.read.parquet(ver_dir), partial, keys, sum_cols, acc_types
+                    spark.read.parquet(ver_dir), partial, keys, sum_cols,
+                    acc_types, max_cols,
                 )
                 new_ledger = _applied(ledger)
                 expected = cur[0]

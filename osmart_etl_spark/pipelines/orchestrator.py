@@ -80,9 +80,21 @@ def run_etl(
             ),
         ),
     ]
+    # Real intra-store dependencies only: stock_points consumes the raw
+    # log raw_movements writes; sales is INDEPENDENT of both (it reads
+    # events_path directly). A blanket break-on-failure stalled the
+    # whole inventory lake whenever e.g. a misconfigured jdbc_ventas
+    # killed the sales stage — the reference's per-ETL try/except keeps
+    # independent pipelines advancing (round-12 review).
+    deps = {"sales": (), "raw_movements": (), "stock_points": ("raw_movements",)}
     for store in stores:
+        failed_stages: set[str] = set()
         for stage_name, stage in stages:
             key = f"{stage_name}:{store}"
+            blocked = [d for d in deps[stage_name] if d in failed_stages]
+            if blocked:
+                report.failed[key] = f"skipped: dependency {blocked[0]} failed"
+                continue
             try:
                 wm = stage(store)
                 report.succeeded.append(key)
@@ -90,5 +102,5 @@ def run_etl(
             except Exception as exc:  # noqa: BLE001 — isolation by design
                 log.exception("stage %s failed for store %s", stage_name, store)
                 report.failed[key] = str(exc)
-                break  # later stages of THIS store depend on earlier ones
+                failed_stages.add(stage_name)
     return report

@@ -11,6 +11,16 @@ predicate pushes to the source) → groupBy conditional agg → payment
 normalization (all when/otherwise, no UDF) → keyed upsert → watermark
 advance. Stores are a column, not a loop: a single run covers every
 store in one job, partitioned by tienda.
+
+Round 12 — incremental-view-maintenance shape: the reference's grain
+(ven_id) is immutable once extracted, so replace-per-key is safe there;
+this pipeline's grain (user_id) straddles watermark slices, so slice
+RAW sums fold additively into a per-key accumulator
+(io/sinks.merge_accumulate_versioned — exactly-once via the ledger,
+seq = slice max event_id) and the normalized table re-derives from the
+accumulator each tick (O(keys), one compact row per key ever).
+Two-tick == one-shot equality is pinned by
+tests/test_pipelines.py::test_sales_incremental_two_runs.
 """
 
 from __future__ import annotations
@@ -92,33 +102,70 @@ def run_sales_incremental(
     under re-runs.
     """
     store = WatermarkStore(spark, watermark_path)
+    accum_path = f"{sink_path.rstrip('/')}_accum"
 
     def extract(spark_, last):
         events = spark_.read.parquet(events_path)
-        batch = extract_sales(events, int(last) if last is not None else None)
-        return enrich_extract(
-            normalize_payments(batch), tienda=tienda, source_system="sicar"
-        )
+        # RAW per-key slice partials only — normalization moves to load,
+        # AFTER the additive fold (round-12 review): a keep-latest
+        # REPLACE of per-user totals computed over one watermark slice
+        # clobbered the cumulative history whenever a user was active
+        # across two ticks (run 1: user A sums 500; run 2: A sums 30 →
+        # sink said 30). The reference never hits this because its
+        # grain, ven_id, is immutable once extracted
+        # (extract_latest_sicar_sales.sql GROUP BY ven_id); user_id is
+        # NOT slice-contained, so the Spark-first shape is incremental
+        # VIEW MAINTENANCE: fold slice sums into a per-key accumulator,
+        # derive the normalized table from the accumulator.
+        return extract_sales(events, int(last) if last is not None else None)
 
     def load(batch: DataFrame) -> None:
+        # 1) fold the slice's raw sums into the per-key accumulator —
+        # table + applied-batch ledger publish as ONE CAS commit
+        # (io/sinks.merge_accumulate_versioned). The batch id's seq is
+        # the slice's max event_id: strictly increasing across
+        # non-empty ticks, so a crash-replayed slice is rejected by the
+        # committed high-water-mark instead of double-counted.
+        seq = batch.agg(F.max("last_event_id")).first()[0]
+        from osmart_etl_spark.io.sinks import merge_accumulate_versioned
+
+        merge_accumulate_versioned(
+            spark,
+            batch,
+            accum_path,
+            keys=["user_id"],
+            sum_cols=["efectivo_in", "tarjeta_in", "total_venta"],
+            max_cols=["fecha_hora", "last_event_id"],
+            batch_id=(f"sales:{tienda}", int(seq)),
+        )
+        # 2) the published table is a pure function of the accumulator
+        # (one compact row per key EVER — re-deriving it wholesale is
+        # O(keys), not O(history)): normalize + enrich + keep-latest
+        # upsert. Idempotent by construction — a replayed tick folds
+        # nothing (ledger) and re-publishes identical rows.
+        from osmart_etl_spark.io.atomic import read_committed
+
+        normalized = enrich_extract(
+            normalize_payments(read_committed(spark, accum_path)),
+            tienda=tienda, source_system="sicar",
+        )
         if jdbc:
             # Two sinks, ONE evaluation: without the cut the JDBC
-            # staging write would re-run the whole extract lineage, and
-            # source files landing between the two actions would reach
-            # the DB but not the lake (silent divergence).
-            batch = batch.localCheckpoint(eager=True)
+            # staging write would re-run the normalization lineage, and
+            # a concurrent fold landing between the two actions would
+            # reach the DB but not the lake (silent divergence).
+            normalized = normalized.localCheckpoint(eager=True)
         # Round 7: the lake upsert goes through the manifest-committed
         # atomic sink (io/atomic.upsert_versioned) — a crash anywhere
         # mid-write leaves the previous version fully readable, and a
         # concurrent duplicate run surfaces as ConcurrentCommitError
-        # instead of a silent lost update. The old in-place
-        # ``upsert_parquet`` (io/sinks.py) is no longer reachable from
-        # pipeline code; read the sink back via atomic.read_committed.
+        # instead of a silent lost update.
         upsert_versioned(
-            spark, batch, sink_path,
+            spark, normalized, sink_path,
             keys=["user_id", "tienda", "source_system"],
             order_col="extracted_at",
         )
+        batch = normalized  # the JDBC mirror below lands the same rows
         if jdbc:
             from osmart_etl_spark.io.jdbc_sink import jdbc_upsert
 

@@ -57,13 +57,19 @@ class WatermarkStore:
         self.path = path
 
     def read_all(self) -> DataFrame:
+        from osmart_etl_spark.io.atomic import current_version, read_committed
         from osmart_etl_spark.io.sources import path_exists
 
         # Only a genuinely missing store reads as empty; a transient FS
         # error must raise, not silently reset the watermark (which would
         # re-extract and duplicate-append the whole history).
+        if current_version(self.spark, self.path) is not None:
+            return read_committed(self.spark, self.path).select(
+                *[f.name for f in WATERMARK_SCHEMA.fields]
+            )
         if not path_exists(self.spark, self.path):
             return self.spark.createDataFrame([], WATERMARK_SCHEMA)
+        # pre-round-12 plain layout — adopted on the next set()
         return self.spark.read.schema(WATERMARK_SCHEMA).parquet(self.path)
 
     def get(self, pipeline: str, store: str) -> str | None:
@@ -76,23 +82,54 @@ class WatermarkStore:
         return rows[0]["wm_value"] if rows else None
 
     def set(self, pipeline: str, store: str, value: str) -> None:
-        from osmart_etl_spark.io.sinks import upsert_keep_latest
+        # Round 12 (review): the old in-place mode("overwrite") rewrite
+        # had a delete-then-write window — a crash there lost EVERY
+        # pipeline's watermark at once, and the next tick's full
+        # re-extract duplicate-appended whole histories into append
+        # sinks. The manifest-committed upsert closes the window (a
+        # crash leaves the previous version readable), adopts an
+        # existing plain-layout store on first write, and turns a
+        # concurrent tick's lost update into a loud
+        # ConcurrentCommitError (the tick retries; loads are
+        # idempotent).
+        from osmart_etl_spark.io.atomic import upsert_versioned
 
         new = self.spark.createDataFrame(
             [(pipeline, store, value, None)], WATERMARK_SCHEMA
         ).withColumn("updated_at", F.current_timestamp())
-        old = self.read_all()
-        merged = upsert_keep_latest(old, new, ["pipeline", "store"], "updated_at")
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(self.path)
+        upsert_versioned(
+            self.spark, new, self.path,
+            keys=["pipeline", "store"], order_col="updated_at",
+        )
 
     def reset(self, pipeline: str, store: str) -> None:
-        """reset_last_*.sql analogue — drop the watermark row."""
-        old = self.read_all().filter(
+        """reset_last_*.sql analogue — drop the watermark row (a full
+        REPLACE version through the same commit log as ``set``)."""
+        from osmart_etl_spark.io.atomic import (
+            commit_version,
+            current_version,
+            upsert_versioned,
+        )
+        from osmart_etl_spark.io.sources import path_exists
+
+        if current_version(self.spark, self.path) is None:
+            if not path_exists(self.spark, self.path):
+                return  # nothing to reset
+            # legacy plain layout: adopt it (merge of an empty batch
+            # commits the existing rows as v1 and sweeps the plain
+            # files), then the CAS replace below drops the row
+            empty = self.spark.createDataFrame([], WATERMARK_SCHEMA)
+            upsert_versioned(
+                self.spark, empty, self.path,
+                keys=["pipeline", "store"], order_col="updated_at",
+            )
+        kept = self.read_all().filter(
             ~((F.col("pipeline") == pipeline) & (F.col("store") == store))
         )
-        old = old.localCheckpoint(eager=True)
-        old.write.mode("overwrite").parquet(self.path)
+        commit_version(
+            self.spark, kept, self.path,
+            expected_seq=current_version(self.spark, self.path)[0],
+        )
 
 
 def run_incremental(
@@ -117,6 +154,14 @@ def run_incremental(
     """
     last = store.get(pipeline, source_name)
     batch = extract(spark, last)
+    # ONE evaluation of the extract lineage (round-12 review): wm_expr's
+    # aggregate and load's sink write used to each run the full DAG —
+    # doubling every tick's scan/groupBy cost and letting the two
+    # evaluations observe different source states (files landing between
+    # the wm job and the load job) or different nondeterministic columns
+    # (extracted_at timestamps). localCheckpoint materializes on the
+    # executors once; both consumers read the same rows.
+    batch = batch.localCheckpoint(eager=True)
     new_wm = wm_expr(batch)
     if new_wm is None:
         return None  # empty batch — nothing past the watermark

@@ -495,3 +495,45 @@ def test_build_unique_index_sql_mysql_golden():
         "ALTER TABLE `ventas_limpias` ADD CONSTRAINT "
         "`ventas_limpias_upsert_uk` UNIQUE (`ven_id`, `tienda`, `source_system`)"
     )
+
+
+def test_unique_index_probe_on_preexisting_table(spark, derby_url):
+    """Round-12 (review): a pre-existing mysql-dialect target without a
+    UNIQUE(keys) constraint turns the ON DUPLICATE KEY idiom into a
+    blind duplicating INSERT — the probe must detect the missing
+    constraint (metadata is engine-portable, so Derby exercises it)."""
+    import pytest
+
+    from osmart_etl_spark.io.jdbc_sink import (
+        _execute_sql,
+        _require_unique_index,
+    )
+
+    _execute_sql(
+        spark, derby_url,
+        "CREATE TABLE bare_target (k1 INT NOT NULL, k2 INT NOT NULL, v DOUBLE)",
+        driver=DRIVER,
+    )
+    with pytest.raises(RuntimeError, match="no UNIQUE index"):
+        _require_unique_index(
+            spark, derby_url, "bare_target", ["k1", "k2"], driver=DRIVER
+        )
+    # a unique index over a DIFFERENT column set still fails
+    _execute_sql(
+        spark, derby_url,
+        "ALTER TABLE bare_target ADD CONSTRAINT bt_uk1 UNIQUE (k1)",
+        driver=DRIVER,
+    )
+    with pytest.raises(RuntimeError, match="no UNIQUE index"):
+        _require_unique_index(
+            spark, derby_url, "bare_target", ["k1", "k2"], driver=DRIVER
+        )
+    # the exact composite constraint satisfies the probe
+    _execute_sql(
+        spark, derby_url,
+        "ALTER TABLE bare_target ADD CONSTRAINT bt_uk2 UNIQUE (k1, k2)",
+        driver=DRIVER,
+    )
+    _require_unique_index(
+        spark, derby_url, "bare_target", ["k1", "k2"], driver=DRIVER
+    )

@@ -41,6 +41,50 @@ def test_watermark_store_roundtrip(spark, tmp_path):
     assert ws.get("sales", "s2") == "7"
 
 
+def test_watermark_store_is_versioned_and_adopts_legacy(spark, tmp_path):
+    """Round-12 (review): the watermark table goes through the
+    manifest-committed upsert — no in-place overwrite window that could
+    lose EVERY pipeline's watermark at once. A pre-round-12 plain
+    parquet store is adopted transparently, and a crash mid-set leaves
+    the previous version fully readable."""
+    import os
+
+    from osmart_etl_spark.io.atomic import current_version
+    from osmart_etl_spark.streaming.incremental import (
+        WATERMARK_SCHEMA,
+        WatermarkStore,
+    )
+
+    # legacy plain-layout store from an earlier deployment
+    p = str(tmp_path / "wm_legacy")
+    spark.createDataFrame(
+        [("sales", "s1", "100", None)], WATERMARK_SCHEMA
+    ).write.parquet(p)
+    ws = WatermarkStore(spark, p)
+    assert ws.get("sales", "s1") == "100"  # readable pre-adoption
+    ws.set("inventory", "s1", "42")  # first versioned write adopts
+    assert current_version(spark, p) is not None
+    assert ws.get("sales", "s1") == "100"  # legacy row survived adoption
+    assert ws.get("inventory", "s1") == "42"
+    # plain legacy files swept; only the versioned layout remains
+    assert all(n.startswith(("_", ".")) for n in os.listdir(p))
+
+    # crash mid-set: a fully staged but unpublished version is invisible
+    ws.set("sales", "s1", "200")
+    seq_before = current_version(spark, p)[0]
+    orphan = f"{p}/_v-deadbeef0000"
+    spark.createDataFrame(
+        [("sales", "s1", "999", None)], WATERMARK_SCHEMA
+    ).write.parquet(orphan)
+    assert ws.get("sales", "s1") == "200"  # orphan never read
+
+    # reset drops one row through the same commit log
+    ws.reset("inventory", "s1")
+    assert ws.get("inventory", "s1") is None
+    assert ws.get("sales", "s1") == "200"
+    assert current_version(spark, p)[0] > seq_before
+
+
 def test_upsert_keep_latest(spark):
     from osmart_etl_spark.io.sinks import upsert_keep_latest
 
@@ -95,9 +139,20 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
     assert final.groupBy("user_id", "tienda", "source_system").count().filter(
         F.col("count") > 1
     ).count() == 0
-    # user 1 row reflects ONLY the incremental slice (per-batch agg upsert)
-    u1 = final.filter(F.col("user_id") == 1).collect()[0]
-    assert float(u1["total_venta"]) == 15.0
+    # round 12 (review fix): per-user totals are CUMULATIVE across
+    # ticks — the incremental folds must equal the one-shot aggregate
+    # over the full history, for EVERY user (the old per-slice replace
+    # clobbered user 1's prior history down to the last slice's 15.0)
+    from osmart_etl_spark.pipelines.sales import extract_sales
+
+    expect = {
+        r["user_id"]: str(r["total_venta"])
+        for r in extract_sales(
+            spark.read.parquet(events_parquet), None
+        ).collect()
+    }
+    got = {r["user_id"]: str(r["total_venta"]) for r in final.collect()}
+    assert got == expect
 
 
 def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
@@ -134,10 +189,16 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     calls = {"n": 0}
 
     def die_at_publish(spark_, base):
-        # first call inside commit_version happens AFTER staging —
-        # dying here models a crash between the two phases mid-pipeline
-        calls["n"] += 1
-        raise Boom()
+        # Crash between the SINK's staging and publish. The pipeline now
+        # makes earlier _commit_log calls (versioned watermark store,
+        # accumulator fold — round 12), so gate on the sink path and die
+        # on its SECOND call: the first is upsert_versioned's snapshot
+        # read, the second is inside publish — i.e. AFTER staging.
+        if str(base).rstrip("/") == sink:
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise Boom()
+        return real_log(spark_, base)
 
     monkeypatch.setattr(atomic, "_commit_log", die_at_publish)
     with pytest.raises(Boom):
@@ -391,7 +452,34 @@ def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
         watermark_path=str(tmp_path / "wm2"),
         stores=("tienda_bad", "tienda_also_bad"),
     )
-    assert set(bad.failed) == {"sales:tienda_bad", "sales:tienda_also_bad"}
+    # round 12: sales and raw_movements are INDEPENDENT — each records
+    # its own failure (both read the missing events path); stock_points
+    # is skipped because its real dependency (raw_movements) failed
+    assert set(bad.failed) == {
+        "sales:tienda_bad", "raw_movements:tienda_bad",
+        "stock_points:tienda_bad",
+        "sales:tienda_also_bad", "raw_movements:tienda_also_bad",
+        "stock_points:tienda_also_bad",
+    }
+    assert bad.failed["stock_points:tienda_bad"].startswith("skipped:")
+    assert not bad.failed["raw_movements:tienda_bad"].startswith("skipped:")
+
+    # the scenario the round-12 review flagged: a broken SALES sink
+    # (bogus JDBC) must NOT stall the independent inventory chain
+    part = run_etl(
+        spark,
+        events_path=events_parquet,
+        ventas_path=str(tmp_path / "ventas3"),
+        raw_log_path=str(tmp_path / "raw3"),
+        points_path=str(tmp_path / "points3"),
+        watermark_path=str(tmp_path / "wm3"),
+        stores=("tienda_01",),
+        jdbc_ventas={"url": "jdbc:nosuchdriver:nowhere", "table": "x"},
+    )
+    assert set(part.failed) == {"sales:tienda_01"}
+    assert "raw_movements:tienda_01" in part.succeeded
+    assert "stock_points:tienda_01" in part.succeeded
+    assert read_committed(spark, str(tmp_path / "points3")).count() > 0
 
 
 def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
