@@ -46,8 +46,20 @@ def quarantine(
         .withColumn("reason", F.col("__reason"))
         .drop("__reason")
         .withColumn(
+            # concat_ws SKIPS nulls, so (x, NULL) and (NULL, x) would
+            # collide into one audit key and the read-time dedup would
+            # drop a genuinely distinct offending row — encode NULL as
+            # an explicit sentinel instead (round-12 review). Non-null
+            # keys produce byte-identical uniq values as before.
             "uniq",
-            F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols], F.col("reason")),
+            F.concat_ws(
+                "|",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\u2400"))
+                    for c in key_cols
+                ],
+                F.col("reason"),
+            ),
         )
         .withColumn("logged_at", F.current_timestamp())
     )

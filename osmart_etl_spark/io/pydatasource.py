@@ -48,7 +48,10 @@ def _row_for(event_id: int) -> tuple:
     h = hashlib.md5(f"synth:{event_id}".encode()).digest()
     user_id = int.from_bytes(h[0:4], "big") % 1000
     etype = _EVENT_TYPES[h[4] % len(_EVENT_TYPES)]
-    # value in [-50, 450), 2 decimal digits, sign flip for errors
+    # value in [-50, 450), 2 decimal digits. NO sign handling here —
+    # error-event negation happens downstream in the consumers
+    # (daily_net_windowed / replay_stateful); flipping it at the source
+    # too would double-negate every error aggregate.
     value = round((int.from_bytes(h[5:8], "big") % 50000) / 100.0 - 50.0, 2)
     ts = _EPOCH + timedelta(seconds=int.from_bytes(h[8:11], "big") % (30 * 86400))
     return (event_id, ts, user_id, etype, value)
@@ -206,6 +209,8 @@ class JsonLinesWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import time
+        import uuid as _uuid
 
         # Part names carry the job token: a second append to the same
         # path must never collide with (and clobber) an earlier job's
@@ -222,23 +227,64 @@ class JsonLinesWriter(DataSourceWriter):
         # duplicate staged files from speculative/retried tasks whose
         # message lost the race: retire this job's leftover staging
         self._remove_job_staging()
-        if self.overwrite:
-            # retire every previously published part not in this job
-            keep = {p["file"] for p in published}
-            for name in os.listdir(self.path):
-                if name.startswith("part-") and name not in keep:
-                    os.remove(os.path.join(self.path, name))
-            manifest = published
+        # Manifest update under an O_EXCL lock (round-12 review): the
+        # append path is a read-modify-write — two concurrent committers
+        # without the lock would both read the same prior list and the
+        # second write would erase the first job's files from the
+        # manifest (committed rows invisible to _SUCCESS-honoring
+        # readers). Same CAS primitive as io/atomic's commit locks;
+        # bounded retry, stale locks older than 60 s are swept (a
+        # committer holds it for milliseconds).
+        lock = os.path.join(self.path, "_SUCCESS.lock")
+        for attempt in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 60:
+                        os.remove(lock)  # dead committer
+                        continue
+                except FileNotFoundError:
+                    continue
+                time.sleep(0.05)
         else:
-            # append: the manifest accumulates so a _SUCCESS-honoring
-            # reader sees every committed job, not just the last one
-            prior = []
-            if os.path.exists(manifest_path):
-                with open(manifest_path) as f:
-                    prior = json.load(f).get("files", [])
-            manifest = prior + published
-        with open(manifest_path, "w") as f:
-            json.dump({"files": manifest}, f)
+            raise TimeoutError(f"could not acquire manifest lock {lock}")
+        try:
+            if self.overwrite:
+                # retire ONLY the parts the prior manifest owned (plus
+                # this path's orphans from crashed jobs) — never a
+                # concurrent committer's freshly published files
+                prior_owned = set()
+                if os.path.exists(manifest_path):
+                    with open(manifest_path) as f:
+                        prior_owned = {
+                            p["file"] for p in json.load(f).get("files", [])
+                        }
+                keep = {p["file"] for p in published}
+                for name in os.listdir(self.path):
+                    if name in prior_owned and name not in keep:
+                        os.remove(os.path.join(self.path, name))
+                manifest = published
+            else:
+                # append: the manifest accumulates so a _SUCCESS-honoring
+                # reader sees every committed job, not just the last one
+                prior = []
+                if os.path.exists(manifest_path):
+                    with open(manifest_path) as f:
+                        prior = json.load(f).get("files", [])
+                manifest = prior + published
+            # atomic swap — a reader never observes a torn manifest
+            tmp = manifest_path + f".tmp-{_uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                json.dump({"files": manifest}, f)
+            os.replace(tmp, manifest_path)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     def _remove_job_staging(self) -> None:
         import os

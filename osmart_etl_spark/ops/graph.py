@@ -110,6 +110,22 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter without convergence leaves some nodes at
+        # intermediate minima — a wrong ANSWER, not a degraded one (two
+        # nodes of one component with different ids). Fail loudly, the
+        # same contract as connected_components_bigstar (round-12
+        # review; the bigstar twin is the right tool past ~25-round
+        # diameters anyway).
+        raise RuntimeError(
+            f"connected_components: no fixed point after {max_iter} "
+            "rounds (component diameter exceeds max_iter); raise "
+            "max_iter or use connected_components_bigstar (O(log^2 n))"
+        )
+    # the changed-count actions materialized `labels`; the edge cache is
+    # no longer needed — unpinning it here instead of leaking one copy
+    # per call for the life of the session (round-12 review)
+    und.unpersist()
     return labels
 
 
@@ -174,16 +190,25 @@ def connected_components_bigstar(
     keys; here every round's reduction is a map-side-combinable MIN and
     the edge set itself shrinks toward the final star per round.
     """
-    cur = (
-        edges.select(
-            F.greatest(F.col(src), F.col(dst)).alias("u"),
-            F.least(F.col(src), F.col(dst)).alias("v"),
-        )
-        .filter(F.col("u") != F.col("v"))
+    canon = edges.select(
+        F.greatest(F.col(src), F.col(dst)).alias("u"),
+        F.least(F.col(src), F.col(dst)).alias("v"),
+    ).persist()
+    # nodes whose ONLY edges are self-loops would vanish at the u != v
+    # filter, while the min-label twin emits them as trivial components
+    # (its init includes the self rows) — capture them up front so both
+    # implementations keep the same output contract (round-12 review).
+    # Materialized eagerly (tiny) because `canon` unpersists right after.
+    selfies = (
+        canon.filter(F.col("u") == F.col("v"))
+        .select(F.col("u").alias("node"))
         .distinct()
-        .persist()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
     )
+    cur = canon.filter(F.col("u") != F.col("v")).distinct().persist()
     cur.count()
+    canon.unpersist()
     prev_sig = None
     for i in range(max_iter):
         # ONE alternation pair per materialization. Fusing two pairs
@@ -248,4 +273,9 @@ def connected_components_bigstar(
     roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")
     )
-    return comps.union(roots).groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        comps.union(roots)
+        .union(selfies)
+        .groupBy("node")
+        .agg(F.min("component").alias("component"))
+    )

@@ -49,7 +49,13 @@ def pack_sequences(
     base = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.pmod(F.col(id_col), F.lit(n_shards)).cast("long").alias("shard"),
-        F.least(token_count.cast("long"), F.lit(capacity)).alias("n"),
+        # coalesce BEFORE the clamp: F.least skips NULLs, so a NULL
+        # token count (null text) would silently become a phantom
+        # full-capacity doc occupying a whole bin (round-12 review) —
+        # an empty doc packs as 0 tokens instead.
+        F.least(
+            F.coalesce(token_count.cast("long"), F.lit(0)), F.lit(capacity)
+        ).alias("n"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

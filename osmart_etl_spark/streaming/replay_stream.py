@@ -42,11 +42,19 @@ def daily_net_windowed(events: DataFrame, late: str = "1 day") -> DataFrame:
     by the watermark — exactly the reference's only-complete-days rule.
     Works identically on batch DataFrames (window() is just an expr).
     """
-    signed = F.when(F.col("event_type") == "error", -F.col("value")).otherwise(F.col("value"))
+    # DECIMAL(18,2) accumulation (the engine-wide money rule, as the
+    # sessionize/hopping siblings already do): raw-double sums depend on
+    # per-micro-batch addition order, so stream==batch would only hold
+    # under rounding (round-12 review).
+    v = F.col("value").cast("decimal(18,2)")
+    signed = F.when(F.col("event_type") == "error", -v).otherwise(v)
     return (
         events.withWatermark("ts", late)
         .groupBy(F.window("ts", "1 day").alias("w"), F.col("user_id"))
-        .agg(F.sum(signed).alias("net_value"), F.count(F.lit(1)).alias("n_events"))
+        .agg(
+            F.sum(signed).cast("double").alias("net_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
         .select(
             F.col("w.start").alias("day_start"),
             "user_id",
@@ -60,8 +68,9 @@ def hopping_engagement_windowed(events: DataFrame, late: str = "1 day") -> DataF
     """Streaming twin of queries/analytics4.hopping_window_engagement:
     7-day window hopping by 1 day via the built-in sliding window()
     (state = 7 concurrently-open windows per key, sealed by the
-    watermark in append mode). Exact-distinct user counts per window —
-    at scale the approx_count_distinct swap applies per window."""
+    watermark in append mode). User counts are APPROXIMATE by design
+    (approx_count_distinct/HLL, ~2% error — the column name says so);
+    the batch twin makes the same swap at scale."""
     return (
         events.withWatermark("ts", late)
         .groupBy(F.window("ts", "7 days", "1 day").alias("w"))
@@ -167,16 +176,24 @@ def replay_stateful(events: DataFrame) -> DataFrame:
         (user_id,) = key
         running = state.get[0] if state.exists else 0.0
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for row in pdf.itertuples(index=False):
-                if row.event_type == "signup":
-                    running = float(row.value)
-                elif row.event_type == "error":
-                    running -= float(row.value)
-                else:
-                    running += float(row.value)
-                out.append((user_id, row.event_id, row.ts, running))
+        # ONE sort over the whole group: Arrow hands a key's micro-batch
+        # as MULTIPLE chunks past maxRecordsPerBatch (default 10k rows),
+        # and sorting each chunk independently only orders rows
+        # per-chunk — a later-ts event in chunk 1 would be applied
+        # before an earlier-ts event in chunk 2, silently corrupting
+        # the running state (round-12 review). Concatenating first is
+        # bounded by the key's per-micro-batch row count, which the
+        # Python loop below holds in memory anyway.
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        whole = whole.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in whole.itertuples(index=False):
+            if row.event_type == "signup":
+                running = float(row.value)
+            elif row.event_type == "error":
+                running -= float(row.value)
+            else:
+                running += float(row.value)
+            out.append((user_id, row.event_id, row.ts, running))
         state.update((running,))
         yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "running"])
 
@@ -214,15 +231,17 @@ def ewma_stateful(events: DataFrame) -> DataFrame:
         (user_id,) = key
         hist = list(state.get[0]) if state.exists else []
         out = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-            for row in pdf.itertuples(index=False):
-                v = float(row.value)
-                e = v
-                for d, pv in enumerate(hist):
-                    e = e + pv / float(1 << (d + 1))
-                out.append((user_id, row.event_id, e))
-                hist = [v] + hist[:6]
+        # one sort over the whole group — per-chunk sorts are only a
+        # partial order (see replay_stateful, round-12 review)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        whole = whole.sort_values(["ts", "event_id"], kind="mergesort")
+        for row in whole.itertuples(index=False):
+            v = float(row.value)
+            e = v
+            for d, pv in enumerate(hist):
+                e = e + pv / float(1 << (d + 1))
+            out.append((user_id, row.event_id, e))
+            hist = [v] + hist[:6]
         state.update((hist,))
         yield pd.DataFrame(out, columns=["user_id", "event_id", "ewma8"])
 
@@ -279,16 +298,17 @@ def replay_transform_with_state(events: DataFrame) -> DataFrame:
             (user_id,) = key
             running = self._running.get()[0] if self._running.exists() else 0.0
             out = []
-            for pdf in rows:
-                pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
-                for row in pdf.itertuples(index=False):
-                    if row.event_type == "signup":
-                        running = float(row.value)
-                    elif row.event_type == "error":
-                        running -= float(row.value)
-                    else:
-                        running += float(row.value)
-                    out.append((user_id, row.event_id, row.ts, running))
+            # one sort over the whole group (see replay_stateful)
+            whole = pd.concat(list(rows), ignore_index=True)
+            whole = whole.sort_values(["ts", "event_id"], kind="mergesort")
+            for row in whole.itertuples(index=False):
+                if row.event_type == "signup":
+                    running = float(row.value)
+                elif row.event_type == "error":
+                    running -= float(row.value)
+                else:
+                    running += float(row.value)
+                out.append((user_id, row.event_id, row.ts, running))
             self._running.update((running,))
             yield pd.DataFrame(out, columns=["user_id", "event_id", "ts", "running"])
 

@@ -162,3 +162,37 @@ def test_bigstar_skewed_giant_cluster_within_2x_uniform(spark):
     assert n_skew == n_small * (small_sz + 1) + giant_sz + 1
     # giant component resolved to one label
     assert t_skew <= max(2.0 * t_uni, t_uni + 2.0), (t_skew, t_uni)
+
+
+def test_components_self_loop_only_nodes_match_across_impls(spark):
+    """Round-12 (review): a node whose only edges are self-loops must be
+    a trivial component in BOTH implementations — bigstar used to drop
+    it at the canonicalize filter."""
+    from osmart_etl_spark.ops.graph import (
+        connected_components,
+        connected_components_bigstar,
+    )
+
+    edges = spark.createDataFrame(
+        [(7, 7), (1, 2), (9, 9)], "id_a bigint, id_b bigint"
+    )
+    a = {r.node: r.component for r in connected_components(edges).collect()}
+    b = {r.node: r.component for r in connected_components_bigstar(edges).collect()}
+    assert a == b == {1: 1, 2: 1, 7: 7, 9: 9}
+
+
+def test_components_nonconvergence_raises_loudly(spark):
+    """Round-12 (review): exhausting max_iter without a fixed point is a
+    WRONG answer (nodes at intermediate minima), so it must raise — the
+    same contract the bigstar twin always had."""
+    import pytest
+
+    from osmart_etl_spark.ops.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with pytest.raises(RuntimeError, match="no fixed point"):
+        connected_components(chain, max_iter=1)
+    out = {r.node: r.component for r in connected_components(chain).collect()}
+    assert set(out.values()) == {0}
