@@ -66,6 +66,24 @@ def get_spark(
         # by default in Spark 4.1; reader init fails without it when a
         # source implements pushFilters.
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # Round 13 (measured): InferFiltersFromGenerate turns every
+        # explode(expensive_array_expr) into a size(expr)>0 filter that
+        # Catalyst pushes through projects/exchanges down to the SCAN,
+        # re-evaluating the full expression per row a second time —
+        # for the shingle/minhash family the whole normalize+shingle
+        # transform ran serially in the single-task scan stage (14.4 s
+        # of the 19.2 s cold dedup_minhash_lsh; cold fell to 6.6 s with
+        # the rule excluded). Our generators are all fed by computed,
+        # never-empty arrays (shingle_array yields >=1 element by
+        # construction), so the inferred filter prunes nothing and
+        # costs a duplicate O(corpus) evaluation — at 100 TB that is
+        # pure wasted CPU on every scan task. Purely physical: results
+        # are identical (full oracle parity re-run under this config,
+        # PARITY_r13.json).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # 100 TB scans: bound per-task input so partitions fit in memory.
         .config("spark.sql.files.maxPartitionBytes", "256m")
