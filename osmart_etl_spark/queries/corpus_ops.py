@@ -537,6 +537,40 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric for dedup graphs: near-dup clusters should be near-cliques,
     so a low triangle-to-wedge ratio flags a banding collision
     problem."""
+    return graph_triangle_count_at(spark, sf_dir)
+
+
+#: Edge count below which the oriented adjacency broadcasts (round 13).
+#: (s, t, dt) rows are ~24 B framed; 2M edges ≈ 50 MB broadcast — far
+#: under the 8 GB relation cap, comfortably inside executor memory.
+_TRI_BCAST_EDGE_BUDGET = 2_000_000
+
+
+def graph_triangle_count_at(
+    spark: SparkSession, sf_dir: str, *, bcast_edge_budget: int = _TRI_BCAST_EDGE_BUDGET
+) -> DataFrame:
+    """Size-dispatched physical shape behind ``graph_triangle_count``
+    (both paths compute identical rows; tests pin the equality).
+
+    Round 13 (VERDICT r12 #1 — timings of 1.1/7.4/16.3/24.5 s across
+    rounds on identical code+data): the instability was (a) the
+    InferFiltersFromGenerate scan pathology in the shared shingle
+    pipeline (fixed in session.py) and (b) every post-edge join left to
+    AQE over unmaterialized tiny caches — 4 SortMergeJoins whose
+    sort/exchange placement flapped run to run. Fix: materialize the
+    edge cache ONCE eagerly (the setsim_exact_join discipline — the
+    count also prices the dispatch below), then, while the oriented
+    adjacency fits a broadcast, pin every downstream join as a
+    broadcast hash join: degree attach, wedge self-join, closing-edge
+    probe. The wedge stream — the one quadratic-ish intermediate — is
+    then NEVER exchanged: it flows map-side from the oriented cache
+    through two broadcast probes into a partial count
+    (tests/test_plans.py plan-lock). Past the budget (graphs whose edge
+    set outgrows a broadcast) the shuffle form is the correct shape —
+    wedges ⋈ edges keyed on the closing edge is the classic
+    distributed triangle count — and is what a 100 TB candidate graph
+    would run; the dispatch is runtime stats, not dataset assumptions.
+    """
     from osmart_etl_spark.ops.dedup import (
         candidate_pairs,
         minhash_band_keys,
@@ -548,12 +582,21 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_sets(d, "doc_id", "text", k=5), "doc_id", num_hashes=16, rows_per_band=4
     )
     edges = candidate_pairs(bands, "doc_id").persist()
+    # ONE eager materialization: every downstream subtree (degree agg,
+    # the oriented broadcasts, n_edges) reads this cache; cold
+    # concurrent broadcast jobs otherwise race to build it serially.
+    # The scalar doubles as the dispatch stat (a single count, no rows
+    # to the driver).
+    n_e = edges.count()
+    small = n_e <= bcast_edge_budget
     und = edges.select(F.col("id_a").alias("n1"), F.col("id_b").alias("n2")).unionAll(
         edges.select(F.col("id_b").alias("n1"), F.col("id_a").alias("n2"))
     )
     deg = und.groupBy(F.col("n1").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("node").alias("u_n"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("v_n"), F.col("d").alias("db"))
+    if small:  # degree table ≤ 2·edges rows — broadcast the attach
+        da, db = F.broadcast(da), F.broadcast(db)
     e = (
         edges.join(da, F.col("id_a") == F.col("u_n"))
         .join(db, F.col("id_b") == F.col("v_n"))
@@ -564,12 +607,15 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(u_first, F.col("id_b")).otherwise(F.col("id_a")).alias("t"),
         F.when(u_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
     ).persist()
+    oriented.count()  # materialize before the broadcast subtrees race
     o1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("dt1"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("dt2"))
+    closing = oriented.select(F.col("s").alias("c_s"), F.col("t").alias("c_t"))
+    if small:
+        o2, closing = F.broadcast(o2), F.broadcast(closing)
     wedges = o1.join(o2, "s").filter(
         F.struct(F.col("dt1"), F.col("t1")) < F.struct(F.col("dt2"), F.col("t2"))
     )
-    closing = oriented.select(F.col("s").alias("c_s"), F.col("t").alias("c_t"))
     tri = wedges.join(
         closing, (F.col("t1") == F.col("c_s")) & (F.col("t2") == F.col("c_t"))
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))

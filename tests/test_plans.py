@@ -675,3 +675,28 @@ def test_no_forced_broadcast_of_fact_proportional_tables(spark):
             )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+
+
+def test_triangle_count_broadcast_locked(spark):
+    """Round 13 (VERDICT r12 #1): below the edge budget, every join
+    after candidate-pair generation must be a broadcast hash join —
+    the 4 AQE-flapping SortMergeJoins (degree attach ×2, wedge
+    self-join, closing-edge probe) were the 1.1–24.5 s instability.
+    The wedge stream must never hit an exchange."""
+    from osmart_etl_spark.queries.corpus_ops import graph_triangle_count
+
+    plan = _formatted_plan(graph_triangle_count(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_triangle_count_paths_agree(spark):
+    """The size dispatch never changes results: the shuffle form
+    (budget 0 — what a 100 TB candidate graph runs) and the broadcast
+    form must produce the identical single row."""
+    from osmart_etl_spark.queries.corpus_ops import graph_triangle_count_at
+
+    small = graph_triangle_count_at(spark, SF_SMALL).collect()
+    big = graph_triangle_count_at(spark, SF_SMALL, bcast_edge_budget=0).collect()
+    assert [r.asDict() for r in small] == [r.asDict() for r in big]
+    assert small[0]["n_edges"] > 0
