@@ -43,6 +43,23 @@ def main() -> None:
         except Exception:  # warmup is best-effort; never let it void the bench
             pass
 
+    def calibrate() -> float:
+        """Fixed CPU-bound probe (no I/O, no shuffle): 200M xxhash64 in
+        one codegen stage. Its time moves with box load/JIT only —
+        recorded before and after the sweep so a regressed total can be
+        attributed to machine weather vs code (VERDICT r12 #2). Runs
+        twice, keeps the second (steady-state, JIT absorbed)."""
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(0, 200_000_000, 1, 32).selectExpr(
+                "bit_xor(xxhash64(id)) AS s"  # no-overflow fold (ANSI-safe)
+            ).collect()
+            best = time.time() - t0
+        return round(best, 3)
+
+    calib_before = calibrate()
+
     def run_once(qd) -> float:
         t0 = time.time()
         df = qd.fn(spark, sf_dir)
@@ -78,6 +95,8 @@ def main() -> None:
             timings[name] = round(best, 3)
             errors.pop(name, None)
 
+    calib_after = calibrate()
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     ok = [v for v in timings.values() if isinstance(v, (int, float))]
     result = {
@@ -88,6 +107,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "n_ok": len(ok),
         "n_err": len(timings) - len(ok),
+        # load/noise indicator (VERDICT r12 #2): same fixed CPU probe
+        # before and after the sweep; compare across rounds to separate
+        # box weather from code regressions.
+        "calib_sec": {"before": calib_before, "after": calib_after},
     }
     if errors:
         result["errors"] = errors
