@@ -227,29 +227,31 @@ class JsonLinesWriter(DataSourceWriter):
         # duplicate staged files from speculative/retried tasks whose
         # message lost the race: retire this job's leftover staging
         self._remove_job_staging()
-        # Manifest update under an O_EXCL lock (round-12 review): the
-        # append path is a read-modify-write — two concurrent committers
-        # without the lock would both read the same prior list and the
-        # second write would erase the first job's files from the
-        # manifest (committed rows invisible to _SUCCESS-honoring
-        # readers). Same CAS primitive as io/atomic's commit locks;
-        # bounded retry, stale locks older than 60 s are swept (a
-        # committer holds it for milliseconds).
+        # Manifest update under a kernel flock (round 13, ADVICE r12):
+        # the append path is a read-modify-write — two concurrent
+        # committers without the lock would both read the same prior
+        # list and the second write would erase the first job's files
+        # from the manifest. The former O_EXCL lockfile + stale-mtime
+        # sweep had a TOCTOU: committer A reads a stale mtime, B sweeps
+        # the same stale lock and O_EXCL-creates a FRESH one, then A's
+        # remove deletes B's fresh lock and two committers enter the
+        # RMW together. flock has no staleness problem (the kernel
+        # releases it when the holder dies, so there is nothing to
+        # sweep) — reliable here because this sink is local-FS by
+        # contract. The lock FILE persists; deleting it would break
+        # mutual exclusion for a holder flocked on the unlinked inode.
+        import fcntl
+
         lock = os.path.join(self.path, "_SUCCESS.lock")
+        lock_fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         for attempt in range(200):
             try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
+                fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                 break
-            except FileExistsError:
-                try:
-                    if time.time() - os.path.getmtime(lock) > 60:
-                        os.remove(lock)  # dead committer
-                        continue
-                except FileNotFoundError:
-                    continue
+            except OSError:
                 time.sleep(0.05)
         else:
+            os.close(lock_fd)
             raise TimeoutError(f"could not acquire manifest lock {lock}")
         try:
             if self.overwrite:
@@ -281,10 +283,8 @@ class JsonLinesWriter(DataSourceWriter):
                 json.dump({"files": manifest}, f)
             os.replace(tmp, manifest_path)
         finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
 
     def _remove_job_staging(self) -> None:
         import os

@@ -275,7 +275,17 @@ def probe_mkv(buf: bytes) -> dict:
                 if hid == DOCTYPE:
                     doctype = buf[hs:he].split(b"\x00")[0].decode("latin-1")
         elif eid == SEGMENT:
-            for sid, ss, se in parse_elements(buf, ds, de):
+            # Two passes over the Segment children (ADVICE r12): in
+            # streamed Matroska a Cluster may legally PRECEDE the
+            # Tracks element, so block accounting must filter against
+            # the FINAL video-track set — the old single pass counted
+            # every track's blocks for early clusters (fallback) but
+            # video-only for later ones, making n_blocks/
+            # keyframe_blocks inconsistent. parse_elements is a cheap
+            # re-enterable offset walk over the same buffer; pass 1
+            # never touches media payloads.
+            seg_children = list(parse_elements(buf, ds, de))
+            for sid, ss, se in seg_children:
                 if sid == SEGMENT_INFO:
                     for iid, is_, ie in parse_elements(buf, ss, se):
                         if iid == TIMESTAMP_SCALE:
@@ -289,7 +299,8 @@ def probe_mkv(buf: bytes) -> dict:
                             tracks.append(t)
                             if t["track_type"] == "video":
                                 video_tracks.add(t["track_number"])
-                elif sid == CLUSTER:
+            for sid, ss, se in seg_children:
+                if sid == CLUSTER:
                     cluster_offsets.append(ss)
                     for cid, cs, ce in parse_elements(buf, ss, se):
                         if cid == SIMPLE_BLOCK:

@@ -103,10 +103,15 @@ def run_raw_movements_incremental(
     )
 
 
-#: Chunk expression for the EP3 replay's skew-proof form: weekly ranges
-#: of the leading order column (non-decreasing in `fecha`, the contract
-#: replay_running_balance_chunked requires).
-_EP3_CHUNK_WEEKS = F.floor(F.unix_micros("fecha") / F.lit(7 * 86400 * 1_000_000))
+def _ep3_chunk_weeks():
+    """Chunk expression for the EP3 replay's skew-proof form: weekly
+    ranges of the leading order column (non-decreasing in `fecha`, the
+    contract replay_running_balance_chunked requires). A FUNCTION, not
+    a module constant (ADVICE r12): building a Column requires an
+    active SparkSession in Spark 4, so a module-level expression made
+    `import osmart_etl_spark.pipelines.inventory` crash before session
+    creation [SESSION_OR_CONTEXT_NOT_EXISTS]."""
+    return F.floor(F.unix_micros("fecha") / F.lit(7 * 86400 * 1_000_000))
 
 
 def compute_stock_points(
@@ -153,7 +158,7 @@ def compute_stock_points(
     if max_key_rows is not None:
         eff = replay_running_balance_auto(
             mv, key="art_id", order=["fecha", "id"],
-            chunk=_EP3_CHUNK_WEEKS,
+            chunk=_ep3_chunk_weeks(),
             max_key_rows=max_key_rows, task_row_budget=task_row_budget,
             delta_col="delta_cantidad", is_absolute_col="is_absolute",
             abs_value_col="abs_stock_after", init_col=init_col,

@@ -106,6 +106,28 @@ def run_sales_incremental(
 
     def extract(spark_, last):
         events = spark_.read.parquet(events_path)
+        # Event-level re-filter against the COMMITTED fold ledger, not
+        # just the watermark (ADVICE r12): the hwm alone only rejects a
+        # replay of the IDENTICAL slice. If a run crashes after
+        # merge_accumulate_versioned commits but before store.set
+        # advances the watermark, and new events land before the retry,
+        # the re-extracted slice would aggregate old+new events with a
+        # HIGHER max event_id — the hwm accepts it and the already-
+        # folded events are summed twice. Excising event_id <= hwm from
+        # the slice makes the retry fold exactly the unfolded suffix
+        # (the reference's watermark + re-filter discipline at the
+        # event grain). One metadata-file read, no data pass.
+        last_id = int(last) if last is not None else None
+        from osmart_etl_spark.io.sinks import read_accumulate_ledger
+
+        try:
+            hwm = read_accumulate_ledger(spark_, accum_path)["hwm"].get(
+                f"sales:{tienda}"
+            )
+        except FileNotFoundError:
+            hwm = None  # first tick — no committed fold yet
+        if hwm is not None:
+            last_id = int(hwm) if last_id is None else max(last_id, int(hwm))
         # RAW per-key slice partials only — normalization moves to load,
         # AFTER the additive fold (round-12 review): a keep-latest
         # REPLACE of per-user totals computed over one watermark slice
@@ -117,7 +139,7 @@ def run_sales_incremental(
         # NOT slice-contained, so the Spark-first shape is incremental
         # VIEW MAINTENANCE: fold slice sums into a per-key accumulator,
         # derive the normalized table from the accumulator.
-        return extract_sales(events, int(last) if last is not None else None)
+        return extract_sales(events, last_id)
 
     def load(batch: DataFrame) -> None:
         # 1) fold the slice's raw sums into the per-key accumulator —
@@ -138,7 +160,11 @@ def run_sales_incremental(
             max_cols=["fecha_hora", "last_event_id"],
             batch_id=(f"sales:{tienda}", int(seq)),
         )
-        # 2) the published table is a pure function of the accumulator
+        # 2) publish (shared with the crash-recovery path below)
+        publish_from_accum()
+
+    def publish_from_accum() -> None:
+        # The published table is a pure function of the accumulator
         # (one compact row per key EVER — re-deriving it wholesale is
         # O(keys), not O(history)): normalize + enrich + keep-latest
         # upsert. Idempotent by construction — a replayed tick folds
@@ -183,7 +209,29 @@ def run_sales_incremental(
         row = batch.agg(F.max("last_event_id").alias("m")).first()
         return row["m"]
 
-    return run_incremental(
+    # Crash recovery BEFORE the tick (ADVICE r12, second half): a crash
+    # after the fold committed but before store.set leaves
+    # hwm > watermark with the publish possibly never run. The fold is
+    # durable, so finish the interrupted tick first: re-publish from
+    # the accumulator (idempotent) and advance the watermark to the
+    # hwm. Together with extract's hwm excision this closes the
+    # double-count window from BOTH sides — already-folded events are
+    # never re-summed, and a fold is never left unpublished.
+    recovered_wm = None
+    from osmart_etl_spark.io.sinks import read_accumulate_ledger
+
+    try:
+        hwm = read_accumulate_ledger(spark, accum_path)["hwm"].get(f"sales:{tienda}")
+    except FileNotFoundError:
+        hwm = None
+    last = store.get("sales", tienda)
+    if hwm is not None and (last is None or int(last) < int(hwm)):
+        publish_from_accum()
+        store.set("sales", tienda, str(int(hwm)))
+        recovered_wm = int(hwm)
+
+    new_wm = run_incremental(
         spark, store=store, pipeline="sales", source_name=tienda,
         extract=extract, load=load, wm_expr=wm,
     )
+    return new_wm if new_wm is not None else recovered_wm

@@ -245,3 +245,60 @@ def test_block_header_skips_lacing_tables():
 
     with pytest.raises(ValueError, match="truncated"):
         _parse_block_header(head + bytes([0x82]), 0, 4)
+
+
+def test_probe_mkv_streamed_cluster_before_tracks():
+    """ADVICE r12: in streamed Matroska a Cluster may legally precede
+    the Tracks element. Block accounting must use the FINAL video-track
+    set — the old single pass counted the audio track's blocks for
+    clusters seen before Tracks (empty-set fallback) but video-only
+    after, so the same media in the two orderings disagreed."""
+    import struct
+
+    from osmart_etl_spark.ops import mkv as M
+
+    def sb(track_vint: bytes, ts: int, flags: int, data: bytes) -> bytes:
+        return M._el(
+            M.SIMPLE_BLOCK, track_vint + struct.pack(">h", ts) + bytes([flags]) + data
+        )
+
+    header = M._el(
+        M.EBML_HEADER,
+        M._el(0x4286, b"\x01") + M._el(M.DOCTYPE, b"matroska"),
+    )
+    info = M._el(M.SEGMENT_INFO, M._el_uint(M.TIMESTAMP_SCALE, 1_000_000))
+    video_entry = M._el(
+        M.TRACK_ENTRY,
+        M._el_uint(M.TRACK_NUMBER, 1)
+        + M._el_uint(M.TRACK_TYPE, 1)
+        + M._el(M.CODEC_ID, b"V_VP9")
+        + M._el(M.VIDEO, M._el_uint(M.PIXEL_WIDTH, 64) + M._el_uint(M.PIXEL_HEIGHT, 48)),
+    )
+    audio_entry = M._el(
+        M.TRACK_ENTRY,
+        M._el_uint(M.TRACK_NUMBER, 2)
+        + M._el_uint(M.TRACK_TYPE, 2)
+        + M._el(M.CODEC_ID, b"A_OPUS"),
+    )
+    tracks = M._el(M.TRACKS, video_entry + audio_entry)
+    # two clusters, each with one video keyframe + one audio block
+    cl = [
+        M._el(
+            M.CLUSTER,
+            M._el_uint(M.CLUSTER_TIMESTAMP, i * 100)
+            + sb(b"\x81", 0, 0x80, b"vid%d" % i)
+            + sb(b"\x82", 0, 0x00, b"aud%d" % i),
+        )
+        for i in range(2)
+    ]
+    normal = header + M._el(M.SEGMENT, info + tracks + cl[0] + cl[1])
+    streamed = header + M._el(M.SEGMENT, info + cl[0] + tracks + cl[1])
+
+    p_normal = M.probe_mkv(normal)
+    p_streamed = M.probe_mkv(streamed)
+    # video-only accounting, identical regardless of element order
+    assert p_normal["n_blocks"] == 2
+    assert p_normal["keyframe_blocks"] == [1, 2]
+    assert p_streamed["n_blocks"] == p_normal["n_blocks"]
+    assert p_streamed["keyframe_blocks"] == p_normal["keyframe_blocks"]
+    assert [t["track_type"] for t in p_streamed["tracks"]] == ["video", "audio"]

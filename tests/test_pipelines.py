@@ -804,3 +804,78 @@ def test_merge_accumulate_versioned_crash_between_stage_and_publish(spark, tmp_p
     assert not merge_accumulate_versioned(
         spark, batch, table, keys=["k"], sum_cols=["n"], batch_id="b0"
     )
+
+
+def test_sales_crash_window_no_double_count(spark, tmp_path, events_parquet):
+    """ADVICE r12: crash AFTER the accumulator fold commits but BEFORE
+    the watermark advances, with new events landing before the retry.
+    The retry's slice then spans already-folded + new events with a
+    HIGHER max event_id, so the ledger hwm alone accepts it — the
+    event-level re-filter against the committed hwm must excise the
+    already-folded prefix, or monetary totals double-count silently."""
+    from osmart_etl_spark.pipelines.sales import (
+        extract_sales,
+        run_sales_incremental,
+    )
+    from osmart_etl_spark.streaming.incremental import WatermarkStore
+
+    sink = str(tmp_path / "ventas")
+    wmp = str(tmp_path / "wm")
+
+    wm1 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm1 is not None
+
+    # simulate the crash window: the fold committed (tick 1 above) but
+    # the watermark write never happened
+    WatermarkStore(spark, wmp).reset("sales", "tienda_01")
+
+    # new events land before the retry
+    new = spark.createDataFrame(
+        [
+            (wm1 + 1, dt.datetime(2025, 1, 2, 10), 1, "purchase", 40.0, "{}"),
+            (wm1 + 2, dt.datetime(2025, 1, 2, 11), 2, "click", 7.0, "{}"),
+        ],
+        spark.read.parquet(events_parquet).schema,
+    )
+    new.write.mode("append").parquet(events_parquet)
+
+    # the retry: watermark is gone, so the slice is the FULL history +
+    # the new rows — only the unfolded suffix may fold
+    wm2 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
+    )
+    assert wm2 == wm1 + 2
+
+    final = read_committed(spark, sink)
+    expect = {
+        r["user_id"]: str(r["total_venta"])
+        for r in extract_sales(spark.read.parquet(events_parquet), None).collect()
+    }
+    got = {r["user_id"]: str(r["total_venta"]) for r in final.collect()}
+    assert got == expect  # pre-fix: every pre-crash event counted twice
+
+
+def test_inventory_imports_without_session():
+    """ADVICE r12: the module must import before any SparkSession
+    exists (Column construction deferred into _ep3_chunk_weeks)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import osmart_etl_spark.pipelines.inventory as m; "
+            "print('imported', m.__name__)",
+        ],
+        capture_output=True,
+        text=True,
+        cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo},
+    )
+    assert out.returncode == 0, out.stderr
+    assert "imported" in out.stdout
