@@ -378,9 +378,17 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", (-F.col("b.ns")).cast("bigint").alias("cluster_id"))
     )
+    # Round 13 (measured, tools/stage_profile): the cold query was ~15
+    # serialized sub-second driver jobs — every broadcast build and
+    # both `cand` consumers re-derived their shared lineage from the
+    # scan. Persist + one eager materialization each for the two
+    # multiply-referenced tiny tables (cand: candidate ids; dt: the
+    # M×K=32-row ADC table) turns 6 subtree recomputations into cache
+    # reads; cold wall 5.5 s → ~3 s, and run-to-run spread collapses.
     cand = assign.join(
         F.broadcast(qsel), assign.cluster_id == F.col("seed_id")
-    ).select("vec_id", "cluster_id")
+    ).select("vec_id", "cluster_id").persist()
+    cand.count()
     codes = _encode(spark, emb, targets=cand)
     vec = F.col("embedding").cast("array<double>")
     subs = spark.range(_M).select(F.col("id").cast("int").alias("m"))
@@ -391,7 +399,8 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = _codebooks(spark, emb).join(F.broadcast(qsub), "m").select(
         "m", "seed_id", _l2sq(F.col("q_sub"), F.col("s_vec")).alias("dq")
-    )
+    ).persist()
+    dt.count()
     out = codes
     total = F.lit(0.0)
     for m in range(_M):
