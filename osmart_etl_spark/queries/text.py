@@ -1805,10 +1805,18 @@ def lsh_recall_audit_at(
     jac = inter.cast("double") / (
         F.size("sa") + F.size("sb") - inter
     ).cast("double")
+    # Size-ratio prefilter (round 13, the entity_fuzzy_match bound):
+    # J >= 0.5 requires max(|A|,|B|) <= 2*min(|A|,|B|) — a sound
+    # necessary condition on two ints, so the O(|A|+|B|) hash-set
+    # array_intersect only runs for pairs that can still qualify
+    # (And short-circuits left to right). No false drops: the bound is
+    # implied by the threshold, results bit-identical.
+    na, nb = F.size("sa"), F.size("sb")
+    ratio_ok = F.greatest(na, nb) <= F.least(na, nb) * 2
     exact = (
         a.crossJoin(b)
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(jac >= 0.5)
+        .filter(ratio_ok & (jac >= 0.5))
         .select("id_a", "id_b")
     )
     found = exact.join(cand, ["id_a", "id_b"])
