@@ -28,7 +28,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from osmart_etl_spark.io.atomic import upsert_versioned
 from osmart_etl_spark.ops.relational import (
     conditional_override,
     enrich_extract,
@@ -90,6 +89,7 @@ def run_sales_incremental(
     watermark_path: str,
     tienda: str = "tienda_01",
     jdbc: dict | None = None,
+    n_buckets: int = 64,
 ) -> int | None:
     """One EP1 incremental run; returns the new watermark (max event_id).
 
@@ -160,19 +160,33 @@ def run_sales_incremental(
             max_cols=["fecha_hora", "last_event_id"],
             batch_id=(f"sales:{tienda}", int(seq)),
         )
-        # 2) publish (shared with the crash-recovery path below)
-        publish_from_accum()
+        # 2) publish only the keys THIS fold changed (VERDICT r12 #3):
+        # the batch is already localCheckpoint'd by run_incremental, so
+        # the key list is a cheap projection of materialized rows.
+        publish_from_accum(batch.select("user_id").distinct())
 
-    def publish_from_accum() -> None:
+    def publish_from_accum(changed_keys: DataFrame | None) -> None:
         # The published table is a pure function of the accumulator
-        # (one compact row per key EVER — re-deriving it wholesale is
-        # O(keys), not O(history)): normalize + enrich + keep-latest
-        # upsert. Idempotent by construction — a replayed tick folds
-        # nothing (ledger) and re-publishes identical rows.
+        # (one compact row per key EVER). Round 13 (VERDICT r12 #3):
+        # the publish is BUCKET-INCREMENTAL — normalize + enrich is
+        # derived only for ``changed_keys`` (the keys this tick's fold
+        # touched; None = all keys, the recovery/backfill path) and
+        # lands through the bucket-granular versioned merge sink, so a
+        # tick that changed one user rewrites one bucket
+        # (O(|delta| + table/n_buckets)), not the whole O(keys) table.
+        # Values are identical either way (the accumulator never drops
+        # keys and normalization is per-row); untouched keys keep their
+        # committed bucket version byte-for-byte — ``extracted_at`` now
+        # reads as "last time this key's totals changed", which is the
+        # honest provenance. Read the table with
+        # ``io/sinks.read_merge_table``.
         from osmart_etl_spark.io.atomic import read_committed
 
+        acc = read_committed(spark, accum_path)
+        if changed_keys is not None:
+            acc = acc.join(changed_keys, "user_id", "left_semi")
         normalized = enrich_extract(
-            normalize_payments(read_committed(spark, accum_path)),
+            normalize_payments(acc),
             tienda=tienda, source_system="sicar",
         )
         if jdbc:
@@ -181,15 +195,20 @@ def run_sales_incremental(
             # a concurrent fold landing between the two actions would
             # reach the DB but not the lake (silent divergence).
             normalized = normalized.localCheckpoint(eager=True)
-        # Round 7: the lake upsert goes through the manifest-committed
-        # atomic sink (io/atomic.upsert_versioned) — a crash anywhere
-        # mid-write leaves the previous version fully readable, and a
-        # concurrent duplicate run surfaces as ConcurrentCommitError
-        # instead of a silent lost update.
-        upsert_versioned(
+        # The lake upsert goes through the bucket-granular versioned
+        # merge sink (io/sinks.merge_upsert_partitioned): every touched
+        # bucket publishes a NEW immutable version via the commit log —
+        # a crash anywhere leaves each bucket at a complete version and
+        # a concurrent duplicate run surfaces as ConcurrentCommitError,
+        # the same guarantees the whole-table versioned sink gave, plus
+        # O(delta)-bucket writes per tick.
+        from osmart_etl_spark.io.sinks import merge_upsert_partitioned
+
+        merge_upsert_partitioned(
             spark, normalized, sink_path,
             keys=["user_id", "tienda", "source_system"],
             order_col="extracted_at",
+            n_buckets=n_buckets,
         )
         batch = normalized  # the JDBC mirror below lands the same rows
         if jdbc:
@@ -226,7 +245,7 @@ def run_sales_incremental(
         hwm = None
     last = store.get("sales", tienda)
     if hwm is not None and (last is None or int(last) < int(hwm)):
-        publish_from_accum()
+        publish_from_accum(None)  # changed keys unknown — full publish
         store.set("sales", tienda, str(int(hwm)))
         recovered_wm = int(hwm)
 

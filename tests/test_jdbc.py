@@ -311,7 +311,9 @@ def test_sales_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     )
     assert wm3 == wm1 + 2
 
-    lake = read_committed(spark, sink)
+    from osmart_etl_spark.io.sinks import read_merge_table
+
+    lake = read_merge_table(spark, sink)
     db = jdbc_scan(spark, derby_url, "ventas_limpias", driver=DRIVER)
     key = lambda r: (r["user_id"], r["tienda"], r["source_system"])  # noqa: E731
     lake_rows = {key(r): (r["total_venta"], r["last_event_id"]) for r in lake.collect()}

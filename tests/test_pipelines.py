@@ -11,6 +11,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.atomic import read_committed
+from osmart_etl_spark.io.sinks import read_merge_table
 
 from tests.conftest import SF_SMALL
 
@@ -112,7 +113,7 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
     assert wm1 is not None
-    n1 = read_committed(spark, sink).count()
+    n1 = read_merge_table(spark, sink).count()
     assert n1 > 0
 
     wm2 = run_sales_incremental(
@@ -134,7 +135,7 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
     assert wm3 == wm1 + 2
-    final = read_committed(spark, sink)
+    final = read_merge_table(spark, sink)
     # still one row per (user, tienda, source_system)
     assert final.groupBy("user_id", "tienda", "source_system").count().filter(
         F.col("count") > 1
@@ -172,7 +173,7 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     wm1 = run_sales_incremental(
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
-    v1 = sorted(tuple(r) for r in read_committed(spark, sink).drop(
+    v1 = sorted(tuple(r) for r in read_merge_table(spark, sink).drop(
         "extracted_at", "last_event_id"
     ).collect())
 
@@ -189,12 +190,13 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     calls = {"n": 0}
 
     def die_at_publish(spark_, base):
-        # Crash between the SINK's staging and publish. The pipeline now
-        # makes earlier _commit_log calls (versioned watermark store,
-        # accumulator fold — round 12), so gate on the sink path and die
-        # on its SECOND call: the first is upsert_versioned's snapshot
-        # read, the second is inside publish — i.e. AFTER staging.
-        if str(base).rstrip("/") == sink:
+        # Crash between the SINK's staging and publish. The sink is now
+        # the bucket-granular merge table (round 13), whose commit-log
+        # reads happen at per-bucket dirs `<sink>/bucket=<b>`; gate on
+        # those and die on the SECOND call for the run's touched bucket:
+        # the first is _bucket_snapshot's current_version read, the
+        # second is inside publish_staged — i.e. AFTER staging.
+        if str(base).rstrip("/").startswith(f"{sink}/bucket="):
             calls["n"] += 1
             if calls["n"] >= 2:
                 raise Boom()
@@ -210,7 +212,7 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     # previous version intact, watermark NOT advanced past wm1
     assert sorted(
         tuple(r)
-        for r in read_committed(spark, sink).drop(
+        for r in read_merge_table(spark, sink).drop(
             "extracted_at", "last_event_id"
         ).collect()
     ) == v1
@@ -219,7 +221,7 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
         spark, events_path=events_parquet, sink_path=sink, watermark_path=wmp
     )
     assert wm3 == wm1 + 1
-    assert read_committed(spark, sink).filter(F.col("user_id") == 2).count() >= 1
+    assert read_merge_table(spark, sink).filter(F.col("user_id") == 2).count() >= 1
 
 
 def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
@@ -848,13 +850,81 @@ def test_sales_crash_window_no_double_count(spark, tmp_path, events_parquet):
     )
     assert wm2 == wm1 + 2
 
-    final = read_committed(spark, sink)
+    final = read_merge_table(spark, sink)
     expect = {
         r["user_id"]: str(r["total_venta"])
         for r in extract_sales(spark.read.parquet(events_parquet), None).collect()
     }
     got = {r["user_id"]: str(r["total_venta"]) for r in final.collect()}
     assert got == expect  # pre-fix: every pre-crash event counted twice
+
+
+def test_sales_publish_is_bucket_incremental(spark, tmp_path, events_parquet):
+    """VERDICT r12 #3: a tick whose delta touches ONE user rewrites only
+    that user's bucket — every untouched bucket's committed files stay
+    byte-identical across the tick (same file set, same bytes), proving
+    the publish is O(|delta| + table/n_buckets), not O(keys)."""
+    import hashlib
+    import os
+
+    from osmart_etl_spark.pipelines.sales import run_sales_incremental
+
+    sink = str(tmp_path / "ventas")
+    wmp = str(tmp_path / "wm")
+    wm1 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink,
+        watermark_path=wmp, n_buckets=8,
+    )
+    assert wm1 is not None
+
+    def snap():
+        out = {}
+        for root, _dirs, files in os.walk(sink):
+            for f in files:
+                p = os.path.join(root, f)
+                with open(p, "rb") as fh:
+                    out[os.path.relpath(p, sink)] = hashlib.sha256(
+                        fh.read()
+                    ).hexdigest()
+        return out
+
+    before = snap()
+
+    new = spark.createDataFrame(
+        [(wm1 + 1, dt.datetime(2025, 3, 1, 9), 1, "purchase", 9.0, "{}")],
+        spark.read.parquet(events_parquet).schema,
+    )
+    new.write.mode("append").parquet(events_parquet)
+    wm2 = run_sales_incremental(
+        spark, events_path=events_parquet, sink_path=sink,
+        watermark_path=wmp, n_buckets=8,
+    )
+    assert wm2 == wm1 + 1
+    after = snap()
+
+    # user 1's bucket, computed with the TABLE's own column types (the
+    # sink hashes typed columns; a python literal could hash differently)
+    lake = read_merge_table(spark, sink)
+    touched = lake.filter(F.col("user_id") == 1).select(
+        F.pmod(
+            F.hash(F.col("user_id"), F.col("tienda"), F.col("source_system")),
+            F.lit(8),
+        ).alias("b")
+    ).first()["b"]
+    pfx = f"bucket={touched}/"
+
+    untouched_before = {
+        p: h for p, h in before.items()
+        if p.startswith("bucket=") and not p.startswith(pfx)
+    }
+    untouched_after = {
+        p: h for p, h in after.items()
+        if p.startswith("bucket=") and not p.startswith(pfx)
+    }
+    assert untouched_before, "expected >1 bucket before the tick"
+    assert untouched_after == untouched_before  # byte-identical, no new files
+    # and the touched bucket DID gain a new committed version
+    assert any(p.startswith(pfx) and p not in before for p in after)
 
 
 def test_inventory_imports_without_session():
