@@ -652,6 +652,37 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard distributed-peeling shape (Montresor et al. 2013 use
     the same edge-vs-alive iteration).
     """
+    return graph_kcore_peel_at(spark, sf_dir)
+
+
+#: Edge count below which the per-round alive sets broadcast (round 13).
+#: alive ≤ 2·edges node ids (8 B each): 2M edges ⇒ ≤ 4M nodes ≈ 32 MB
+#: per broadcast — far under the relation cap, and it only SHRINKS
+#: round over round, so one dispatch decision holds for the whole peel.
+_KC_BCAST_EDGE_BUDGET = 2_000_000
+
+
+def graph_kcore_peel_at(
+    spark: SparkSession, sf_dir: str, *, bcast_edge_budget: int = _KC_BCAST_EDGE_BUDGET
+) -> DataFrame:
+    """Size-dispatched physical shape behind ``graph_kcore_peel`` (both
+    paths compute identical rows; tests pin the equality).
+
+    Round 13 (measured): left to the planner, every one of the 16 peel
+    rounds BROADCAST THE FULL EDGE TABLE (27 MB at sf0.1 — build side
+    of the first alive join) and sort-merge-joined the second —
+    16 edge-table broadcasts + 16 sorts made this the suite's slowest
+    query (6.9 s best-of-3). The peel joins exist only to intersect
+    edges with the alive set, and ALIVE is the small, shrinking side:
+    below the edge budget both alive probes are pinned as broadcast
+    hash joins, so the persisted edge cache streams map-side through
+    two hash probes into a partial degree count — one small exchange
+    per round, zero sorts, zero edge-table broadcasts. Past the budget
+    (node-sized alive too big to broadcast) the shuffle form is the
+    correct 100 TB shape and runs unchanged; the dispatch is runtime
+    stats (the same count that eagerly prices the edge cache), not a
+    dataset assumption.
+    """
     li = read_table(spark, sf_dir, "lineitem")
     # pair generation MAP-SIDE from per-order sorted arrays with
     # numbered repartitions (the item_cooccurrence discipline) — the
@@ -692,13 +723,21 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = pairs.unionByName(
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
+    # ONE eager materialization: all 16 rounds read this cache, and the
+    # scalar prices the broadcast dispatch (alive ≤ 2·n_e node ids).
+    n_e = sym.count()
+    small = n_e <= bcast_edge_budget
 
     alive = sym.select(F.col("u").alias("node")).distinct()
     deg = None
     for _ in range(_KC_T):
+        a_u = alive.withColumnRenamed("node", "u")
+        a_v = alive.withColumnRenamed("node", "v")
+        if small:
+            a_u, a_v = F.broadcast(a_u), F.broadcast(a_v)
         deg = (
-            sym.join(alive.withColumnRenamed("node", "u"), "u")
-            .join(alive.withColumnRenamed("node", "v"), "v")
+            sym.join(a_u, "u")
+            .join(a_v, "v")
             .groupBy("u")
             .agg(F.count(F.lit(1)).alias("d"))
         )

@@ -700,3 +700,30 @@ def test_triangle_count_paths_agree(spark):
     big = graph_triangle_count_at(spark, SF_SMALL, bcast_edge_budget=0).collect()
     assert [r.asDict() for r in small] == [r.asDict() for r in big]
     assert small[0]["n_edges"] > 0
+
+
+def test_kcore_peel_broadcast_locked(spark):
+    """Round 13: below the edge budget every peel round's two alive
+    joins must be broadcast hash joins of the ALIVE side — left to the
+    planner, each of the 16 rounds broadcast the full edge table and
+    sort-merge-joined the second probe (the suite's slowest query)."""
+    from osmart_etl_spark.queries.linkage import graph_kcore_peel
+
+    plan = _formatted_plan(graph_kcore_peel(spark, SF_SMALL))
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_kcore_peel_paths_agree(spark):
+    """The size dispatch never changes results: the shuffle form
+    (budget 0 — node-sized alive past broadcast reach) and the
+    broadcast form must produce identical rows."""
+    from osmart_etl_spark.queries.linkage import graph_kcore_peel_at
+
+    key = lambda r: (r["part"], r["core_degree"])  # noqa: E731
+    small = sorted(graph_kcore_peel_at(spark, SF_SMALL).collect(), key=key)
+    big = sorted(
+        graph_kcore_peel_at(spark, SF_SMALL, bcast_edge_budget=0).collect(), key=key
+    )
+    assert [r.asDict() for r in small] == [r.asDict() for r in big]
+    assert small  # non-degenerate: the sf0.001 graph has a 3-core
