@@ -56,6 +56,18 @@ CLUSTER_TIMESTAMP = 0xE7
 SIMPLE_BLOCK = 0xA3
 BLOCK_GROUP = 0xA0
 BLOCK = 0xA1
+# Cues — the seek index (RFC 9559 §5.1.5): CueClusterPosition is the
+# SEGMENT POSITION (offset from the Segment data start) of the Cluster
+# ELEMENT holding the cued block; CueRelativePosition the offset of the
+# (Simple)Block element from that Cluster's data start (0 = first
+# possible child position).
+CUES = 0x1C53BB6B
+CUE_POINT = 0xBB
+CUE_TIME = 0xB3
+CUE_TRACK_POSITIONS = 0xB7
+CUE_TRACK = 0xF7
+CUE_CLUSTER_POSITION = 0xF1
+CUE_RELATIVE_POSITION = 0xF0
 
 #: Master elements this prober descends into (everything else is a leaf
 #: whose payload is data, not child elements).
@@ -267,6 +279,7 @@ def probe_mkv(buf: bytes) -> dict:
     n_blocks = 0
     keyframe_offsets: list[int] = []
     keyframe_blocks: list[int] = []
+    cue_points: list[dict] = []
 
     video_tracks: set[int] = set()
     for eid, ds, de in parse_elements(buf, 0, len(buf)):
@@ -299,6 +312,8 @@ def probe_mkv(buf: bytes) -> dict:
                             tracks.append(t)
                             if t["track_type"] == "video":
                                 video_tracks.add(t["track_number"])
+                elif sid == CUES:
+                    cue_points.extend(_parse_cues(buf, ss, se, ds))
             for sid, ss, se in seg_children:
                 if sid == CLUSTER:
                     cluster_offsets.append(ss)
@@ -343,7 +358,138 @@ def probe_mkv(buf: bytes) -> dict:
         "n_blocks": n_blocks,
         "keyframe_offsets": keyframe_offsets,
         "keyframe_blocks": keyframe_blocks,
+        "cue_points": cue_points,
     }
+
+
+def _parse_cues(buf: bytes, ss: int, se: int, seg_data_start: int) -> list[dict]:
+    """CuePoints in a Cues element → ``[{time_ticks, track,
+    cluster_offset, rel_offset}]`` with cluster_offset made ABSOLUTE
+    (CueClusterPosition is Segment-data-relative on the wire)."""
+    out: list[dict] = []
+    for pid, ps, pe in parse_elements(buf, ss, se):
+        if pid != CUE_POINT:
+            continue
+        t = None
+        for cid, cs_, ce_ in parse_elements(buf, ps, pe):
+            if cid == CUE_TIME:
+                t = _uint(buf, cs_, ce_)
+            elif cid == CUE_TRACK_POSITIONS:
+                tr = cp = rp = None
+                for gid, gs, ge in parse_elements(buf, cs_, ce_):
+                    if gid == CUE_TRACK:
+                        tr = _uint(buf, gs, ge)
+                    elif gid == CUE_CLUSTER_POSITION:
+                        cp = _uint(buf, gs, ge)
+                    elif gid == CUE_RELATIVE_POSITION:
+                        rp = _uint(buf, gs, ge)
+                if cp is not None:
+                    out.append({
+                        "time_ticks": t,
+                        "track": tr,
+                        "cluster_offset": seg_data_start + cp,
+                        "rel_offset": rp,
+                    })
+    return out
+
+
+def mkv_cue_keyframe_offsets(buf: bytes) -> dict:
+    """Read-bounded keyframe index (VERDICT r12 #6): where do the
+    keyframes live WITHOUT walking every Cluster's blocks.
+
+    Prefers the container's own seek index — Matroska's Cues element
+    (RFC 9559 §5.1.5) — when present: each video-track CuePoint is
+    resolved to its keyframe's frame-data byte offset by seeking
+    straight to the cued Cluster (CueClusterPosition) and parsing ONLY
+    the cued block's few header bytes (CueRelativePosition when given,
+    else the cluster's first keyframe block). Work is O(cue points),
+    independent of total block count. Without Cues it falls back to the
+    exhaustive cluster walk (``probe_mkv``), which remains the source
+    of record for ``n_blocks``/``keyframe_blocks`` — Cues are an INDEX
+    and are not required to list every keyframe, so the exhaustive
+    enumeration in ``probe_mkv`` is deliberately left Cues-free.
+
+    Returns ``{"source": "cues" | "cluster_walk",
+    "keyframe_offsets": [...]}``.
+    """
+    if buf[:4] != b"\x1aE\xdf\xa3":
+        raise ValueError("not an EBML stream (no 0x1A45DFA3 header)")
+    video_tracks: set[int] = set()
+    cue_points: list[dict] = []
+    seg_end = None
+    for eid, ds, de in parse_elements(buf, 0, len(buf)):
+        if eid != SEGMENT:
+            continue
+        seg_end = de
+        for sid, ss, se in parse_elements(buf, ds, de):
+            if sid == TRACKS:
+                for tid, ts, te in parse_elements(buf, ss, se):
+                    if tid == TRACK_ENTRY:
+                        t = _parse_track_entry(buf, ts, te)
+                        if t["track_type"] == "video":
+                            video_tracks.add(t["track_number"])
+            elif sid == CUES:
+                cue_points.extend(_parse_cues(buf, ss, se, ds))
+    wanted = [
+        c for c in cue_points
+        if not video_tracks or c["track"] is None or c["track"] in video_tracks
+    ]
+    if not wanted:
+        return {
+            "source": "cluster_walk",
+            "keyframe_offsets": probe_mkv(buf)["keyframe_offsets"],
+        }
+    offs: list[int] = []
+    for c in wanted:
+        eid, cs, ce = next(parse_elements(buf, c["cluster_offset"], seg_end))
+        if eid != CLUSTER:
+            raise ValueError(
+                f"CueClusterPosition {c['cluster_offset']} does not point at a "
+                f"Cluster (found 0x{eid:X})"
+            )
+        if c["rel_offset"] is not None:
+            bpos = cs + c["rel_offset"]
+            beid, r = read_vint(buf, bpos, keep_marker=True)
+            bsize, r2 = read_vint(buf, r, keep_marker=False)
+            if beid == SIMPLE_BLOCK:
+                _t, _ts, _fl, data = _parse_block_header(buf, r2, r2 + bsize)
+            elif beid == BLOCK_GROUP:
+                data = None
+                for gid, gs, ge in parse_elements(buf, r2, r2 + bsize):
+                    if gid == BLOCK:
+                        _t, _ts, _fl, data = _parse_block_header(buf, gs, ge)
+                        break
+                if data is None:
+                    raise ValueError(f"cued BlockGroup at {bpos} has no Block")
+            else:
+                raise ValueError(
+                    f"CueRelativePosition {c['rel_offset']} does not point at a "
+                    f"(Simple)Block (found 0x{beid:X})"
+                )
+            offs.append(data)
+        else:
+            # no relative position: the cue promises a keyframe in this
+            # cluster — take its first keyframe block (bounded to ONE
+            # cluster's headers, still no full-file walk)
+            for cid, s2, e2 in parse_elements(buf, cs, ce):
+                if cid == SIMPLE_BLOCK:
+                    trk, _ts, flags, data = _parse_block_header(buf, s2, e2)
+                    if (not video_tracks or trk in video_tracks) and flags & 0x80:
+                        offs.append(data)
+                        break
+                elif cid == BLOCK_GROUP:
+                    span, has_ref = None, False
+                    for gid, gs, ge in parse_elements(buf, s2, e2):
+                        if gid == BLOCK:
+                            span = (gs, ge)
+                        elif gid == 0xFB:
+                            has_ref = True
+                    if span is not None and not has_ref:
+                        trk, _ts, _fl, data = _parse_block_header(buf, *span)
+                        if not video_tracks or trk in video_tracks:
+                            offs.append(data)
+                            break
+    return {"source": "cues", "keyframe_offsets": offs}
 
 
 # --------------------------------------------------------------------------
@@ -395,6 +541,8 @@ def encode_mkv(
     frames_per_cluster: int = 3,
     frame_payloads: list[bytes] | None = None,
     stream_unknown_sizes: bool = False,
+    emit_cues: bool = False,
+    cue_relative: bool = True,
 ) -> bytes:
     """Minimal-but-valid Matroska fixture: EBML header, Segment with
     Info/Tracks (one video track), Clusters of SimpleBlocks whose
@@ -402,7 +550,13 @@ def encode_mkv(
     Sample ``i`` (0-based) is filled with bytes ``(i*7 + j) % 256`` —
     the same deterministic fill as encode_mp4, so offset assertions can
     check actual bytes — unless explicit ``frame_payloads`` are given
-    (e.g. real VP9 headers from ops/vp9.encode_vp9_frame_header)."""
+    (e.g. real VP9 headers from ops/vp9.encode_vp9_frame_header).
+
+    ``emit_cues`` appends a Cues seek index (after the Clusters, so
+    cluster positions are independent of the index's size) with one
+    CuePoint per planted keyframe; ``cue_relative=False`` omits
+    CueRelativePosition, exercising the reader's first-keyframe-in-
+    cued-cluster path."""
     header = _el(
         EBML_HEADER,
         _el(0x4286, b"\x01")            # EBMLVersion
@@ -432,26 +586,49 @@ def encode_mkv(
         ),
     )
     clusters = b""
-    blocks = b""
+    pending: list[tuple[bytes, bool, int]] = []  # (block el, is_key, ticks)
+    cue_entries: list[tuple[int, int, int]] = []  # (ticks, cluster_off, rel)
     cluster_ts = 0
     for i, size in enumerate(frame_sizes):
         if frame_payloads is not None:
             data = frame_payloads[i]
         else:
             data = bytes((i * 7 + j) % 256 for j in range(size))
-        flags = 0x80 if (i + 1) in keyframes else 0x00
+        is_key = (i + 1) in keyframes
+        flags = 0x80 if is_key else 0x00
         payload = b"\x81" + struct.pack(">h", i * 40) + bytes([flags]) + data
-        blocks += _el(SIMPLE_BLOCK, payload)
+        pending.append((_el(SIMPLE_BLOCK, payload), is_key, i * 40))
         if (i + 1) % frames_per_cluster == 0 or i == len(frame_sizes) - 1:
-            cpayload = _el_uint(CLUSTER_TIMESTAMP, cluster_ts) + blocks
+            cdata = _el_uint(CLUSTER_TIMESTAMP, cluster_ts)
+            for bel, key, ticks in pending:
+                if key:
+                    # rel = block ELEMENT offset from the cluster DATA start
+                    cue_entries.append((ticks, len(clusters), len(cdata)))
+                cdata += bel
             clusters += (
-                _el_unsized(CLUSTER, cpayload)
+                _el_unsized(CLUSTER, cdata)
                 if stream_unknown_sizes
-                else _el(CLUSTER, cpayload)
+                else _el(CLUSTER, cdata)
             )
-            blocks = b""
+            pending = []
             cluster_ts += frames_per_cluster * 40
-    spayload = info + track + clusters
+    pre = info + track
+    cues = b""
+    if emit_cues:
+        cpay = b""
+        for ticks, cluster_off, rel in cue_entries:
+            pos = (
+                _el_uint(CUE_TRACK, 1)
+                + _el_uint(CUE_CLUSTER_POSITION, len(pre) + cluster_off)
+            )
+            if cue_relative:
+                pos += _el_uint(CUE_RELATIVE_POSITION, rel)
+            cpay += _el(
+                CUE_POINT,
+                _el_uint(CUE_TIME, ticks) + _el(CUE_TRACK_POSITIONS, pos),
+            )
+        cues = _el(CUES, cpay)
+    spayload = pre + clusters + cues
     segment = (
         _el_unsized(SEGMENT, spayload)
         if stream_unknown_sizes

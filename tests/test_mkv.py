@@ -302,3 +302,58 @@ def test_probe_mkv_streamed_cluster_before_tracks():
     assert p_streamed["n_blocks"] == p_normal["n_blocks"]
     assert p_streamed["keyframe_blocks"] == p_normal["keyframe_blocks"]
     assert [t["track_type"] for t in p_streamed["tracks"]] == ["video", "audio"]
+
+
+def test_cues_index_matches_cluster_walk():
+    """VERDICT r12 #6: with a Cues seek index present, the read-bounded
+    keyframe lookup resolves each CuePoint (cluster position + relative
+    block position) to EXACTLY the frame-data offsets the exhaustive
+    cluster walk enumerates — for sized and streamed (unknown-size)
+    layouts alike."""
+    from osmart_etl_spark.ops import mkv as M
+
+    for streamed in (False, True):
+        buf = M.encode_mkv(
+            [10, 20, 30, 40, 50, 60, 70], [1, 4, 6],
+            frames_per_cluster=3, emit_cues=True,
+            stream_unknown_sizes=streamed,
+        )
+        walk = M.probe_mkv(buf)
+        assert len(walk["cue_points"]) == 3
+        assert all(c["track"] == 1 for c in walk["cue_points"])
+        got = M.mkv_cue_keyframe_offsets(buf)
+        assert got["source"] == "cues"
+        assert got["keyframe_offsets"] == walk["keyframe_offsets"]
+        # the cued offsets really are the planted frame bytes
+        for blk, off in zip([1, 4, 6], got["keyframe_offsets"]):
+            i = blk - 1
+            assert buf[off] == (i * 7) % 256
+
+
+def test_cues_without_relative_position_uses_cued_cluster():
+    """A CuePoint without CueRelativePosition (legal — the index may
+    carry cluster granularity only) resolves to the cued cluster's
+    first keyframe block, still touching only that one cluster."""
+    from osmart_etl_spark.ops import mkv as M
+
+    buf = M.encode_mkv(
+        [10, 20, 30, 40, 50, 60], [1, 4],
+        frames_per_cluster=3, emit_cues=True, cue_relative=False,
+    )
+    walk = M.probe_mkv(buf)
+    assert all(c["rel_offset"] is None for c in walk["cue_points"])
+    got = M.mkv_cue_keyframe_offsets(buf)
+    assert got["source"] == "cues"
+    assert got["keyframe_offsets"] == walk["keyframe_offsets"]
+
+
+def test_cues_fallback_to_cluster_walk():
+    """Without a Cues element the helper falls back to the exhaustive
+    walk and says so."""
+    from osmart_etl_spark.ops import mkv as M
+
+    buf = M.encode_mkv([10, 20, 30, 40], [1, 3], frames_per_cluster=2)
+    assert M.probe_mkv(buf)["cue_points"] == []
+    got = M.mkv_cue_keyframe_offsets(buf)
+    assert got["source"] == "cluster_walk"
+    assert got["keyframe_offsets"] == M.probe_mkv(buf)["keyframe_offsets"]
