@@ -345,6 +345,43 @@ def merge_upsert_partitioned(
     return touched
 
 
+def writer_bucket_shard(
+    df: DataFrame,
+    keys: list[str],
+    writer_id: int,
+    n_writers: int,
+    *,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Shard a batch across W concurrent writers by merge bucket — the
+    "shard writers by key range" operating rule (SCALE.md, merge sink
+    under contention) as code (VERDICT r12 #5).
+
+    Restricts ``df`` to the rows whose ``merge_upsert_partitioned``
+    bucket this writer OWNS (``bucket % n_writers == writer_id``, with
+    bucket computed by the sink's own hash — same pmod/hash, same key
+    order, same ``n_buckets``). W writers that each apply their shard
+    of a shared/replicated feed before merging touch pairwise-disjoint
+    bucket directories, so the per-bucket CAS never conflicts: the
+    fully-contended overlap storm becomes the zero-retry disjoint
+    regime (measured in tools/merge_contention_probe.py's
+    ``overlap_sharded`` row — the backoff-dominated wall collapses to
+    protocol throughput).
+
+    Use when every writer can see the same batch stream (replicated
+    queue, fan-out consumer group) or as the ownership predicate when
+    assigning key ranges to writers upstream. Writers with distinct,
+    un-replicated inputs cannot use a filter to redistribute rows —
+    route those through one writer per key range at the source instead.
+    ``n_writers`` > ``n_buckets`` leaves some writers with no owned
+    bucket (their shard is empty — harmless but wasteful).
+    """
+    if not 0 <= writer_id < n_writers:
+        raise ValueError(f"writer_id {writer_id} not in [0, {n_writers})")
+    bucket = F.pmod(F.hash(*[F.col(k) for k in keys]), F.lit(n_buckets))
+    return df.filter(bucket % F.lit(n_writers) == F.lit(writer_id))
+
+
 _LEGACY_SENTINEL = "_legacy-migration"
 
 

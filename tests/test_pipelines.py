@@ -949,3 +949,61 @@ def test_inventory_imports_without_session():
     )
     assert out.returncode == 0, out.stderr
     assert "imported" in out.stdout
+
+
+def test_writer_bucket_shard_partitions_exactly(spark):
+    """VERDICT r12 #5: the writer shards are pairwise-disjoint, cover
+    the batch exactly, and use the SINK'S OWN bucket hash — so W
+    sharded writers touch disjoint bucket directories and the
+    fully-contended overlap storm runs conflict-free."""
+    from osmart_etl_spark.io.sinks import (
+        merge_upsert_partitioned,
+        writer_bucket_shard,
+    )
+
+    keys = ["k1", "k2"]
+    df = spark.range(500).select(
+        F.col("id").cast("int").alias("k1"),
+        (F.col("id") % 7).cast("int").alias("k2"),
+        F.col("id").cast("double").alias("v"),
+        F.lit(1).cast("int").alias("ver"),
+    )
+    n_writers, n_buckets = 4, 16
+    shards = [
+        writer_bucket_shard(df, keys, w, n_writers, n_buckets=n_buckets)
+        for w in range(n_writers)
+    ]
+    counts = [s.count() for s in shards]
+    assert sum(counts) == 500  # exact cover
+    assert all(c > 0 for c in counts)  # 16 buckets over 4 writers: all own some
+    # pairwise disjoint: distinct keys across the union == total
+    from functools import reduce
+
+    union = reduce(lambda a, b: a.unionByName(b), shards)
+    assert union.select(*keys).distinct().count() == df.select(*keys).distinct().count()
+    assert union.count() == 500
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="writer_id"):
+        writer_bucket_shard(df, keys, 4, 4)
+
+    # the shards really land in disjoint bucket dirs of ONE table: the
+    # touched-bucket sets returned by the sink are pairwise disjoint
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        touched = [
+            set(
+                merge_upsert_partitioned(
+                    spark, s, f"{tmp}/tbl", keys, "ver", n_buckets=n_buckets
+                )
+            )
+            for s in shards
+        ]
+        for i in range(n_writers):
+            for j in range(i + 1, n_writers):
+                assert not (touched[i] & touched[j]), (i, j)
+        from osmart_etl_spark.io.sinks import read_merge_table
+
+        assert read_merge_table(spark, f"{tmp}/tbl").count() == 500

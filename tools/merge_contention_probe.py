@@ -80,6 +80,15 @@ def run_storm(spark, path: str, n_writers: int, n_rounds: int, regime: str) -> d
                 _bucket_of() % n_writers == w if regime == "disjoint" else None
             )
             batch = _batch(spark, w, rnd, flt)
+            if regime == "overlap_sharded":
+                # VERDICT r12 #5: the same fully-replicated feed as
+                # `overlap`, but each writer first applies its bucket
+                # shard — the documented operating rule as code.
+                from osmart_etl_spark.io.sinks import writer_bucket_shard
+
+                batch = writer_bucket_shard(
+                    batch, KEYS, w, n_writers, n_buckets=N_BUCKETS
+                )
             attempt = 0
             while True:
                 try:
@@ -122,6 +131,13 @@ def run_storm(spark, path: str, n_writers: int, n_rounds: int, regime: str) -> d
     if regime == "overlap":
         expected_ver = (n_rounds - 1) * 100 + (n_writers - 1)
         n_stale = got.filter(F.col("ver") != expected_ver).count()
+    elif regime == "overlap_sharded":
+        # each key is written ONLY by its bucket's owner every round:
+        # final ver = last round * 100 + owner(bucket(key))
+        owner = _bucket_of() % n_writers
+        n_stale = got.filter(
+            F.col("ver") != (n_rounds - 1) * 100 + owner
+        ).count()
     else:
         n_stale = got.filter(
             (F.col("ver") / 100).cast("int") != n_rounds - 1
@@ -312,7 +328,7 @@ def main() -> None:
 
     only = os.environ.get("PROBE_ONLY", "").split(",") if os.environ.get("PROBE_ONLY") else None
     results = {}
-    for regime in ("disjoint", "overlap"):
+    for regime in ("disjoint", "overlap", "overlap_sharded"):
         if only and regime not in only:
             continue
         tmp = tempfile.mkdtemp(prefix=f"merge_storm_{regime}_")
