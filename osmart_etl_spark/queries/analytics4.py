@@ -8,7 +8,7 @@ randomness (never random()), fixed-order double math.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -270,15 +270,32 @@ def permutation_test_mean_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     uniformity), the observed assignment is perm 0, and the p-value
     numerator counts permuted |gaps| ≥ |observed|. The
     distribution-free significance test — exactly what the z-test's
-    normality assumption cannot give you — in ONE pass: events × 21
-    labels is a bounded constant fan-out explode (cf.
-    hopping_window_engagement) into one map-side-combined aggregate of
-    exact sums; every gap is computed once in double from exact
-    moments. At 100 TB the fan-out constant (#permutations) is the
-    whole cost knob, and the shuffle carries (type, perm, arm)
-    aggregates — thousands of rows, not data."""
+    normality assumption cannot give you — with the fan-out applied to
+    PRE-AGGREGATED rows: every permutation's arm depends only on
+    (user_id, perm), so events collapse first to one exact row per
+    (event_type, user_id) — sum(v) is DECIMAL (associative, so the
+    regrouped total is bit-identical to the event-level sum) and an
+    event count carries the arm's denominator. Only then does the × 21
+    label fan-out (and its md5) run, over user-cardinality rows instead
+    of event-cardinality ones (measured 100k events / 1.5k users at
+    sf0.1: 66× fewer md5 evaluations; guide §2.3 "aggregate before you
+    shuffle"). The observed gap is attached back with a per-type window
+    over the 21-row stats table rather than a broadcast self-join,
+    which had duplicated the whole scan+fan-out subtree in the physical
+    plan (2 scans → 1). At 100 TB the first aggregate is map-side
+    combined and everything after it is user-cardinality-bounded."""
     ev = read_table(spark, sf_dir, "events")
     perms = spark.range(0, _PERM_K + 1).select(F.col("id").cast("int").alias("perm"))
+    # Inner-join semantics of the original stats⋈obs: null event types
+    # never reach the output.
+    per_user = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.sum(dec(F.col("value"))).alias("sv"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
     hash_arm = (
         F.conv(
             F.substring(
@@ -298,29 +315,32 @@ def permutation_test_mean_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint")
         % 2
     )
-    assigned = ev.crossJoin(F.broadcast(perms)).select(
+    assigned = per_user.crossJoin(F.broadcast(perms)).select(
         "event_type",
         "perm",
         F.when(F.col("perm") == 0, F.col("user_id") % 2)
         .otherwise(hash_arm)
         .alias("arm"),
-        dec(F.col("value")).alias("v"),
+        "sv",
+        "cnt",
     )
     arm0 = F.col("arm") == 0
+    # coalesce(..., 0) replicates COUNT's empty-group zero (the
+    # event-level form divided by count, which is 0 — not NULL — when
+    # an arm is empty).
+    n0 = F.coalesce(F.sum(F.when(arm0, F.col("cnt"))), F.lit(0))
+    n1 = F.coalesce(F.sum(F.when(~arm0, F.col("cnt"))), F.lit(0))
     stats = assigned.groupBy("event_type", "perm").agg(
         (
-            (dbl(F.sum(F.when(arm0, F.col("v")))) / dbl(F.count(F.when(arm0, 1))))
-            - (
-                dbl(F.sum(F.when(~arm0, F.col("v"))))
-                / dbl(F.count(F.when(~arm0, 1)))
-            )
+            (dbl(F.sum(F.when(arm0, F.col("sv")))) / dbl(n0))
+            - (dbl(F.sum(F.when(~arm0, F.col("sv")))) / dbl(n1))
         ).alias("gap")
     )
-    obs = stats.filter(F.col("perm") == 0).select(
-        "event_type", F.col("gap").alias("__obs")
-    )
+    wt = Window.partitionBy("event_type")
     return (
-        stats.join(F.broadcast(obs), "event_type")
+        stats.withColumn(
+            "__obs", F.max(F.when(F.col("perm") == 0, F.col("gap"))).over(wt)
+        )
         .groupBy("event_type")
         .agg(
             F.max(F.when(F.col("perm") == 0, F.col("gap"))).alias("observed_gap"),
