@@ -79,21 +79,45 @@ def main() -> None:
         # always emitted.
         best = None
         attempts = 0
-        while attempts < 3:
+        dts: list[float] = []
+        while attempts < 4:
             attempts += 1
             try:
                 dt = run_once(qd)
             except Exception as exc:  # noqa: BLE001 - isolate any engine fault
                 errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
                 continue
-            best = dt if best is None or dt < best else best
-            if attempts >= 2:
+            dts.append(dt)
+            best = min(dts)
+            # Adaptive third run (round 13): this box shows multi-second
+            # host-CPU noise bursts (calibration probe drifts 0.13-1.45 s
+            # across sweeps); when BOTH runs land in a burst the recorded
+            # best is pure weather (measured: a 0.14 s query recorded
+            # 3.7 s). If the two runs disagree by >1.6x, one more run
+            # disambiguates; stable queries still run exactly twice.
+            if len(dts) == 2 and max(dts) > 1.6 * best:
+                continue
+            if len(dts) >= 2:
                 break
         if best is None:
             timings[name] = "ERR"
         else:
             timings[name] = round(best, 3)
             errors.pop(name, None)
+        # Cache hygiene BETWEEN queries (round 13, measured): many
+        # queries persist intermediates (shingle sets, edge tables,
+        # loop state) that stay pinned after their noop write finishes.
+        # Over a 249-query sweep those dead blocks occupy the unified
+        # memory pool and starve later queries' execution memory — the
+        # iterative tier degraded up to 13x in-sweep vs isolated
+        # (dedup_components 37.9 s in-sweep vs 4.2 s isolated; a 12-
+        # query probe reproduced 18.6 s -> 3.3 s for
+        # dedup_cluster_keep_best with this clear). Clearing AFTER a
+        # query's timed runs keeps the methodology identical (best-of-2,
+        # noop sink, every invocation computes from parquet — this also
+        # guarantees no cross-QUERY cache reuse) and only removes the
+        # leak. Timed regions still pay their own persist costs.
+        spark.catalog.clearCache()
 
     calib_after = calibrate()
 

@@ -366,9 +366,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # Both directions from ONE pass over the orders⋈lineitem distinct
+    # (round 13, the connected_components explode discipline): the
+    # two-branch unionAll evaluated the un-persisted `cp` join+distinct
+    # once per branch when the edge cache materialized.
     edges = (
-        cp.select(F.col("c").alias("src"), F.col("p").alias("dst"))
-        .unionAll(cp.select(F.col("p").alias("src"), F.col("c").alias("dst")))
+        cp.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("c").alias("src"), F.col("p").alias("dst")),
+                    F.struct(F.col("p").alias("src"), F.col("c").alias("dst")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
@@ -663,7 +674,11 @@ _KC_BCAST_EDGE_BUDGET = 2_000_000
 
 
 def graph_kcore_peel_at(
-    spark: SparkSession, sf_dir: str, *, bcast_edge_budget: int = _KC_BCAST_EDGE_BUDGET
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    bcast_edge_budget: int = _KC_BCAST_EDGE_BUDGET,
+    early_exit: bool = True,
 ) -> DataFrame:
     """Size-dispatched physical shape behind ``graph_kcore_peel`` (both
     paths compute identical rows; tests pin the equality).
@@ -720,9 +735,23 @@ def graph_kcore_peel_at(
         .filter(F.col("n_co") >= _KC_MIN_CO)
         .select("u", "v")
     )
-    sym = pairs.unionByName(
-        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    # Both directions from ONE pass over the pair pipeline (round 13,
+    # the connected_components explode discipline): the former
+    # two-branch union evaluated the full basket/explode/agg chain once
+    # per branch when the cache materialized — measured as two
+    # concurrent ~2 s full-pipeline stages in the sym.count() job.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u"), F.col("v")),
+                    F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .persist()
+    )
     # ONE eager materialization: all 16 rounds read this cache, and the
     # scalar prices the broadcast dispatch (alive ≤ 2·n_e node ids).
     n_e = sym.count()
@@ -730,6 +759,17 @@ def graph_kcore_peel_at(
 
     alive = sym.select(F.col("u").alias("node")).distinct()
     deg = None
+    # Early exit on the peel fixpoint (round 13, measured): peeling is
+    # MONOTONE — alive_t ⊆ alive_{t-1} — so equal consecutive counts
+    # mean equal sets, and from that round on every degree table is
+    # bit-identical (deg_{t+1} counts the same edges over the same
+    # alive set). Running the remaining rounds can only burn identical
+    # jobs: the oracle's fixed T={_KC_T} unroll reaches the same
+    # fixpoint, so the returned rows cannot differ. The per-round count
+    # reads the alive checkpoint the next round's broadcast would
+    # materialize anyway. sf0.1 converges after 2 peels: 16 degree
+    # rounds -> 3 + the counts.
+    prev_n = None
     for _ in range(_KC_T):
         a_u = alive.withColumnRenamed("node", "u")
         a_v = alive.withColumnRenamed("node", "v")
@@ -746,6 +786,11 @@ def graph_kcore_peel_at(
             .select(F.col("u").alias("node"))
             .localCheckpoint(eager=False)
         )
+        if early_exit:
+            n_alive = alive.count()
+            if n_alive == prev_n:
+                break
+            prev_n = n_alive
     return deg.filter(F.col("d") >= _KC_K).select(
         F.col("u").alias("part"), F.col("d").cast("bigint").alias("core_degree")
     )

@@ -292,11 +292,27 @@ def item_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_ab"))
     )
+    # Both directions from ONE pass over the pair pipeline (round 13,
+    # the connected_components explode discipline): the former
+    # two-branch unionAll evaluated the whole basket→explode→agg chain
+    # once per branch (pairs is not persisted; the union sides are not
+    # byte-identical subtrees, so exchange reuse cannot fire).
     sym = pairs.select(
-        F.col("pa").alias("part"), F.col("pb").alias("partner"), "n_ab"
-    ).unionAll(
-        pairs.select(F.col("pb").alias("part"), F.col("pa").alias("partner"), "n_ab")
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("pa").alias("part"),
+                    F.col("pb").alias("partner"),
+                    F.col("n_ab"),
+                ),
+                F.struct(
+                    F.col("pb").alias("part"),
+                    F.col("pa").alias("partner"),
+                    F.col("n_ab"),
+                ),
+            )
+        ).alias("__e")
+    ).select("__e.part", "__e.partner", "__e.n_ab")
     # deg has PART cardinality (distinct parts = 200k·SF, fact-
     # proportional) — NO forced broadcast: AQE builds a broadcast hash
     # table at bench scale and graduates to a shuffle join when the

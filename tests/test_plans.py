@@ -714,6 +714,25 @@ def test_kcore_peel_broadcast_locked(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+def test_kcore_peel_early_exit_matches_full_unroll(spark):
+    """Round 13: the peel fixpoint early-exit (stop when the alive
+    count stops shrinking — monotone peeling makes equal counts equal
+    sets) must return rows identical to the oracle-shaped full-T
+    unroll, on both the broadcast and shuffle dispatch paths."""
+    from osmart_etl_spark.queries.linkage import graph_kcore_peel_at
+
+    key = lambda r: (r["part"], r["core_degree"])  # noqa: E731
+    for budget in (None, 0):
+        kw = {} if budget is None else {"bcast_edge_budget": budget}
+        fast = sorted(graph_kcore_peel_at(spark, SF_SMALL, **kw).collect(), key=key)
+        full = sorted(
+            graph_kcore_peel_at(spark, SF_SMALL, early_exit=False, **kw).collect(),
+            key=key,
+        )
+        assert [r.asDict() for r in fast] == [r.asDict() for r in full]
+        assert fast
+
+
 def test_kcore_peel_paths_agree(spark):
     """The size dispatch never changes results: the shuffle form
     (budget 0 — node-sized alive past broadcast reach) and the
