@@ -71,7 +71,11 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 aggs.append(F.sum(dec(F.col(c)) * dec(F.col(d))).alias(f"q_{c}_{d}"))
     m = li.groupBy().agg(*aggs)
 
-    outs = []
+    # All 6 upper-triangle cells from the ONE aggregate row via a single
+    # explode (round 13): the former 6-branch unionAll embedded six
+    # copies of the global-aggregate subtree — six full lineitem
+    # scan+15-sum passes unless runtime exchange reuse rescued them.
+    cells = []
     for c in _CM_COLS:
         for d in _CM_COLS:
             if d > c:
@@ -82,17 +86,16 @@ def correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 corr = ((n * qcd) - (sc * sd)) / (
                     F.sqrt((n * qcc) - (sc * sc)) * F.sqrt((n * qdd) - (sd * sd))
                 )
-                outs.append(
-                    m.select(
+                cells.append(
+                    F.struct(
                         F.lit(c).alias("col_a"),
                         F.lit(d).alias("col_b"),
                         corr.alias("corr"),
                     )
                 )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return m.select(F.explode(F.array(*cells)).alias("__c")).select(
+        "__c.col_a", "__c.col_b", "__c.corr"
+    )
 
 
 # --------------------------------------------------------------------------
