@@ -918,24 +918,43 @@ def max_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("e"),
         (F.date_trunc("day", F.col("ts")) + F.expr("INTERVAL 1 DAY")).alias("next_mid"),
     )
-    p1 = iv.select("event_id", "s", F.least(F.col("e"), F.col("next_mid")).alias("e"))
-    p2 = iv.filter(F.col("e") > F.col("next_mid")).select(
-        "event_id", F.col("next_mid").alias("s"), "e"
+    # Clip pieces AND their ±1 sweep points in ONE pass (round 13): the
+    # former p1∪p2 then starts∪ends unioned four references to the
+    # events scan into the plan — four full scans of the biggest table
+    # for row-local arithmetic. The array filter keeps exactly the
+    # pieces the old `s < e` filter kept (piece 2 exists iff
+    # e > next_mid ⟺ its ps < pe), and both points carry the piece's
+    # start-day key exactly as before.
+    pcs = F.filter(
+        F.array(
+            F.struct(
+                F.col("s").alias("ps"),
+                F.least(F.col("e"), F.col("next_mid")).alias("pe"),
+            ),
+            F.struct(F.col("next_mid").alias("ps"), F.col("e").alias("pe")),
+        ),
+        lambda p: p["ps"] < p["pe"],
     )
-    pieces = p1.unionByName(p2).filter(F.col("s") < F.col("e"))
-    starts = pieces.select(
-        F.to_date(F.date_trunc("day", F.col("s"))).alias("day"),
-        F.col("s").alias("t"),
-        F.lit(1).alias("delta"),
-        "event_id",
+    points = F.flatten(
+        F.transform(
+            pcs,
+            lambda p: F.array(
+                F.struct(
+                    F.to_date(F.date_trunc("day", p["ps"])).alias("day"),
+                    p["ps"].alias("t"),
+                    F.lit(1).alias("delta"),
+                ),
+                F.struct(
+                    F.to_date(F.date_trunc("day", p["ps"])).alias("day"),
+                    p["pe"].alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            ),
+        )
     )
-    ends = pieces.select(
-        F.to_date(F.date_trunc("day", F.col("s"))).alias("day"),
-        F.col("e").alias("t"),
-        F.lit(-1).alias("delta"),
-        "event_id",
+    pts = iv.select("event_id", F.explode(points).alias("__p")).select(
+        "__p.day", "__p.t", "__p.delta", "event_id"
     )
-    pts = starts.unionByName(ends)
     from pyspark.sql import Window
 
     w = (
