@@ -22,6 +22,8 @@ Scale design
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.ops.text import normalized_text
@@ -199,7 +201,7 @@ def candidate_pairs(
     bands] < 0.2%even if one band is capped). Default None keeps exact
     semantics for the oracle-checked queries."""
     # Self-join: persist so the upstream signature DAG runs once, not twice.
-    band_keys = band_keys.persist()
+    band_keys = band_keys.transform(led_persist)
     if max_bucket is not None:
         # the HOT set is small by construction (≤ |rows|/cap buckets), so
         # IT broadcasts and the exclusion is a map-side anti join — never

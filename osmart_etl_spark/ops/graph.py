@@ -39,6 +39,8 @@ Scale design
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+
+from osmart_etl_spark.caching import led_register
 from pyspark.sql import functions as F
 
 
@@ -126,7 +128,10 @@ def connected_components(
     # no longer needed — unpinning it here instead of leaking one copy
     # per call for the life of the session (round-12 review)
     und.unpersist()
-    return labels
+    # the RETURNED frame's cache outlives this function by design (the
+    # caller's action reads it) — ledger-registered so the next query
+    # build releases it (round 14 cache-release discipline)
+    return led_register(labels)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -269,6 +274,7 @@ def connected_components_bigstar(
             "alternation rounds; raise max_iter (rounds needed grow "
             "O(log^2 n) with graph size)"
         )
+    led_register(cur)  # released at the next query build (round 14)
     comps = cur.select(F.col("u").alias("node"), F.col("v").alias("component"))
     roots = cur.select(F.col("v").alias("node")).distinct().withColumn(
         "component", F.col("node")

@@ -19,6 +19,8 @@ dots) so no centroid arrays are ever materialized.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from osmart_etl_spark.caching import led_register
 from pyspark.sql import functions as F
 
 
@@ -246,6 +248,9 @@ def lloyd_refine(
         if prev is not None:
             prev.unpersist()
         centroids = recompute_centroids(assigned, vec_col)
+    # final round's cache feeds the caller's action — ledger-registered
+    # for release at the next query build (round 14)
+    led_register(assigned)
     return assigned.select(id_col, "cluster_id", "cos_sim")
 
 

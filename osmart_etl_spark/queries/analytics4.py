@@ -9,6 +9,8 @@ randomness (never random()), fixed-order double math.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -151,7 +153,7 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.dedup import shingle_sets
 
     docs = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(docs, "doc_id", "text", k=9).persist()
+    sets = shingle_sets(docs, "doc_id", "text", k=9).transform(led_persist)
     toks = sets.select("doc_id", F.explode("__sh").alias("token"))
     sizes = sets.select("doc_id", F.size("__sh").cast("bigint").alias("n"))
     # Numbered repartitions below pin reduce-stage parallelism: AQE

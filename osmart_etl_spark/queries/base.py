@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from functools import wraps
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -40,8 +41,24 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = QueryDef(fn=fn, oracle=oracle, tags=tags)
-        return fn
+
+        # Cache-release discipline (round 14, VERDICT r13 #5): building
+        # a query releases every ledger-registered persist of the
+        # PREVIOUS query — queries return lazy plans, so release cannot
+        # happen inside the producing function without voiding the
+        # persist; deferring to the next build bounds any long-lived
+        # session to one query's cached blocks. No registered query
+        # calls another registered query (verified round 14), so a
+        # build never releases its own intermediates.
+        @wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from osmart_etl_spark.caching import release_persisted
+
+            release_persisted()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = QueryDef(fn=wrapped, oracle=oracle, tags=tags)
+        return wrapped
 
     return deco
 

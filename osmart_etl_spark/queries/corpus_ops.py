@@ -12,6 +12,8 @@ extract) applied to LSH dedup.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -60,7 +62,7 @@ def dedup_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = read_table(spark, sf_dir, "documents")
     sets = shingle_sets(d, "doc_id", "text", k=5)
-    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4).persist()
+    bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4).transform(led_persist)
     new_b = bands.filter(F.col("doc_id") % 10 >= 8).select(
         "band", "band_key", F.col("doc_id").alias("id_new")
     )
@@ -581,7 +583,7 @@ def graph_triangle_count_at(
     bands = minhash_band_keys(
         shingle_sets(d, "doc_id", "text", k=5), "doc_id", num_hashes=16, rows_per_band=4
     )
-    edges = candidate_pairs(bands, "doc_id").persist()
+    edges = candidate_pairs(bands, "doc_id").transform(led_persist)
     # ONE eager materialization: every downstream subtree (degree agg,
     # the oriented broadcasts, n_edges) reads this cache; cold
     # concurrent broadcast jobs otherwise race to build it serially.
@@ -606,7 +608,7 @@ def graph_triangle_count_at(
         F.when(u_first, F.col("id_a")).otherwise(F.col("id_b")).alias("s"),
         F.when(u_first, F.col("id_b")).otherwise(F.col("id_a")).alias("t"),
         F.when(u_first, F.col("db")).otherwise(F.col("da")).alias("dt"),
-    ).persist()
+    ).transform(led_persist)
     oriented.count()  # materialize before the broadcast subtrees race
     o1 = oriented.select(F.col("s"), F.col("t").alias("t1"), F.col("dt").alias("dt1"))
     o2 = oriented.select(F.col("s"), F.col("t").alias("t2"), F.col("dt").alias("dt2"))

@@ -16,6 +16,8 @@ double only for final ratios with identical operand trees).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -339,7 +341,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     # size-dispatched verify (round 9): bcast below the broadcast
@@ -535,7 +537,7 @@ def near_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
@@ -680,7 +682,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
@@ -770,7 +772,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped = (
         s.groupBy("shingle")
         .agg(F.array_sort(F.collect_set("source")).alias("__srcs"))
-        .persist()
+        .transform(led_persist)
     )
     sizes = (
         grouped.select(F.explode("__srcs").alias("source"))
@@ -895,7 +897,7 @@ def source_minhash_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # class; seen as two distinct production subtrees in the plan)
     sigs = wide.selectExpr(
         "source", f"stack({_SRC_MH_K}, {stack_args}) AS (k, minhash)"
-    ).persist()
+    ).transform(led_persist)
     sa = sigs.select(
         F.col("source").alias("source_a"), "k", F.col("minhash").alias("__ma")
     )

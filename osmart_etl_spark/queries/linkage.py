@@ -14,6 +14,8 @@ engines' floating point never enters the fixed point.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -108,7 +110,7 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.dedup import shingle_sets
 
     docs = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(docs, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(docs, "doc_id", "text", k=5).transform(led_persist)
     # Materialize the cache ONCE, in parallel, before the plan fans
     # out: the tiers spawn ~15 concurrent broadcast-subtree jobs that
     # all scan `sets`; on a cold cache they serialize behind the cache
@@ -137,7 +139,7 @@ def setsim_exact_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             # or the explode+agg chain recomputes per reference (measured
             # 14.1 s -> ~6 s for tier 1 at sf0.1; Spark's exchange
             # reuse does not fire across these AQE-planned subtrees)
-            .persist()
+            .transform(led_persist)
         )
         # per-doc empty-group count from the cached shingle ARRAY — a
         # row-local array_distinct, no explode/shuffle. Computing it
@@ -380,10 +382,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__e")
         )
         .select("__e.src", "__e.dst")
-        .persist()
+        .transform(led_persist)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    nodes = edges.select(F.col("src").alias("node")).distinct().transform(led_persist)
     nn = nodes.groupBy().agg(F.count(F.lit(1)).alias("__n"))
 
     ranks = nodes.join(F.broadcast(nn)).select(
@@ -399,7 +401,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-round join is shuffle-free; the only unavoidable exchange is
     # the contribution SUM by dst. Only the 1-row node count keeps its
     # hint (bounded by construction).
-    esrc = edges.join(deg, "src").select("src", "dst", "deg").persist()
+    esrc = edges.join(deg, "src").select("src", "dst", "deg").transform(led_persist)
     for _ in range(_PR_ITERS):
         contribs = (
             esrc.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -750,7 +752,7 @@ def graph_kcore_peel_at(
             ).alias("__e")
         )
         .select("__e.u", "__e.v")
-        .persist()
+        .transform(led_persist)
     )
     # ONE eager materialization: all 16 rounds read this cache, and the
     # scalar prices the broadcast dispatch (alive ≤ 2·n_e node ids).

@@ -30,13 +30,15 @@ train+score pipeline is codegen'd joins/aggregations.
 The persisted occ table trades one corpus re-scan for
 MEMORY_AND_DISK storage of the distinct-bigram rows (smaller than the
 exploded stream but still corpus-order). On a storage-constrained
-cluster drop the .persist() and accept a third scan — the DAG is
+cluster drop the persist and accept a third scan — the DAG is
 correct either way; the choice is a deployment knob, not semantics.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -125,7 +127,7 @@ def lm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tokenized/exploded a single time (c2/c1 fold the persisted rows,
     # they don't re-scan 100 TB of text)
     occ = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).transform(led_persist)
     )
     c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2"))
     c1 = occ.groupBy("w1").agg(F.sum("m").alias("c1"))
@@ -255,7 +257,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", bucket.alias("b"))
         .groupBy("doc_id", "lang", "b")
         .agg(F.count(F.lit(1)).alias("m"))
-        .persist()
+        .transform(led_persist)
     )
     is_target = F.col("lang") == _DSIR_TARGET_LANG
     cs = occ.groupBy("b").agg(F.sum("m").alias("cs"))
@@ -456,7 +458,7 @@ def zipf_vocab_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split("text", " "), lambda x: x != F.lit(""))
         ).alias("token")
     )
-    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).persist()
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).transform(led_persist)
     tot = counts.agg(
         F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("vocab")
     )
@@ -497,17 +499,6 @@ _KN_DISCOUNT = 0.75
 _KN_KEEP_THRESHOLD = 7.0
 
 
-#: persisted intermediates of the LAST _kn_doc_scores call. Caches are
-#: lazy here (no action runs inside the function), so they cannot be
-#: unpersisted before the caller's action without losing the reuse —
-#: instead each new call releases the previous call's entries, bounding
-#: a long-lived session (e.g. a 213-query registry sweep) to at most
-#: one KN query's cached RDDs instead of accumulating one pair per run
-#: (round-8 judge hygiene nit). Unpersisting a still-referenced plan is
-#: safe — Spark recomputes from lineage if the old DF is re-collected.
-_KN_PERSISTED: list = []
-
-
 def _kn_doc_scores(docs: DataFrame) -> DataFrame:
     """(doc_id, n_bigrams, total) — per-document total DECIMAL(18,9)
     KN bigram NLL, the shared core of ``lm_perplexity_kneser_ney`` and
@@ -524,18 +515,21 @@ def _kn_doc_scores(docs: DataFrame) -> DataFrame:
     AQE broadcasts them at bench scale, shuffles at 100 TB). Per-bigram
     NLL expression tree is unchanged, so the DECIMAL(18,9) quantization
     keeps bit parity with the oracle."""
-    while _KN_PERSISTED:
-        _KN_PERSISTED.pop().unpersist()
+    # Persist release (round 14): the former _KN_PERSISTED list (round
+    # 8) is generalized into the session cache ledger — led_persist
+    # registers occ/c2, and the @query decorator releases the previous
+    # query's entries at each new build (same deferral rationale: the
+    # caches are lazy, so releasing before the caller's action would
+    # void the reuse).
     doc_tokens = docs.select(
         "doc_id",
         F.filter(F.split("text", " "), lambda x: x != F.lit("")).alias("t"),
     )
     bg = _bigrams(doc_tokens)
     occ = (
-        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).persist()
+        bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("m")).transform(led_persist)
     )
-    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2")).persist()
-    _KN_PERSISTED.extend([occ, c2])
+    c2 = occ.groupBy("w1", "w2").agg(F.sum("m").alias("c2")).transform(led_persist)
     u = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1p")
     )
@@ -739,17 +733,16 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scores feeds both the tercile support and the label join-back —
     # without caches each reference re-runs the whole KN model DAG
     # (measured: ccnet shuffled 2× the bare KN filter's bytes at ×100
-    # amplified volume). Both tables are doc-sized; registered in
-    # _KN_PERSISTED so the next KN query releases them.
-    agg = _kn_doc_scores(docs).persist()
+    # amplified volume). Both tables are doc-sized; ledger-registered
+    # so the next query build releases them.
+    agg = _kn_doc_scores(docs).transform(led_persist)
     scores = docs.join(agg, ["doc_id"]).select(
         "doc_id",
         "lang",
         (F.col("total").cast("double") / F.col("n_bigrams").cast("double")).alias(
             "avg_nll"
         ),
-    ).persist()
-    _KN_PERSISTED.extend([agg, scores])
+    ).transform(led_persist)
     sup = scores.groupBy("lang", "avg_nll").agg(F.count(F.lit(1)).alias("c"))
     wc = (
         Window.partitionBy("lang")

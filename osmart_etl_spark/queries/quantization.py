@@ -19,6 +19,8 @@ shuffle whose arrival order could vary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -387,7 +389,7 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads; cold wall 5.5 s → ~3 s, and run-to-run spread collapses.
     cand = assign.join(
         F.broadcast(qsel), assign.cluster_id == F.col("seed_id")
-    ).select("vec_id", "cluster_id").persist()
+    ).select("vec_id", "cluster_id").transform(led_persist)
     cand.count()
     codes = _encode(spark, emb, targets=cand)
     vec = F.col("embedding").cast("array<double>")
@@ -399,7 +401,7 @@ def ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dt = _codebooks(spark, emb).join(F.broadcast(qsub), "m").select(
         "m", "seed_id", _l2sq(F.col("q_sub"), F.col("s_vec")).alias("dq")
-    ).persist()
+    ).transform(led_persist)
     dt.count()
     out = codes
     total = F.lit(0.0)

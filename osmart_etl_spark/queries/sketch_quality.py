@@ -13,6 +13,8 @@ value-hash mismatch, not silence.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import read_table
@@ -142,7 +144,7 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "__s", base_shingle_hash(F.col("__s")).alias("__h"))
         .groupBy("doc_id")
         .agg(*aggs)
-        .persist()
+        .transform(led_persist)
     )
     combined.count()  # one parallel cache fill; everything below is in-memory
     n_bands = _K // 4

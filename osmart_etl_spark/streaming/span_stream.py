@@ -105,6 +105,8 @@ def run_span_dedup_stream(
             hits = hits.unionByName(h_prev).unionByName(h_retro)
         hits.distinct().write.mode("append").parquet(hits_dir)
         occ_b.write.mode("append").parquet(inv_dir)
+        if inv is not None:
+            coll.unpersist()  # round 14: was leaked once per batch
         batch_grams.unpersist()
         occ_b.unpersist()
 
