@@ -49,6 +49,7 @@ def _prep(spark, tmp_path, n_files, name="ev_stream"):
     return ev, src, stream
 
 
+@pytest.mark.slow
 def test_accumulate_stream_matches_batch_aggregate(spark, tmp_path):
     """5 micro-batches of additive folds == the one-shot groupBy sum,
     and the ledger ends as ONE high-water-mark entry (not 5)."""
@@ -69,6 +70,7 @@ def test_accumulate_stream_matches_batch_aggregate(spark, tmp_path):
     assert led["ids"] == []
 
 
+@pytest.mark.slow
 def test_accumulate_stream_kill_and_resume_exactly_once(spark, tmp_path):
     """Crash-injection in the test_sales_pipeline_crash_mid_publish
     discipline: the stream dies AFTER epoch 0's sink commit but BEFORE
@@ -121,6 +123,7 @@ def test_accumulate_stream_kill_and_resume_exactly_once(spark, tmp_path):
     assert _totals(spark, table) == _want(ev)
 
 
+@pytest.mark.slow
 def test_accumulate_stream_fresh_checkpoint_same_writer_raises(spark, tmp_path):
     """A FRESH checkpoint replaying epochs the same writer_id already
     advanced past is a state/checkpoint MISMATCH, not a quiet no-op:

@@ -18,6 +18,8 @@ unconditional recall means the final pairs are invariant).
 from __future__ import annotations
 
 import pytest
+
+pytestmark = pytest.mark.slow  # amplification probes: slow tier (round 14)
 from pyspark.sql import functions as F
 
 _ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -76,6 +78,7 @@ def _assert_k_copies(base_rows, amp_rows, id_cols, factor):
 
 
 @pytest.mark.parametrize("factor", [3])
+@pytest.mark.slow
 def test_span_excision_invariant_under_amplification(spark, factor):
     from osmart_etl_spark.ops.dedup import span_excision
 
@@ -119,6 +122,7 @@ def test_exact_dedup_invariant_under_amplification(spark, tmp_path, factor):
 
 
 @pytest.mark.parametrize("factor", [3])
+@pytest.mark.slow
 def test_containment_pairs_invariant_under_amplification(spark, tmp_path, factor):
     """The pigeonhole PREFIX selection may tie-break differently per
     copy (different gram strings sort differently), but the count-

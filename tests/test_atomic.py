@@ -52,6 +52,7 @@ def test_upsert_keep_latest_semantics_and_gc(spark, tmp_path):
     assert current_version(spark, t)[0] == 3
 
 
+@pytest.mark.slow
 def test_crash_after_staging_before_publish_leaves_table_readable(
     spark, tmp_path, monkeypatch
 ):
@@ -217,6 +218,7 @@ def test_time_travel_within_retention(spark, tmp_path):
     assert {r["v"] for r in read_committed(spark, t, at=2).collect()} == {"b"}
 
 
+@pytest.mark.slow
 def test_compact_versioned_preserves_data_and_counts_files(spark, tmp_path):
     t = str(tmp_path / "tbl")
     df = spark.range(1000).select(
@@ -238,6 +240,7 @@ def test_compact_versioned_preserves_data_and_counts_files(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_legacy_plain_parquet_adopted_on_first_versioned_commit(spark, tmp_path):
     """Round-8 ADVICE: switching a sink from upsert_parquet to
     upsert_versioned must not silently drop the previously landed rows
@@ -256,6 +259,7 @@ def test_legacy_plain_parquet_adopted_on_first_versioned_commit(spark, tmp_path)
     assert got == {1: "A", 2: "B", 3: "c"}
 
 
+@pytest.mark.slow
 def test_crashed_legacy_migration_sweep_resumes(spark, tmp_path, monkeypatch):
     """Crash between the migration commit and the legacy sweep: the
     sentinel survives, so the next upsert finishes the sweep instead of

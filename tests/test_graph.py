@@ -6,6 +6,8 @@ multiple components (labels must not bleed across), and isolated nodes
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.ops.graph import connected_components
@@ -89,6 +91,7 @@ def _components_bigstar(spark, edges):
     return {r["node"]: r["component"] for r in out.collect()}
 
 
+@pytest.mark.slow
 def test_bigstar_matches_propagation_on_all_shapes(spark):
     """Differential: large-star/small-star must return exactly what
     min-label propagation returns on every shape class — chain, cycle,
@@ -110,6 +113,7 @@ def test_bigstar_matches_propagation_on_all_shapes(spark):
         assert _components_bigstar(spark, edges) == _components(spark, edges), edges
 
 
+@pytest.mark.slow
 def test_bigstar_deep_chain_converges_in_log_rounds(spark):
     """A 200-node chain: propagation would need ~200 rounds (> its
     max_iter); bigstar's O(log² n) must finish inside 20."""
@@ -117,6 +121,7 @@ def test_bigstar_deep_chain_converges_in_log_rounds(spark):
     assert got == {i: 1 for i in range(1, 201)}
 
 
+@pytest.mark.slow
 def test_bigstar_skewed_giant_cluster_within_2x_uniform(spark):
     """VERDICT r3 #7: one duplicate cluster 100× the size of the others
     must not blow up runtime — the map-side-combinable MIN collapses the

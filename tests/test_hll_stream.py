@@ -4,10 +4,13 @@ sketch's whole operational contract)."""
 
 from __future__ import annotations
 
+import pytest
+
 from osmart_etl_spark.streaming.hll_stream import batch_registers, run_hll_stream
 from tests.conftest import SF_SMALL
 
 
+@pytest.mark.slow
 def test_hll_stream_matches_batch(spark, tmp_path):
     from osmart_etl_spark.io.sources import read_table
 
@@ -65,6 +68,7 @@ def test_hll_stream_registers_match_registry_query(spark, tmp_path):
     assert summary == batch
 
 
+@pytest.mark.slow
 def test_hll_state_recovery_skips_incomplete_version(spark, tmp_path):
     """Crash-injection: a version directory WITHOUT _SUCCESS (crash
     mid-write) must be invisible to recovery — the previous complete

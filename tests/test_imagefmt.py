@@ -130,6 +130,7 @@ def test_error_contract():
         decode_ras(rle)
 
 
+@pytest.mark.slow
 def test_extract_features_pnm_bmp_ok(spark):
     from osmart_etl_spark.ops.imagefmt import encode_bmp, encode_pnm
     from osmart_etl_spark.ops.multimodal import MEDIA_SCHEMA, extract_features

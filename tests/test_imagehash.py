@@ -6,6 +6,8 @@ with per-row decode failures."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 import numpy as np
@@ -95,6 +97,7 @@ def test_banding_completeness_vs_brute_force(spark):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_image_hashes_spark_surface(spark):
     """End-to-end: encode real PNG/PNM payloads, hash via mapInPandas,
     find the planted near-dup pair via banding; a corrupt payload
@@ -133,6 +136,7 @@ def test_image_hashes_spark_surface(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+@pytest.mark.slow
 def test_video_phash_neardup(spark):
     """Video tier: Y4M clips built from the image fixtures — a clip and
     its noisy re-encode match on (nearly) all sampled frames; a clip of
@@ -191,6 +195,7 @@ def test_video_phash_neardup(spark):
     assert (0, 2) not in pairs and (1, 2) not in pairs
 
 
+@pytest.mark.slow
 def test_hot_bucket_cap_excludes_mass_dup_buckets(spark):
     """hot_bucket_cap drops over-common band buckets before pairing:
     the planted mass-dup cluster (identical hashes — exact dedup's job)

@@ -3,6 +3,8 @@ roundtrip (S9), schema-checked parquet reads."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
@@ -91,6 +93,7 @@ def _file_snapshot(path):
     return snap
 
 
+@pytest.mark.slow
 def test_merge_upsert_equivalence_and_idempotency(spark, tmp_path):
     """The O(delta) merge sink must agree with the reference semantics
     (upsert_keep_latest = INSERT..ON DUPLICATE KEY UPDATE) and a rerun
@@ -121,6 +124,7 @@ def test_merge_upsert_equivalence_and_idempotency(spark, tmp_path):
     assert _merge_rows(spark, path) == expect
 
 
+@pytest.mark.slow
 def test_merge_upsert_touches_bounded_buckets(spark, tmp_path):
     """A small batch must touch only the buckets its keys hash to, and
     every file in an UNtouched bucket directory must remain byte-for-byte
@@ -165,6 +169,7 @@ def test_merge_upsert_layout_mismatch_raises(spark, tmp_path):
         merge_upsert_partitioned(spark, base, path, ["k2", "k1"], "ver", n_buckets=8)
 
 
+@pytest.mark.slow
 def test_merge_upsert_nondeterministic_batch_loses_no_rows(spark, tmp_path):
     """The batch is materialized ONCE before the touched-bucket set is
     computed: even a nondeterministic source (rand()-keyed) cannot emit
@@ -217,6 +222,7 @@ def _write_legacy_merge_table(spark, path, df, keys, order_col, n_buckets):
     )
 
 
+@pytest.mark.slow
 def test_merge_upsert_adopts_legacy_layout(spark, tmp_path):
     """Round-11 (ADVICE): pointing the versioned sink at a pre-round-10
     table (plain `__bucket=<b>` dirs, no commit logs) must ADOPT the
@@ -256,6 +262,7 @@ def test_merge_upsert_adopts_legacy_layout(spark, tmp_path):
     assert "_legacy-migration" not in names
 
 
+@pytest.mark.slow
 def test_merge_upsert_adopts_legacy_bucket_named_dir(spark, tmp_path):
     """Round-12 (ADVICE high): a legacy dir literally named ``bucket=<b>``
     (bucket_col='bucket') IS the commit target directory — the adoption
@@ -327,6 +334,7 @@ def test_merge_upsert_adopts_legacy_bucket_named_dir(spark, tmp_path):
     assert got2 == expect
 
 
+@pytest.mark.slow
 def test_legacy_bucket_named_midcrash_plain_files_swept(spark, tmp_path):
     """Round-12 closure: crash AFTER committing an in-place adoption
     (d == bdir gains _commits) but BEFORE the sweep — the dir stops
@@ -372,6 +380,7 @@ def test_legacy_bucket_named_midcrash_plain_files_swept(spark, tmp_path):
     assert len(out) == 60 and out[0] == (999.0, 2)
 
 
+@pytest.mark.slow
 def test_missing_layout_on_foreign_table_still_fails_loudly(spark, tmp_path):
     """The FileNotFoundError heal must NOT claim a plain parquet dir:
     only a table made of bucket dirs (this sink's layout) is healable."""
@@ -389,6 +398,7 @@ def test_missing_layout_on_foreign_table_still_fails_loudly(spark, tmp_path):
         merge_upsert_partitioned(spark, batch, path, ["k1"], "ver", n_buckets=4)
 
 
+@pytest.mark.slow
 def test_empty_layout_sidecar_self_heals(spark, tmp_path):
     """Round-12 (ADVICE low): a creator crash between the _layout
     sidecar's exclusive create and its content write used to wedge the
@@ -446,6 +456,7 @@ def test_empty_layout_sidecar_self_heals(spark, tmp_path):
     assert out[0] == 999.0 and len(out) == 20
 
 
+@pytest.mark.slow
 def test_merge_upsert_legacy_ambiguity_raises(spark, tmp_path):
     """A plain bucket dir coexisting with a committed version and NO
     migration sentinel is ambiguous — reader and writer must refuse."""
@@ -473,6 +484,7 @@ def test_merge_upsert_legacy_ambiguity_raises(spark, tmp_path):
         merge_upsert_partitioned(spark, base, path, ["k1", "k2"], "ver", n_buckets=8)
 
 
+@pytest.mark.slow
 def test_merge_upsert_legacy_midcrash_resumes(spark, tmp_path):
     """Crash-injection: sentinel present + some buckets already adopted
     (commit log exists, legacy dir not yet swept) — the next call must
@@ -514,6 +526,7 @@ def test_merge_upsert_legacy_midcrash_resumes(spark, tmp_path):
     assert "_legacy-migration" not in os.listdir(path)
 
 
+@pytest.mark.slow
 def test_scd2_apply_initial_merge_and_idempotency(spark):
     """SCD2 contract: contiguous validity chains, one open row per key,
     no-op changes absorbed, closed history untouched, idempotent
@@ -599,6 +612,7 @@ def test_observe_dq_single_pass(spark, tmp_path):
     assert got["oob_value"] == want_oob
 
 
+@pytest.mark.slow
 def test_merge_upsert_crash_before_publish_keeps_previous_state(
     spark, tmp_path, monkeypatch
 ):
@@ -632,6 +646,7 @@ def test_merge_upsert_crash_before_publish_keeps_previous_state(
     assert _merge_rows(spark, path) == before  # nothing lost, nothing half-applied
 
 
+@pytest.mark.slow
 def test_merge_upsert_crash_mid_publish_is_replayable(spark, tmp_path, monkeypatch):
     """Crash-injection: a failure BETWEEN bucket publishes leaves every
     bucket at a COMPLETE version (some old, some new — never partial or
@@ -699,6 +714,7 @@ def test_merge_upsert_one_file_per_bucket_version(spark, tmp_path):
         assert len(data) == 1, (vdir, data)
 
 
+@pytest.mark.slow
 def test_merge_upsert_concurrent_commit_detected(spark, tmp_path, monkeypatch):
     """Lost-update guard: each bucket publish is a CAS against the seq
     snapshotted when the merge READ that bucket — a writer committing

@@ -161,6 +161,7 @@ def _upsert_state(spark, derby_url, table):
     }
 
 
+@pytest.mark.slow
 def test_jdbc_upsert_roundtrip(spark, derby_url):
     """write → upsert → re-read equals upsert_keep_latest on the composite
     PK: newer rows win, stale redeliveries are ignored, new keys insert,
@@ -209,6 +210,7 @@ def test_jdbc_upsert_roundtrip(spark, derby_url):
     assert not _table_exists(spark, derby_url, "stock_upsert_staging", driver=DRIVER)
 
 
+@pytest.mark.slow
 def test_jdbc_upsert_foreach_batch(spark, derby_url):
     """The foreachBatch adapter applies micro-batches in sequence with
     keep-latest semantics across batches (T5/T6 streaming sink shape)."""
@@ -224,6 +226,7 @@ def test_jdbc_upsert_foreach_batch(spark, derby_url):
         (1, "a"): (2.0, 20), (1, "b"): (5.0, 15)}
 
 
+@pytest.mark.slow
 def test_jdbc_upsert_real_writestream(spark, derby_url, tmp_path):
     """End-to-end Structured Streaming: a file-source stream drained
     with availableNow through writeStream.foreachBatch into the Derby
@@ -277,6 +280,7 @@ def test_jdbc_upsert_real_writestream(spark, derby_url, tmp_path):
     }
 
 
+@pytest.mark.slow
 def test_sales_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     """EP1 with the reference's REAL sink shape: the incremental sales
     pipeline lands each batch in a live relational table (staged MERGE)
@@ -343,6 +347,7 @@ def test_build_unique_index_sql():
     )
 
 
+@pytest.mark.slow
 def test_stock_points_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     """EP3 with the reference's real sink shape (update_stock_points.py:
     237-256, temp-staging bulk upsert): two incremental runs land stock
@@ -385,6 +390,7 @@ def test_stock_points_pipeline_lands_in_jdbc(spark, derby_url, tmp_path):
     assert db == lake and len(db) > 0
 
 
+@pytest.mark.slow
 def test_orchestrated_tick_with_reconcile_against_db(spark, derby_url, tmp_path):
     """The full reference deployment shape: one orchestrated tick lands
     ventas + stock points in the live DB, then T8 reconciliation runs

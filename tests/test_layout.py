@@ -75,6 +75,7 @@ def test_partition_pruning(spark, tmp_path_factory):
     assert got == want > 0
 
 
+@pytest.mark.slow
 def test_zorder_clustering_narrows_file_ranges(spark, tmp_path_factory):
     """Z-order layout: each output file's (min,max) footprint must be a
     small hyper-rectangle in BOTH clustered dimensions — the property

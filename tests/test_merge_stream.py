@@ -4,6 +4,8 @@ no-op on table contents."""
 
 from __future__ import annotations
 
+import pytest
+
 from osmart_etl_spark.io.sinks import read_merge_table, upsert_keep_latest
 from osmart_etl_spark.streaming.merge_stream import run_merge_stream
 from tests.conftest import SF_SMALL
@@ -16,6 +18,7 @@ def _kv(df):
     }
 
 
+@pytest.mark.slow
 def test_merge_stream_matches_batch_upsert(spark, tmp_path):
     from pyspark.sql import functions as F
 

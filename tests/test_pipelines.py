@@ -42,6 +42,7 @@ def test_watermark_store_roundtrip(spark, tmp_path):
     assert ws.get("sales", "s2") == "7"
 
 
+@pytest.mark.slow
 def test_watermark_store_is_versioned_and_adopts_legacy(spark, tmp_path):
     """Round-12 (review): the watermark table goes through the
     manifest-committed upsert — no in-place overwrite window that could
@@ -100,6 +101,7 @@ def test_upsert_keep_latest(spark):
     assert out == {1: "a", 2: "B", 3: "c"}
 
 
+@pytest.mark.slow
 def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
     """EP1: run 1 processes everything; run 2 (no new data) is a no-op;
     after appending new events, run 3 picks up only the delta and the
@@ -156,6 +158,7 @@ def test_sales_incremental_two_runs(spark, tmp_path, events_parquet):
     assert got == expect
 
 
+@pytest.mark.slow
 def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     spark, tmp_path, events_parquet, monkeypatch
 ):
@@ -224,6 +227,7 @@ def test_sales_pipeline_crash_mid_publish_keeps_previous_version(
     assert read_merge_table(spark, sink).filter(F.col("user_id") == 2).count() >= 1
 
 
+@pytest.mark.slow
 def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
     """EP2+EP3 two-phase incremental == one-shot full recompute (T5/T6):
     split the event history at a date watermark, run raw-movements +
@@ -291,6 +295,7 @@ def test_stock_points_incremental_matches_full(spark, tmp_path, events_parquet):
     assert inc_dense == full_dense
 
 
+@pytest.mark.slow
 def test_stock_points_incremental_hot_sku_dispatches_chunked(spark, tmp_path, monkeypatch):
     """Round-12 (judge #2): a genuinely skewed SKU in the EP3 incremental
     path must engage the bounded-partition chunked replay WITHOUT an
@@ -410,6 +415,7 @@ def test_dq_reconcile(spark):
     assert s["max_abs_diff"] == 7
 
 
+@pytest.mark.slow
 def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
     """T7 — the run_etl.sh analogue: three stages chain per store; a
     bad store fails in isolation without blocking the good one."""
@@ -484,6 +490,7 @@ def test_orchestrator_full_tick(spark, tmp_path, events_parquet):
     assert read_committed(spark, str(tmp_path / "points3")).count() > 0
 
 
+@pytest.mark.slow
 def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
     """T3 — the only-complete-days rule: with complete_days_before set,
     movements on/after that date are excluded from the SOD computation."""
@@ -511,6 +518,7 @@ def test_stock_points_complete_days_only(spark, tmp_path, events_parquet):
     assert max_pt <= cutoff  # spine extends to max movement day + 1 == cutoff at most
 
 
+@pytest.mark.slow
 def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
     """Three batches folded via merge_accumulate must equal the one-shot
     aggregate over all events; a redelivered batch must be a ledger
@@ -565,6 +573,7 @@ def test_merge_accumulate_incremental_equals_full(spark, tmp_path):
     assert after == want
 
 
+@pytest.mark.slow
 def test_merge_accumulate_versioned_equals_full_and_dedups(spark, tmp_path):
     """The CAS-protected accumulator: three batches equal the one-shot
     aggregate, a redelivered batch is a committed-ledger no-op, the
@@ -616,6 +625,7 @@ def test_merge_accumulate_versioned_equals_full_and_dedups(spark, tmp_path):
     assert led["hwm"] == {}  # opaque ids never grow the hwm map
 
 
+@pytest.mark.slow
 def test_merge_accumulate_versioned_hwm_ledger_is_bounded(spark, tmp_path):
     """Round-12 (judge #1): structured ``(writer_id, seq)`` batch ids
     collapse the applied-batch ledger to ONE high-water-mark per writer
@@ -724,6 +734,7 @@ def test_merge_accumulate_versioned_legacy_bare_list_ledger_reads(spark, tmp_pat
     assert all(v == 2 for v in got.values()) and len(got) == 10
 
 
+@pytest.mark.slow
 def test_merge_accumulate_versioned_concurrent_writers_lose_nothing(spark, tmp_path):
     """The exact scenario plain merge_accumulate documents as
     unrecoverable: concurrent folds racing on one table. With the CAS
@@ -808,6 +819,7 @@ def test_merge_accumulate_versioned_crash_between_stage_and_publish(spark, tmp_p
     )
 
 
+@pytest.mark.slow
 def test_sales_crash_window_no_double_count(spark, tmp_path, events_parquet):
     """ADVICE r12: crash AFTER the accumulator fold commits but BEFORE
     the watermark advances, with new events landing before the retry.
@@ -859,6 +871,7 @@ def test_sales_crash_window_no_double_count(spark, tmp_path, events_parquet):
     assert got == expect  # pre-fix: every pre-crash event counted twice
 
 
+@pytest.mark.slow
 def test_sales_publish_is_bucket_incremental(spark, tmp_path, events_parquet):
     """VERDICT r12 #3: a tick whose delta touches ONE user rewrites only
     that user's bucket — every untouched bucket's committed files stay
@@ -951,6 +964,7 @@ def test_inventory_imports_without_session():
     assert "imported" in out.stdout
 
 
+@pytest.mark.slow
 def test_writer_bucket_shard_partitions_exactly(spark):
     """VERDICT r12 #5: the writer shards are pairwise-disjoint, cover
     the batch exactly, and use the SINK'S OWN bucket hash — so W

@@ -11,13 +11,26 @@ Every registered query's plan is checked for the antipatterns that kill
 - Arrow-batched Python (``FlatMapGroupsInPandas``/``ArrowEvalPython``/
   ``MapInPandas``): allowed ONLY for the explicitly labeled escape
   hatches; anything else must stay JVM-side for whole-stage codegen.
+- broadcast hints on unbounded fact-proportional subtrees and global
+  windows over unbounded inputs (the round-9/10 defect classes).
 
 Plans are built at sf0.001 (construction only — no execution except the
 genuinely iterative graph queries, which run their driver-bounded loop
 during plan construction by design).
+
+Round 14 (VERDICT r13 #1): the three audits previously each re-built
+all 249 query plans (~6 min of the driver-verify budget between them);
+they now share ONE module-scoped build — ``QueryExecution.toString()``
+carries both the optimized-logical section (hint audit, window audit)
+and the physical section (antipattern markers), so each query is
+planned exactly once.
 """
 
 from __future__ import annotations
+
+import re
+
+import pytest
 
 from tests.conftest import SF_SMALL
 
@@ -28,22 +41,30 @@ PANDAS_ALLOWED = {
 }
 
 
-def _plans(spark):
-    from osmart_etl_spark.queries import REGISTRY
+@pytest.fixture(scope="module")
+def registry_plans(spark):
+    """name -> (optimized logical section, physical section) for every
+    registry query, built once for all audits below."""
+    import osmart_etl_spark.queries  # noqa: F401
+    from osmart_etl_spark.queries.base import REGISTRY
 
+    plans = {}
     for name, qd in REGISTRY.items():
         df = qd.fn(spark, SF_SMALL)
-        qe = df._jdf.queryExecution()
-        jvm = spark._jvm
-        yield name, qe.explainString(
-            jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        full = df._jdf.queryExecution().toString()
+        opt = re.search(
+            r"== Optimized Logical Plan ==\n(.*?)(?:\n== |\Z)", full, re.S
         )
+        phys = re.search(r"== Physical Plan ==\n(.*?)(?:\n== |\Z)", full, re.S)
+        assert opt and phys, f"{name}: plan sections not found"
+        plans[name] = (opt.group(1), phys.group(1))
+    return plans
 
 
-def test_no_scale_antipatterns_in_any_registry_plan(spark):
+def test_no_scale_antipatterns_in_any_registry_plan(registry_plans):
     offenders = {"cartesian": [], "py_udf": [], "pandas": []}
     n = 0
-    for name, plan in _plans(spark):
+    for name, (_, plan) in registry_plans.items():
         n += 1
         if "CartesianProduct" in plan:
             offenders["cartesian"].append(name)
@@ -60,7 +81,7 @@ def test_no_scale_antipatterns_in_any_registry_plan(spark):
     assert not offenders["pandas"], offenders
 
 
-def test_no_broadcast_hint_on_unbounded_fact_subtree(spark):
+def test_no_broadcast_hint_on_unbounded_fact_subtree(spark, registry_plans):
     """Registry-wide structural lock for the round-9 defect class: no
     query may broadcast-hint a join side whose subtree scans a
     fact-proportional table (orders/customer/lineitem/documents/
@@ -76,11 +97,9 @@ def test_no_broadcast_hint_on_unbounded_fact_subtree(spark):
     this audits EVERY registry query from the optimized logical plan's
     leftHint=/rightHint= annotations, so a new query cannot reintroduce
     the defect unnoticed."""
-    from tools.broadcast_hint_audit import audit_query, optimized_section
+    from tools.broadcast_hint_audit import audit_query
 
-    import osmart_etl_spark.queries  # noqa: F401
     from osmart_etl_spark.io.sources import read_table
-    from osmart_etl_spark.queries.base import REGISTRY
 
     tables = (
         "region nation customer supplier part orders lineitem events "
@@ -89,9 +108,8 @@ def test_no_broadcast_hint_on_unbounded_fact_subtree(spark):
     schemas = {t: set(read_table(spark, SF_SMALL, t).columns) for t in tables}
     offenders = []
     n = 0
-    for name, qd in REGISTRY.items():
+    for name, (plan, _) in registry_plans.items():
         n += 1
-        plan = optimized_section(qd.fn(spark, SF_SMALL))
         assert plan, f"{name}: optimized plan section not found"
         for table in audit_query(plan, schemas):
             offenders.append((name, table))
@@ -102,7 +120,7 @@ def test_no_broadcast_hint_on_unbounded_fact_subtree(spark):
     )
 
 
-def test_no_unbounded_global_windows(spark):
+def test_no_unbounded_global_windows(registry_plans):
     """Round-10 structural lock replacing the WindowExec warning noise:
     every GLOBAL (zero-partition) window in every registry query must
     run over a bounded input subtree — an Aggregate on a non-fact key,
@@ -115,10 +133,6 @@ def test_no_unbounded_global_windows(spark):
     distributed form beyond a scan-bytes threshold — the plan audited
     here (sf0.001) is deliberately the small-scale branch."""
     from tools.window_audit import audit_windows
-    from tools.broadcast_hint_audit import optimized_section
-
-    import osmart_etl_spark.queries  # noqa: F401
-    from osmart_etl_spark.queries.base import REGISTRY
 
     # query -> justification for the below-threshold global window
     whitelist = {
@@ -129,11 +143,10 @@ def test_no_unbounded_global_windows(spark):
     }
     offenders = []
     n = 0
-    for name, qd in REGISTRY.items():
+    for name, (plan, _) in registry_plans.items():
         n += 1
         if name in whitelist:
             continue
-        plan = optimized_section(qd.fn(spark, SF_SMALL))
         assert plan, f"{name}: optimized plan section not found"
         bad = audit_windows(plan)
         if bad:

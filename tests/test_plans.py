@@ -4,6 +4,8 @@ broadcast-only star joins, the single-exchange replay."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests.conftest import SF_SMALL
 
 
@@ -218,6 +220,7 @@ def test_training_pipeline_single_shuffle_pair(spark):
     assert "Window" not in plan, plan
 
 
+@pytest.mark.slow
 def test_jaccard_verify_dispatch(spark):
     """Size dispatch for the exact-verify stage (VERDICT r3 #4): sparse
     candidates over a big corpus must take the candidate-pruned
@@ -690,6 +693,7 @@ def test_triangle_count_broadcast_locked(spark):
     assert plan.count("BroadcastHashJoin") >= 4, plan
 
 
+@pytest.mark.slow
 def test_triangle_count_paths_agree(spark):
     """The size dispatch never changes results: the shuffle form
     (budget 0 — what a 100 TB candidate graph runs) and the broadcast
@@ -702,6 +706,7 @@ def test_triangle_count_paths_agree(spark):
     assert small[0]["n_edges"] > 0
 
 
+@pytest.mark.slow
 def test_kcore_peel_broadcast_locked(spark):
     """Round 13: below the edge budget every peel round's two alive
     joins must be broadcast hash joins of the ALIVE side — left to the
@@ -714,6 +719,7 @@ def test_kcore_peel_broadcast_locked(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
 
 
+@pytest.mark.slow
 def test_kcore_peel_early_exit_matches_full_unroll(spark):
     """Round 13: the peel fixpoint early-exit (stop when the alive
     count stops shrinking — monotone peeling makes equal counts equal
@@ -733,6 +739,7 @@ def test_kcore_peel_early_exit_matches_full_unroll(spark):
         assert fast
 
 
+@pytest.mark.slow
 def test_kcore_peel_paths_agree(spark):
     """The size dispatch never changes results: the shuffle form
     (budget 0 — node-sized alive past broadcast reach) and the

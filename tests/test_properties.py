@@ -34,6 +34,7 @@ rows_st = st.lists(
 
 @given(old=rows_st, new=rows_st)
 @SPARK_SETTINGS
+@pytest.mark.slow
 def test_upsert_keep_latest_matches_model(spark, old, new):
     """For every key: max-order row wins; on order ties new beats old,
     and within a generation the winner among tied rows is any one of
@@ -87,6 +88,7 @@ events_st = st.lists(
 
 @given(events=events_st)
 @SPARK_SETTINGS
+@pytest.mark.slow
 def test_replay_running_balance_matches_model(spark, events):
     from osmart_etl_spark.ops.windows import replay_running_balance
 

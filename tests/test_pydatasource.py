@@ -112,6 +112,7 @@ def test_joins_with_parquet_tables(spark):
     assert j.count() > 0
 
 
+@pytest.mark.slow
 def test_stream_reader_incremental_drain_exactly_once(spark, tmp_path):
     """The streaming side of the synthetic source: repeated availableNow
     runs against ONE checkpoint must advance through the ledger batch

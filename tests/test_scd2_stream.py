@@ -13,6 +13,8 @@ as a real change-data capture stream does."""
 
 from __future__ import annotations
 
+import pytest
+
 import os
 import time
 
@@ -54,6 +56,7 @@ def _norm(df):
     )
 
 
+@pytest.mark.slow
 def test_streaming_cdc_scd2_matches_batch(spark, tmp_path):
     from osmart_etl_spark.io.sinks import scd2_apply
     from osmart_etl_spark.io.sources import path_exists

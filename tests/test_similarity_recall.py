@@ -229,6 +229,7 @@ def test_ann_recall_monotone_in_nprobe(spark):
         assert len(t & h4.get(q, set())) >= base[q]
 
 
+@pytest.mark.slow
 def test_recall_audit_residue_rotation_holds_the_band(spark):
     """Round-12 (judge #4): the 'rotate the residue across snapshots'
     doctrine as a tested property. Every residue of the LSH audit's

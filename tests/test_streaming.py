@@ -274,6 +274,7 @@ def test_session_window_batch_matches_islands(spark, events_stream_dir):
     assert native == want
 
 
+@pytest.mark.slow
 def test_session_window_drops_late_data(spark, tmp_path):
     """Watermark contract: an event arriving in a LATER incremental run
     with event time older than the checkpointed watermark is dropped —
@@ -339,6 +340,7 @@ def test_session_window_drops_late_data(spark, tmp_path):
     assert sealed == {(1, t0): (2, 15.0)}
 
 
+@pytest.mark.slow
 def test_dedup_within_watermark_two_runs(spark, tmp_path):
     """Streaming exact-dedup (U5 twin): re-deliveries inside the
     lateness window dedup across micro-batches AND across two
@@ -427,6 +429,7 @@ def test_stream_stream_join_matches_batch(spark, tmp_path, events_stream_dir):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ewma_stream_matches_batch_bitwise(spark, tmp_path):
     """The streaming EWMA (applyInPandasWithState, O(depth) state) must
     equal the batch lag-chain EWMA bit-for-bit across MULTIPLE
@@ -498,6 +501,7 @@ def test_hopping_window_stream_matches_batch(spark, tmp_path, events_stream_dir)
         assert abs(nu_approx - bnu) <= max(3, 0.15 * bnu)
 
 
+@pytest.mark.slow
 def test_lsh_dedup_stream_matches_batch(spark, tmp_path):
     """Streaming foreachBatch incremental LSH dedup == the batch
     dedup_incremental_lsh query on the same base/new split: stream the
@@ -555,6 +559,7 @@ def test_lsh_dedup_stream_matches_batch(spark, tmp_path):
     assert set(novel_ids) == {i for i in ids if i not in matched_ids}
 
 
+@pytest.mark.slow
 def test_span_dedup_stream_matches_batch(spark, tmp_path):
     """Streaming foreachBatch ExactSubstr span dedup == batch
     span_excision restricted to the streamed docs — including the
@@ -602,6 +607,7 @@ def test_span_dedup_stream_matches_batch(spark, tmp_path):
     assert got == want and len(want) > 0
 
 
+@pytest.mark.slow
 def test_span_dedup_stream_retroactive_marking(spark, tmp_path):
     """Planted: batch-1 doc X and batch-2 doc Y share a paragraph that
     appears nowhere in the base corpus. X's span can only be
