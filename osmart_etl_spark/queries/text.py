@@ -10,6 +10,8 @@ md5 (identical hex both engines); ratios = bigint/bigint double division
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from osmart_etl_spark.caching import led_persist
 from pyspark.sql import functions as F
 
 from osmart_etl_spark.io.sources import default_parallelism, read_table
@@ -324,7 +326,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     # Stats on an independent lineage — must not materialize the `sets`
@@ -378,7 +380,7 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     # size-dispatched verify (round 9): bcast below the broadcast
@@ -430,7 +432,7 @@ def dedup_components_bigstar(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components_bigstar
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     # size-dispatched verify (round 9): bcast below the broadcast
@@ -870,7 +872,7 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     # size-dispatched verify (round 9): bcast below the broadcast
@@ -1671,7 +1673,7 @@ def dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from osmart_etl_spark.ops.graph import connected_components
 
     d = read_table(spark, sf_dir, "documents")
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
     n_docs, n_sh = estimate_corpus_shingles(d, "text", k=5)
@@ -1795,12 +1797,49 @@ def lsh_recall_audit_at(
     d = read_table(spark, sf_dir, "documents").filter(
         F.expr(_recall_sample_pred(residue, modulus))
     )
-    sets = shingle_sets(d, "doc_id", "text", k=5).persist()
+    sets = shingle_sets(d, "doc_id", "text", k=5).transform(led_persist)
     bands = minhash_band_keys(sets, "doc_id", num_hashes=16, rows_per_band=4)
     cand = candidate_pairs(bands, "doc_id")
 
-    a = sets.select(F.col("doc_id").alias("id_a"), F.col("__sh").alias("sa"))
-    b = sets.select(F.col("doc_id").alias("id_b"), F.col("__sh").alias("sb"))
+    # Integer-coded ground truth (round 14, VERDICT r13 #3). VERDICT
+    # suggested prefix-token candidate generation; MEASURED on this
+    # corpus it degenerates: the sample's shingle profile is DENSE over
+    # a tiny universe (sf0.1 residue 0: 1 250 docs, 2 034 distinct
+    # shingles, median set size 215 ≈ 10% of the whole universe), so
+    # 780 567 of 780 625 pairs share at least one shingle — a
+    # prefix/posting join IS the all-pairs join plus an extra shuffle
+    # (the same blowup setsim_exact_join's docstring records for
+    # AllPairs at t=0.8, and t=0.5 prefixes are HALF the set). PartEnum
+    # group signatures stop discriminating too: background J ≈ 0.18 ⇒
+    # unrelated pairs agree on ~e^(−Δ/G) ≈ 31% of groups, so the
+    # agreement join would carry ~60M rows for 16 true pairs. The pair
+    # enumeration therefore stays the audit's deliberately bounded
+    # O(sample²) BNLJ (constant-size sample by the modulus-growth
+    # doctrine above); what the round optimizes is the per-pair verify:
+    # each ≤5-char shingle is re-coded MAP-SIDE into a bigint —
+    # conv(hex(0x01·s), 16, 10), exact and injective while every
+    # shingle is ≤ 7 bytes (≤ 2^57 < 2^63; the 0x01 sentinel keeps
+    # leading-NUL strings distinct) — so the hot hash-set intersect
+    # runs over longs instead of strings (measured 3.8-4.4 s → 1.5-2.8 s
+    # for the pair stage on warm inputs; a dense vocab-indexed BITMAP
+    # verify was ~2× faster still per pair but its index build cost
+    # (vocab window + 2 joins + 2 extra shuffles) exceeded the saving
+    # at sample scale — measured, rejected). The byte-length guard is
+    # ONE scalar read over the persisted sets (the setsim_exact_join
+    # dispatch precedent); a hypothetical non-ASCII corpus falls back
+    # to the string form, so exactness is unconditional.
+    max_octets = sets.agg(
+        F.max(
+            F.expr("aggregate(transform(__sh, s -> octet_length(s)), 0, (a, x) -> greatest(a, x))")
+        )
+    ).collect()[0][0]
+    if max_octets is not None and max_octets <= 7:
+        code = "transform(__sh, s -> cast(conv(hex(concat(char(1), s)), 16, 10) as bigint))"
+        rep = sets.select("doc_id", F.expr(code).alias("__cs"))
+    else:  # pragma: no cover - testdata corpora are ASCII
+        rep = sets.select("doc_id", F.col("__sh").alias("__cs"))
+    a = rep.select(F.col("doc_id").alias("id_a"), F.col("__cs").alias("sa"))
+    b = rep.select(F.col("doc_id").alias("id_b"), F.col("__cs").alias("sb"))
     inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = inter.cast("double") / (
         F.size("sa") + F.size("sb") - inter
@@ -1808,8 +1847,8 @@ def lsh_recall_audit_at(
     # Size-ratio prefilter (round 13, the entity_fuzzy_match bound):
     # J >= 0.5 requires max(|A|,|B|) <= 2*min(|A|,|B|) — a sound
     # necessary condition on two ints, so the O(|A|+|B|) hash-set
-    # array_intersect only runs for pairs that can still qualify
-    # (And short-circuits left to right). No false drops: the bound is
+    # intersect only runs for pairs that can still qualify (And
+    # short-circuits left to right). No false drops: the bound is
     # implied by the threshold, results bit-identical.
     na, nb = F.size("sa"), F.size("sb")
     ratio_ok = F.greatest(na, nb) <= F.least(na, nb) * 2
