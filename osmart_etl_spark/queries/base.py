@@ -43,18 +43,19 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
             raise ValueError(f"duplicate query name: {name}")
 
         # Cache-release discipline (round 14, VERDICT r13 #5): building
-        # a query releases every ledger-registered persist of the
-        # PREVIOUS query — queries return lazy plans, so release cannot
+        # a query releases every ledger-registered persist of OTHER
+        # queries — queries return lazy plans, so release cannot
         # happen inside the producing function without voiding the
-        # persist; deferring to the next build bounds any long-lived
-        # session to one query's cached blocks. No registered query
-        # calls another registered query (verified round 14), so a
-        # build never releases its own intermediates.
+        # persist; deferring to the next different-query build bounds
+        # any long-lived session to one query's cached blocks while
+        # keeping same-query rebuilds warm (see caching.begin_query).
+        # No registered query calls another registered query (verified
+        # round 14), so a build never releases its own intermediates.
         @wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            from osmart_etl_spark.caching import release_persisted
+            from osmart_etl_spark.caching import begin_query
 
-            release_persisted()
+            begin_query(name)
             return fn(spark, sf_dir)
 
         REGISTRY[name] = QueryDef(fn=wrapped, oracle=oracle, tags=tags)
